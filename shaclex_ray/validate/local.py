@@ -1,0 +1,332 @@
+"""In-memory ShEx validator — the engine's executable semantics spec.
+
+Re-implements (from scratch, per the public ShEx 2.1 semantics) the behavior
+of the reference's validators:
+  * recursion guard / memoized typing — weso/shaclex
+    modules/slang/src/main/scala/es/weso/slang/ValidateND.scala:44-122
+    (pair marked before descending :51, skip-if-validated :54)
+  * regular-bag-expression matching of EachOf/OneOf/TripleConstraint with
+    cardinalities, EXTRA and CLOSED — behavior pinned by the 1092 entries in
+    src/test/resources/shexTest/validation/manifest.ttl
+  * 4-valued flavor: in-progress pairs are assumed conforming (greatest-
+    fixpoint reading), matching the reference's treatment of cyclic schemas.
+
+Used for: the conformance harness (graphs are tiny), per-neighborhood
+evaluation inside `map_groups` for nested shapes in the distributed path,
+and as the oracle for distributed-validator tests.
+"""
+
+from __future__ import annotations
+
+from collections import defaultdict
+
+from shaclex_ray.terms import term_key
+from shaclex_ray.validate.nodecheck import check_node_constraint
+
+UNBOUNDED = -1
+_MAX_MATCHABLE_ARCS = 20  # bitmask matcher guard; conformance graphs are tiny
+
+
+class Graph:
+    """Indexed in-memory triple set (the reference's Jena-model analog)."""
+
+    def __init__(self, triples):
+        self.triples = triples
+        self.by_subj: dict[str, list] = defaultdict(list)
+        self.by_obj: dict[str, list] = defaultdict(list)
+        for s, p, o in triples:
+            self.by_subj[term_key(s)].append((p, o))
+            self.by_obj[term_key(o)].append((p, s))
+
+    def arcs_out(self, node_key: str):
+        return self.by_subj.get(node_key, [])
+
+    def arcs_in(self, node_key: str):
+        return self.by_obj.get(node_key, [])
+
+
+def _card(te: dict) -> tuple[int, int]:
+    mn = te.get("min", 1)
+    mx = te.get("max", 1)
+    return mn, mx
+
+
+class ShExValidator:
+    def __init__(self, schema: dict, graph: Graph):
+        self.schema = schema
+        self.graph = graph
+        self.typing: dict[tuple[str, str], bool] = {}
+        self._in_progress: set[tuple[str, str]] = set()
+
+    # -- public API --------------------------------------------------------
+    def validate_node_shape(self, node: tuple, shape_label: str | None) -> bool:
+        if shape_label is None or shape_label == "START":
+            se = self.schema.get("start")
+            if se is None:
+                raise ValueError("no start shape")
+            return self.satisfies(node, se)
+        return self.satisfies_label(node, shape_label)
+
+    # -- shape expression dispatch ----------------------------------------
+    def satisfies_label(self, node: tuple, label: str) -> bool:
+        key = (term_key(node), label)
+        if key in self.typing:
+            return self.typing[key]
+        if key in self._in_progress:
+            return True  # coinductive assumption (cyclic reference)
+        se = self.schema["shapes"].get(label)
+        if se is None:
+            raise ValueError(f"unknown shape label {label}")
+        self._in_progress.add(key)
+        try:
+            res = self.satisfies(node, se)
+        finally:
+            self._in_progress.discard(key)
+        self.typing[key] = res
+        return res
+
+    def satisfies(self, node: tuple, se) -> bool:
+        if isinstance(se, str):
+            return self.satisfies_label(node, se)
+        t = se.get("type")
+        if t == "NodeConstraint":
+            return check_node_constraint(node, se)
+        if t == "ShapeAnd":
+            return all(self.satisfies(node, sub) for sub in se["shapeExprs"])
+        if t == "ShapeOr":
+            return any(self.satisfies(node, sub) for sub in se["shapeExprs"])
+        if t == "ShapeNot":
+            return not self.satisfies(node, se["shapeExpr"])
+        if t == "Shape":
+            return self._match_shape(node, se)
+        if t == "ShapeExternal":
+            return True
+        if t == "ShapeDecl":
+            return self.satisfies(node, se["shapeExpr"])
+        raise ValueError(f"unknown shapeExpr type {t}")
+
+    # -- triple expression machinery --------------------------------------
+    def _resolve_te(self, te):
+        if isinstance(te, str):
+            resolved = self.schema["te_refs"].get(te)
+            if resolved is None:
+                raise ValueError(f"unknown tripleExpr ref {te}")
+            return resolved
+        return te
+
+    def _collect_tcs(self, te, out: list, seen: set):
+        te = self._resolve_te(te)
+        tid = id(te)
+        if tid in seen:
+            return
+        seen.add(tid)
+        t = te.get("type")
+        if t == "TripleConstraint":
+            out.append(te)
+        elif t in ("EachOf", "OneOf"):
+            for sub in te["expressions"]:
+                self._collect_tcs(sub, out, seen)
+
+    def _match_shape(self, node: tuple, shape: dict) -> bool:
+        expr = shape.get("expression")
+        extra = set(shape.get("extra", []) or [])
+        closed = bool(shape.get("closed", False))
+        nkey = term_key(node)
+        outs = self.graph.arcs_out(nkey)
+        ins = self.graph.arcs_in(nkey)
+
+        tcs: list = []
+        if expr is not None:
+            self._collect_tcs(expr, tcs, set())
+        fwd_preds = {tc["predicate"] for tc in tcs if not tc.get("inverse")}
+        inv_preds = {tc["predicate"] for tc in tcs if tc.get("inverse")}
+
+        # arcs: (pred, value_node, inverse)
+        arcs: list[tuple[str, tuple, bool]] = []
+        for p, o in outs:
+            if p in fwd_preds:
+                arcs.append((p, o, False))
+        for p, s in ins:
+            if p in inv_preds:
+                arcs.append((p, s, True))
+
+        # closed: OUT arcs with predicates not mentioned (expr preds ∪ extra)
+        if closed:
+            mentioned = fwd_preds | extra
+            for p, _o in outs:
+                if p not in mentioned:
+                    return False
+
+        n = len(arcs)
+        if n > _MAX_MATCHABLE_ARCS:
+            raise ValueError(f"neighborhood too large for exact matcher ({n})")
+
+        if expr is None:
+            # empty shape: no matchables, everything permitted (unless closed,
+            # handled above)
+            return True
+
+        # lazily-cached arc-vs-TC satisfaction (value-shape recursion J5)
+        sat_cache: dict[tuple[int, int], bool] = {}
+
+        def arc_matches_tc(ai: int, tc: dict) -> bool:
+            k = (ai, id(tc))
+            if k in sat_cache:
+                return sat_cache[k]
+            p, v, inv = arcs[ai]
+            ok = p == tc["predicate"] and bool(inv) == bool(tc.get("inverse", False))
+            if ok and tc.get("valueExpr") is not None:
+                ok = self.satisfies(v, tc["valueExpr"])
+            sat_cache[k] = ok
+            return ok
+
+        memo: dict[tuple[int, int, str], bool] = {}
+
+        def nullable(te) -> bool:
+            te = self._resolve_te(te)
+            t = te.get("type")
+            mn, _mx = _card(te)
+            if mn == 0:
+                return True
+            if t == "TripleConstraint":
+                return False
+            if t == "EachOf":
+                return all(nullable(s) for s in te["expressions"])
+            if t == "OneOf":
+                return any(nullable(s) for s in te["expressions"])
+            return False
+
+        def match_one(te, mask: int) -> bool:
+            """mask matches exactly one instance of te's body (card ignored)."""
+            te_r = self._resolve_te(te)
+            k = (id(te_r), mask, "one")
+            if k in memo:
+                return memo[k]
+            t = te_r.get("type")
+            if t == "TripleConstraint":
+                # one instance == one arc matching the constraint
+                if bin(mask).count("1") != 1:
+                    memo[k] = False
+                    return False
+                ai = mask.bit_length() - 1
+                res = arc_matches_tc(ai, te_r)
+                memo[k] = res
+                return res
+            if t == "EachOf":
+                res = each_partition(te_r["expressions"], 0, mask)
+                memo[k] = res
+                return res
+            if t == "OneOf":
+                res = any(match_full(sub, mask) for sub in te_r["expressions"])
+                memo[k] = res
+                return res
+            raise ValueError(f"unknown tripleExpr type {t}")
+
+        def each_partition(children, idx: int, mask: int) -> bool:
+            """Partition mask among children[idx:] (each child gets a full
+            match including its own cardinality)."""
+            if idx == len(children):
+                return mask == 0
+            if idx == len(children) - 1:
+                return match_full(children[idx], mask)
+            child = children[idx]
+            # iterate submasks of mask for this child
+            sub = mask
+            while True:
+                if match_full(child, sub) and each_partition(children, idx + 1, mask & ~sub):
+                    return True
+                if sub == 0:
+                    break
+                sub = (sub - 1) & mask
+            return False
+
+        def match_full(te, mask: int) -> bool:
+            """mask matches te including te's cardinality (repetition)."""
+            te_r = self._resolve_te(te)
+            mn, mx = _card(te_r)
+            k = (id(te_r), mask, "full")
+            if k in memo:
+                return memo[k]
+            t = te_r.get("type")
+            if t == "TripleConstraint":
+                cnt = bin(mask).count("1")
+                ok = mn <= cnt and (mx == UNBOUNDED or cnt <= mx)
+                if ok:
+                    m = mask
+                    while m:
+                        ai = (m & -m).bit_length() - 1
+                        if not arc_matches_tc(ai, te_r):
+                            ok = False
+                            break
+                        m &= m - 1
+                memo[k] = ok
+                return ok
+            res = match_repeat(te_r, mask, mn, mx)
+            memo[k] = res
+            return res
+
+        def match_repeat(te_r, mask: int, mn: int, mx: int) -> bool:
+            if mask == 0:
+                return mn == 0 or nullable(te_r)
+            if mx == 0:
+                return False
+            cap = bin(mask).count("1") if mx == UNBOUNDED else mx
+            k = (id(te_r), mask, f"rep{mn},{cap}")
+            if k in memo:
+                return memo[k]
+            res = False
+            sub = mask
+            while True:
+                if sub != 0 and match_one(te_r, sub):
+                    nmx = UNBOUNDED if mx == UNBOUNDED else mx - 1
+                    if match_repeat(te_r, mask & ~sub, max(0, mn - 1), nmx):
+                        res = True
+                        break
+                if sub == 0:
+                    break
+                sub = (sub - 1) & mask
+            memo[k] = res
+            return res
+
+        full_mask = (1 << n) - 1
+
+        # enumerate candidate matched ⊆ arcs; check remainder conditions
+        matched_candidates = []
+        sub = full_mask
+        while True:
+            if match_full(expr, sub):
+                matched_candidates.append(sub)
+            if sub == 0:
+                break
+            sub = (sub - 1) & full_mask
+
+        for matched in matched_candidates:
+            ok = True
+            rem = full_mask & ~matched
+            m = rem
+            while m:
+                ai = (m & -m).bit_length() - 1
+                p, _v, inv = arcs[ai]
+                # remainder rule (pinned by 1literalPlus / 1val2IRIREFExtra1 /
+                # 1dotExtra1 tests): an unmatched OUT arc with a mentioned
+                # predicate fails the shape unless the predicate is EXTRA and
+                # the arc does NOT match any TripleConstraint with that
+                # predicate (i.e. EXTRA only sanctions value-failing arcs)
+                if not inv:
+                    if p not in extra:
+                        ok = False
+                    else:
+                        for tc in tcs:
+                            if (
+                                tc["predicate"] == p
+                                and not tc.get("inverse")
+                                and arc_matches_tc(ai, tc)
+                            ):
+                                ok = False
+                                break
+                if not ok:
+                    break
+                m &= m - 1
+            if ok:
+                return True
+        return False
