@@ -138,3 +138,95 @@ def run_shex_case(case: dict):
     if got == case["expected"]:
         return "pass", ""
     return "fail", f"got {got}, expected {case['expected']}"
+
+
+# ---------------------------------------------------------------------------
+# SHACL core suite (self-contained Turtle manifests: shapes + data +
+# expected sh:ValidationReport in one file)
+
+SHACL_TESTS_DIR = "/root/reference/src/test/resources/shacl/tests"
+SHX = "http://www.w3.org/ns/shacl#"
+SHT2 = "http://www.w3.org/ns/shacl-test#"
+
+
+def load_shacl_cases(root: str = None, subset: str = "core"):
+    import glob as _glob
+
+    root = root or SHACL_TESTS_DIR
+    files = sorted(_glob.glob(os.path.join(root, subset, "**", "*.ttl"), recursive=True))
+    return [f for f in files if not f.endswith("manifest.ttl")]
+
+
+def run_shacl_case(path: str):
+    """Run one SHACL core test file. Returns (status, detail)."""
+    from shaclex_ray.shapes.shacl import compile_shacl
+    from shaclex_ray.terms import term_key
+    from shaclex_ray.validate.shacl_local import ShaclValidator
+
+    try:
+        doc_iri = "file://" + path[: -len(".ttl")]
+        triples = parse_turtle(open(path, newline="").read(), base=doc_iri)
+        spo = _index(triples)
+        # find the sht:Validate entry, its action graphs and expected report
+        expected_results = []
+        expected_conforms = None
+        data_ref = shapes_ref = None
+        for s, po in spo.items():
+            kinds = [o[1] for o in po.get(RDF_TYPE, []) if o[0] == "iri"]
+            if SHT2 + "Validate" not in kinds:
+                continue
+            action = po.get(MF + "action", [None])[0]
+            if action is not None:
+                apo = spo.get(action, {})
+                data_ref = apo.get(SHT2 + "dataGraph", [None])[0]
+                shapes_ref = apo.get(SHT2 + "shapesGraph", [None])[0]
+            res = po.get(MF + "result", [None])[0]
+            if res is None:
+                continue
+            rpo = spo.get(res, {})
+            conf = rpo.get(SHX + "conforms", [None])[0]
+            expected_conforms = bool(conf and conf[1] == "true")
+            for r in rpo.get(SHX + "result", []):
+                rrpo = spo.get(r, {})
+                fn = rrpo.get(SHX + "focusNode", [None])[0]
+                comp = rrpo.get(SHX + "sourceConstraintComponent", [None])[0]
+                expected_results.append(
+                    (term_key(fn) if fn else None, comp[1] if comp else None)
+                )
+        if expected_conforms is None:
+            return "skip", "no expected report"
+
+        def graph_triples(ref):
+            """Resolve a sht:dataGraph / sht:shapesGraph reference."""
+            if ref is None or ref[1] == doc_iri:
+                return triples
+            gpath = ref[1]
+            if gpath.startswith("file://"):
+                gpath = gpath[len("file://") :]
+            return parse_turtle(
+                open(gpath, newline="").read(),
+                base=ref[1][: -len(".ttl")] if ref[1].endswith(".ttl") else ref[1],
+            )
+
+        data_triples = graph_triples(data_ref)
+        shapes_triples = (
+            data_triples
+            if (shapes_ref is None or (data_ref and shapes_ref[1] == data_ref[1]))
+            else graph_triples(shapes_ref)
+        )
+        schema = compile_shacl(shapes_triples)
+        graph = Graph(data_triples)
+        v = ShaclValidator(schema, graph)
+        conforms, results = v.validate_all()
+        got = sorted((r["focus"], r["component"]) for r in results)
+        exp = sorted(expected_results)
+        if conforms == expected_conforms and got == exp:
+            return "pass", ""
+        detail = f"conforms got={conforms} exp={expected_conforms}"
+        if got != exp:
+            missing = [x for x in exp if x not in got]
+            extra_ = [x for x in got if x not in exp]
+            detail += f"; missing={missing[:4]} extra={extra_[:4]}"
+        return "fail", detail
+    except Exception as e:  # noqa: BLE001
+        return "error", f"{type(e).__name__}: {e}"

@@ -144,27 +144,41 @@ def numeric_value(lex: str, dt: str):
         return None
 
 
+def _tz_seconds(tz):
+    if not tz:
+        return None
+    if tz == "Z":
+        return 0
+    sign = 1 if tz[0] == "+" else -1
+    return sign * (int(tz[1:3]) * 3600 + int(tz[4:6]) * 60)
+
+
 def datetime_value(lex: str, dt: str):
-    """Comparable value for date/dateTime literals, or None."""
+    """Comparable value for date/dateTime literals: (has_tz, utc_seconds),
+    or None. XSD ordering is partial: values with and without timezone are
+    incomparable (pinned by SHACL core minInclusive-002/003)."""
     try:
         if dt == XSD + "date":
             m = _DATE_RE.match(lex)
             if not m:
                 return None
-            return (int(m.group(1)), int(m.group(2)), int(m.group(3)))
+            base = date(int(m.group(1)), int(m.group(2)), int(m.group(3))).toordinal() * 86400.0
+            off = _tz_seconds(m.group(4))
+            return (off is not None, base - (off or 0))
         if dt == XSD + "dateTime":
             m = _DATETIME_RE.match(lex)
             if not m:
                 return None
-            frac = float(m.group(7) or 0)
-            return (
-                int(m.group(1)),
-                int(m.group(2)),
-                int(m.group(3)),
-                int(m.group(4)),
-                int(m.group(5)),
-                int(m.group(6)) + frac,
+            base = date(int(m.group(1)), int(m.group(2)), int(m.group(3))).toordinal() * 86400.0
+            t = (
+                base
+                + int(m.group(4)) * 3600
+                + int(m.group(5)) * 60
+                + int(m.group(6))
+                + float(m.group(7) or 0)
             )
+            off = _tz_seconds(m.group(8))
+            return (off is not None, t - (off or 0))
     except ValueError:
         return None
     return None
