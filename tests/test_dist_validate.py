@@ -1,0 +1,102 @@
+"""Distributed BSP validator agrees with the conformance-verified local
+validators (ShEx subset + SHACL subset of the vendored suites)."""
+
+import copy
+import os
+
+import pyarrow as pa
+import pytest
+
+
+def _shex_cases(n, step):
+    from shaclex_ray.conformance import SKIP_TRAITS, load_shex_manifest
+
+    cases = [
+        c
+        for c in load_shex_manifest()
+        if not (c["traits"] & SKIP_TRAITS) and c["map"] is None and c["focus"] is not None
+    ]
+    return cases[::step][:n]
+
+
+def test_dist_shex_matches_expected(ray_session):
+    import ray.data as rd
+
+    from shaclex_ray.conformance import _iri_to_path
+    from shaclex_ray.rdfio import parse_turtle
+    from shaclex_ray.shapes.shexj import load_shexj_file
+    from shaclex_ray.terms import term_key, triples_to_table
+    from shaclex_ray.validate.dist import distributed_validate
+
+    checked = 0
+    for c in _shex_cases(12, 97):
+        sp = _iri_to_path(c["schema"])
+        dp = _iri_to_path(c["data"])
+        jp = os.path.splitext(sp)[0] + ".json"
+        if not os.path.exists(jp):
+            continue
+        schema = load_shexj_file(jp)
+        data = parse_turtle(open(dp, newline="").read(), base=c["data"][1])
+        ds = rd.from_arrow(triples_to_table(data))
+        shape = None
+        if c["shape"]:
+            shape = ("_:" + c["shape"][1]) if c["shape"][0] == "bnode" else c["shape"][1]
+        focus = pa.table({"node": [term_key(c["focus"])], "shape": [shape or "START"]})
+        typing, _rep = distributed_validate(
+            ds, "shex", schema, focus, nbuckets=4, include_inverse=True
+        )
+        got = None
+        for i in range(typing.num_rows):
+            if typing.column("is_focus")[i].as_py():
+                got = typing.column("val")[i].as_py() == "conforms"
+        assert got == c["expected"], c["name"]
+        checked += 1
+    assert checked >= 8
+
+
+def test_dist_shacl_matches_local(ray_session):
+    import ray.data as rd
+
+    from shaclex_ray.conformance import MF, RDF_TYPE, SHT2, _index, load_shacl_cases
+    from shaclex_ray.rdfio import parse_turtle
+    from shaclex_ray.shapes.shacl import compile_shacl
+    from shaclex_ray.terms import triples_to_table
+    from shaclex_ray.validate.dist import distributed_validate, resolve_shacl_targets
+    from shaclex_ray.validate.local import Graph
+    from shaclex_ray.validate.shacl_local import ShaclValidator
+
+    checked = 0
+    for f in load_shacl_cases()[::7][:10]:
+        if "/path/" in f or "complex" in f:
+            continue  # multi-hop paths: local-validator territory (documented)
+        doc_iri = "file://" + f[:-4]
+        triples = parse_turtle(open(f, newline="").read(), base=doc_iri)
+        spo = _index(triples)
+        has_entry = any(
+            SHT2 + "Validate" in [o[1] for o in po.get(RDF_TYPE, []) if o[0] == "iri"]
+            and po.get(MF + "result")
+            for s, po in spo.items()
+        )
+        ext = any(
+            spo.get(a, {}).get(SHT2 + "dataGraph", [("iri", doc_iri)])[0][1] != doc_iri
+            for s, po in spo.items()
+            for a in po.get(MF + "action", [])
+        )
+        if not has_entry or ext:
+            continue
+        lv = ShaclValidator(compile_shacl(triples), Graph(triples))
+        lconf, lres = lv.validate_all()
+        lset = sorted((r["focus"], r["component"]) for r in lres)
+
+        ds = rd.from_arrow(triples_to_table(triples))
+        schema2 = compile_shacl(triples)
+        focus = resolve_shacl_targets(ds, schema2)
+        _typing, rep = distributed_validate(
+            ds, "shacl", schema2, focus, nbuckets=4, include_inverse=True
+        )
+        dset = sorted(
+            zip(rep.column("focus_node").to_pylist(), rep.column("component").to_pylist())
+        )
+        assert (lconf, lset) == (rep.num_rows == 0, dset), f
+        checked += 1
+    assert checked >= 4
