@@ -1,0 +1,145 @@
+"""The flagship end-to-end KG-construction pipeline (north star):
+
+  read interleaved documents → extract triples (lineage-carrying) →
+  entity-link + canonicalize → exact dedup → materialize triple table →
+  validate in-pipeline against SHACL shapes (distributed BSP fixpoint) →
+  typing + validation-report tables
+
+Stage outputs checkpoint to partitioned parquet with manifests
+(state/checkpoint.py), so a failed run resumes from the last finished
+stage. Equivalent reference flow: parse → schema → trigger → validate →
+report (weso/shaclex src/main/scala/es/weso/shaclex/Main.scala:103-135),
+re-expressed as streaming Dataset stages.
+"""
+
+from __future__ import annotations
+
+import pyarrow as pa
+
+import ray.data as rd
+
+from shaclex_ray.rdfio import parse_turtle
+from shaclex_ray.shapes.shacl import compile_shacl
+from shaclex_ray.sources.documents import read_documents
+from shaclex_ray.stages.dedup import dedup_triples
+from shaclex_ray.stages.extract import extract_triples
+from shaclex_ray.stages.link import build_entity_links, canonicalize_triples
+from shaclex_ray.state.checkpoint import StageRunner
+from shaclex_ray.validate.dist import distributed_validate, resolve_shacl_targets
+
+# SHACL shapes for the constructed KG — parsed with our own Turtle parser.
+# DocumentShape's ex:mentions sh:class ex:Entity forces a cross-bucket
+# typing join (the fixpoint's round-2 dependency); ex:mentions sh:minCount 1
+# makes mention-free documents non-conformant (deliberate mixed outcomes).
+KG_SHAPES_TTL = """
+@prefix sh: <http://www.w3.org/ns/shacl#> .
+@prefix ex: <http://ex.org/> .
+@prefix xsd: <http://www.w3.org/2001/XMLSchema#> .
+
+ex:DocumentShape a sh:NodeShape ;
+  sh:targetClass ex:Document ;
+  sh:property [ sh:path ex:lang ; sh:minCount 1 ; sh:maxCount 1 ;
+                sh:datatype xsd:string ] ;
+  sh:property [ sh:path ex:source ; sh:minCount 1 ; sh:maxCount 1 ;
+                sh:datatype xsd:string ] ;
+  sh:property [ sh:path ex:mentions ; sh:nodeKind sh:IRI ;
+                sh:class ex:Entity ; sh:minCount 1 ] ;
+  sh:property [ sh:path ex:hasMedia ; sh:nodeKind sh:IRI ] .
+
+ex:EntityShape a sh:NodeShape ;
+  sh:targetClass ex:Entity ;
+  sh:property [ sh:path ex:surface ; sh:minCount 1 ; sh:maxCount 1 ;
+                sh:datatype xsd:string ] .
+"""
+
+
+def kg_schema() -> dict:
+    return compile_shacl(parse_turtle(KG_SHAPES_TTL))
+
+
+def build_triples(sf_dir: str):
+    """documents → canonical deduped triple Dataset (no checkpointing —
+    the streaming composition used by queries()/tests)."""
+    docs = read_documents(sf_dir)
+    raw = extract_triples(docs).materialize()
+    links = build_entity_links(raw)
+    cano = canonicalize_triples(raw, links)
+    return dedup_triples(cano), links
+
+
+def run_kg_pipeline(
+    sf_dir: str,
+    out_dir: str,
+    nbuckets: int = 32,
+    validate: bool = True,
+    resume: bool = True,
+):
+    """Checkpointed end-to-end run. Returns dict of result handles."""
+    runner = StageRunner(out_dir, resume=resume)
+    digest = f"{sf_dir}|nb={nbuckets}"
+
+    def produce_raw(path):
+        docs = read_documents(sf_dir)
+        raw = extract_triples(docs)
+        raw.write_parquet(path)
+        return rd.read_parquet(path).count()
+
+    raw = runner.run("triples_raw", digest, produce_raw, lambda p: rd.read_parquet(p))
+
+    link_holder = {}
+
+    def produce_links(path):
+        links = build_entity_links(raw)
+        import pyarrow.parquet as pq
+
+        pq.write_table(links, f"{path}/links.parquet")
+        link_holder["links"] = links
+        return links.num_rows
+
+    def read_links(path):
+        import pyarrow.parquet as pq
+
+        return pq.read_table(f"{path}/links.parquet")
+
+    links = runner.run("entity_links", digest, produce_links, read_links)
+
+    def produce_canonical(path):
+        cano = canonicalize_triples(raw, links)
+        dd = dedup_triples(cano, nbuckets=nbuckets)
+        dd.write_parquet(path)
+        return rd.read_parquet(path).count()
+
+    triples = runner.run(
+        "triples_canonical", digest, produce_canonical, lambda p: rd.read_parquet(p)
+    )
+
+    out = {"triples": triples, "links": links, "metrics": runner.metrics}
+    if validate:
+
+        def produce_validation(path):
+            import pyarrow.parquet as pq
+
+            schema = kg_schema()
+            focus = resolve_shacl_targets(triples, schema)
+            typing, report = distributed_validate(
+                triples, "shacl", schema, focus, nbuckets=nbuckets
+            )
+            pq.write_table(typing, f"{path}/typing.parquet")
+            pq.write_table(report, f"{path}/report.parquet")
+            return typing.num_rows
+
+        def read_validation(path):
+            import pyarrow.parquet as pq
+
+            return (
+                pq.read_table(f"{path}/typing.parquet"),
+                pq.read_table(f"{path}/report.parquet"),
+            )
+
+        typing, report = runner.run(
+            "validation", digest, produce_validation, read_validation
+        )
+        out["typing"] = typing
+        out["report"] = report
+    runner.write_metrics()
+    return out
