@@ -1,16 +1,19 @@
 """Driver contract for the graft builder (Ray Data target).
 
-The driver's verify calls ``entry()`` as a smoke check (Ray is already
-initialised, local mode), runs each ``queries()[name](sf_dir)`` at
-sf=0.01 and compares it against the matching ``oracle_sql()[name]`` via
-DuckDB (row-count + schema + order-insensitive value-hash →
-CORRECTNESS_r{N}.json). Fill these in as you implement operators from
-SURVEY.md §2. Results may be a ``ray.data.Dataset``, a
-``pandas.DataFrame`` or a ``pyarrow.Table``; the driver converts.
+``entry()`` runs the flagship KG-construction pipeline at sf0.001.
+``queries()`` exposes one callable per implemented operator family
+(SURVEY.md §2 + the training-data ops); ``oracle_sql()`` gives the DuckDB
+equivalent for every SQL-expressible one. The KG queries' oracles
+reproduce the *entire* deterministic synthesis + extraction +
+canonicalization in SQL over the ``documents`` view, so the value-hash
+comparison covers the whole pipeline, not just a projection.
 
-Ray is initialised by the driver BEFORE this module is imported: do not
-call ``ray.init()`` / ``ray.shutdown()`` here, in the library code these
-functions use, or inside the callables.
+Shape-validation semantics are additionally pinned by the vendored W3C
+conformance suites in tests/ (1038 shexTest + 98 SHACL core entries) —
+those are not SQL-expressible and run under pytest.
+
+Ray is initialised by the driver BEFORE this module is imported: nothing
+here calls ray.init()/ray.shutdown().
 """
 
 from __future__ import annotations
@@ -18,27 +21,412 @@ from __future__ import annotations
 from collections.abc import Callable
 from typing import Any
 
+# ---------------------------------------------------------------------------
+# shared SQL fragments (deterministic synthesis mirror —
+# shaclex_ray/sources/documents.py must stay in lockstep)
+
+_VOCAB_SQL = "('spark','customer','vector','window','stream','hash','merge','join')"
+
+_DOCS_CTE = """
+docs AS (
+  SELECT doc_id,
+         'doc-' || lpad(CAST(doc_id AS VARCHAR), 8, '0') AS did,
+         text, lang, source,
+         string_split(text, ' ') AS toks
+  FROM documents
+),
+tokens AS (
+  SELECT d.doc_id, d.did, d.lang,
+         u.i AS tok_idx,
+         d.toks[u.i + 1] AS tok,
+         CAST(floor(u.i / 8) AS BIGINT) AS chunk
+  FROM docs d, unnest(generate_series(0, len(d.toks) - 1)) AS u(i)
+),
+chunks AS (
+  SELECT doc_id, did, lang, u.c AS chunk,
+         array_to_string(list_slice(toks, u.c * 8 + 1, u.c * 8 + 8), ' ') AS chunk_text
+  FROM docs,
+       unnest(generate_series(0, CAST(ceil(len(toks) / 8.0) AS BIGINT) - 1)) AS u(c)
+),
+entity_tokens AS (
+  SELECT doc_id, did, chunk, tok_idx, tok,
+         CASE (doc_id + tok_idx) % 3
+           WHEN 1 THEN upper(tok)
+           WHEN 2 THEN upper(substr(tok, 1, 1)) || substr(tok, 2)
+           ELSE tok END AS mention
+  FROM tokens WHERE tok IN """ + _VOCAB_SQL + """
+),
+media_chunks AS (
+  SELECT doc_id, did, chunk,
+         'media://h/' || md5(did || '/' || CAST(chunk AS VARCHAR)) AS media_ref
+  FROM chunks WHERE (doc_id + chunk) % 7 = 0
+)
+"""
+
+_SPANS_CTE = _DOCS_CTE + """,
+spans0 AS (
+  SELECT did, chunk, 0 AS sub_ord, 'text' AS kind, chunk_text AS text, '' AS media_ref
+  FROM chunks
+  UNION ALL
+  SELECT did, chunk,
+         1 + CAST(row_number() OVER (PARTITION BY did, chunk ORDER BY tok_idx) AS BIGINT) AS sub_ord,
+         'entity', mention, ''
+  FROM entity_tokens
+  UNION ALL
+  SELECT did, chunk, 1000000, 'image', '', media_ref FROM media_chunks
+),
+spans AS (
+  SELECT did, kind, text, media_ref,
+         CAST(row_number() OVER (PARTITION BY did ORDER BY chunk, sub_ord) - 1 AS BIGINT) AS ord
+  FROM spans0
+)
+"""
+
+_TRIPLES_CTE = _DOCS_CTE + """,
+ents AS (SELECT DISTINCT tok FROM entity_tokens),
+triples0 AS (
+  -- doc-level
+  SELECT 'http://ex.org/doc/' || did AS subj,
+         'http://www.w3.org/1999/02/22-rdf-syntax-ns#type' AS pred,
+         'iri' AS obj_kind, 'http://ex.org/Document' AS obj_lex,
+         '' AS obj_dt, '' AS obj_lang
+  FROM docs
+  UNION ALL
+  SELECT 'http://ex.org/doc/' || did, 'http://ex.org/lang', 'literal', lang,
+         'http://www.w3.org/2001/XMLSchema#string', '' FROM docs
+  UNION ALL
+  SELECT 'http://ex.org/doc/' || did, 'http://ex.org/source', 'literal', source,
+         'http://www.w3.org/2001/XMLSchema#string', '' FROM docs
+  UNION ALL
+  -- text spans (lang-tagged literals)
+  SELECT 'http://ex.org/doc/' || did, 'http://ex.org/hasText', 'literal', chunk_text,
+         'http://www.w3.org/1999/02/22-rdf-syntax-ns#langString', lang FROM chunks
+  UNION ALL
+  -- mentions, canonicalized: ent IRI = lower(mention) = tok
+  SELECT 'http://ex.org/doc/' || did, 'http://ex.org/mentions', 'iri',
+         'http://ex.org/ent/' || tok, '', '' FROM entity_tokens
+  UNION ALL
+  -- canonicalized (ent, type, Mention) from raw mention-type triples
+  SELECT DISTINCT 'http://ex.org/ent/' || tok,
+         'http://www.w3.org/1999/02/22-rdf-syntax-ns#type', 'iri',
+         'http://ex.org/Mention', '', '' FROM entity_tokens
+  UNION ALL
+  -- entity metadata from the link table
+  SELECT 'http://ex.org/ent/' || tok,
+         'http://www.w3.org/1999/02/22-rdf-syntax-ns#type', 'iri',
+         'http://ex.org/Entity', '', '' FROM ents
+  UNION ALL
+  SELECT 'http://ex.org/ent/' || tok, 'http://ex.org/surface', 'literal', tok,
+         'http://www.w3.org/2001/XMLSchema#string', '' FROM ents
+  UNION ALL
+  -- media
+  SELECT 'http://ex.org/doc/' || did, 'http://ex.org/hasMedia', 'iri', media_ref,
+         '', '' FROM media_chunks
+  UNION ALL
+  SELECT DISTINCT media_ref, 'http://www.w3.org/1999/02/22-rdf-syntax-ns#type',
+         'iri', 'http://ex.org/Media', '', '' FROM media_chunks
+),
+kg_triples AS (SELECT DISTINCT * FROM triples0)
+"""
+
+_PIPELINE_CACHE: dict[str, Any] = {}
+
+
+def _pipeline(sf_dir: str):
+    if sf_dir not in _PIPELINE_CACHE:
+        from shaclex_ray.pipelines.kg import run_kg_pipeline
+
+        _PIPELINE_CACHE[sf_dir] = run_kg_pipeline(
+            sf_dir, f"/tmp/graft_kg/{sf_dir.strip('/').replace('/', '_')}", nbuckets=16
+        )
+    return _PIPELINE_CACHE[sf_dir]
+
 
 def entry() -> Any:
-    """Flagship pipeline on /root/testdata/sf0.001; driver checks rows>=0."""
-    raise NotImplementedError("fill in: read_parquet sf0.001 → run flagship pipeline")
+    """Flagship pipeline on /root/testdata/sf0.001; returns the canonical
+    validated triple table as a Ray Dataset."""
+    out = _pipeline("/root/testdata/sf0.001")
+    return out["triples"]
+
+
+# ---------------------------------------------------------------------------
+# queries
+
+_TRIPLES_CACHE: dict[str, Any] = {}
+
+
+def _q_kg_triples(sf_dir: str):
+    if sf_dir not in _TRIPLES_CACHE:
+        from shaclex_ray.pipelines.kg import build_triples
+
+        triples, _links = build_triples(sf_dir)
+        _TRIPLES_CACHE[sf_dir] = triples.select_columns(
+            ["subj", "pred", "obj_kind", "obj_lex", "obj_dt", "obj_lang"]
+        ).materialize()
+    return _TRIPLES_CACHE[sf_dir]
+
+
+def _q_doc_spans(sf_dir: str):
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from shaclex_ray.sources.documents import read_documents
+
+    def explode(batch: pa.Table) -> pa.Table:
+        spans = batch.column("spans").combine_chunks()
+        flat = pc.list_flatten(spans)
+        parents = pc.list_parent_indices(spans)
+        return pa.table(
+            {
+                "did": pc.take(batch.column("doc_id").combine_chunks(), parents),
+                "kind": flat.field("kind"),
+                "text": flat.field("text"),
+                "media_ref": flat.field("media_ref"),
+                "ord": flat.field("offset").cast(pa.int64()),
+            }
+        )
+
+    return read_documents(sf_dir).map_batches(explode, batch_format="pyarrow")
+
+
+def _q_kg_entity_links(sf_dir: str):
+    from shaclex_ray.sources.documents import read_documents
+    from shaclex_ray.stages.extract import extract_triples
+    from shaclex_ray.stages.link import build_entity_links
+
+    raw = extract_triples(read_documents(sf_dir))
+    return build_entity_links(raw)
+
+
+def _q_kg_triples_per_pred(sf_dir: str):
+    import pyarrow as pa
+
+    from ray.data.aggregate import Count
+
+    ds = _q_kg_triples(sf_dir)
+    return ds.groupby("pred").aggregate(Count(alias_name="n"))
+
+
+def _q_kg_doc_entity_counts(sf_dir: str):
+    import pyarrow as pa
+
+    from shaclex_ray.stages.extract import P_MENTIONS
+
+    ds = _q_kg_triples(sf_dir)
+
+    def project(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        m = batch.filter(pc.equal(batch.column("pred"), P_MENTIONS))
+        return pa.table({"subj": m.column("subj"), "ent": m.column("obj_lex")})
+
+    def per_doc(group: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        return pa.table(
+            {
+                "subj": group.column("subj").slice(0, 1),
+                "n_entities": pa.array(
+                    [len(pc.unique(group.column("ent").combine_chunks()))], pa.int64()
+                ),
+            }
+        )
+
+    return (
+        ds.map_batches(project, batch_format="pyarrow")
+        .groupby("subj")
+        .map_groups(per_doc, batch_format="pyarrow")
+    )
+
+
+def _q_kg_validation_mincount(sf_dir: str):
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    out = _pipeline(sf_dir)
+    rep = out["report"]
+    mask = pc.equal(rep.column("component"),
+                    "http://www.w3.org/ns/shacl#MinCountConstraintComponent")
+    focus = pc.filter(rep.column("focus_node").combine_chunks(), mask)
+    # term key "I<iri>" -> plain IRI for SQL comparability
+    return pa.table({"focus_iri": pc.utf8_replace_slice(focus, 0, 1, "")})
+
+
+def _q_kg_typing_counts(sf_dir: str):
+    import polars as pl
+
+    out = _pipeline(sf_dir)
+    t = pl.from_arrow(out["typing"])
+    t = t.filter(pl.col("is_focus"))
+    agg = (
+        t.group_by(["shape", "val"])
+        .agg(pl.len().cast(pl.Int64).alias("n"))
+        .sort(["shape", "val"])
+    )
+    return agg.to_arrow()
+
+
+def _q_text_token_stats(sf_dir: str):
+    from shaclex_ray.functions.text import token_stats
+
+    return token_stats(sf_dir)
+
+
+def _q_text_fingerprints(sf_dir: str):
+    from shaclex_ray.functions.text import fingerprints
+
+    return fingerprints(sf_dir)
+
+
+def _q_dedup_exact(sf_dir: str):
+    from shaclex_ray.functions.dedup import exact_groups
+
+    return exact_groups(sf_dir)
+
+
+def _q_dedup_minhash(sf_dir: str):
+    from shaclex_ray.functions.dedup import minhash_candidates
+
+    return minhash_candidates(sf_dir)
+
+
+def _q_dedup_simhash(sf_dir: str):
+    from shaclex_ray.functions.dedup import simhashes
+
+    return simhashes(sf_dir)
+
+
+def _q_dedup_ngram_jaccard(sf_dir: str):
+    from shaclex_ray.functions.dedup import ngram_jaccard_dups
+
+    return ngram_jaccard_dups(sf_dir)
+
+
+def _q_ann_topk(sf_dir: str):
+    from shaclex_ray.functions.ann import topk_cosine
+
+    return topk_cosine(sf_dir, n_queries=10, k=5)
+
+
+def _q_ann_lsh_buckets(sf_dir: str):
+    from shaclex_ray.functions.ann import lsh_buckets
+
+    return lsh_buckets(sf_dir)
+
+
+def _q_text_langid(sf_dir: str):
+    from shaclex_ray.functions.text import langid
+
+    return langid(sf_dir)
+
+
+def _q_media_features(sf_dir: str):
+    from shaclex_ray.functions.multimodal import media_features
+    from shaclex_ray.sources.documents import read_documents
+
+    return media_features(read_documents(sf_dir))
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
-    """One entry per implemented operator/pipeline from SURVEY.md §2.
-
-    Each callable takes ``sf_dir`` (e.g. "/root/testdata/sf0.01") and
-    returns a Dataset / pandas DataFrame / pyarrow Table. Name every
-    computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {
+        "kg_triples": _q_kg_triples,
+        "doc_spans": _q_doc_spans,
+        "kg_entity_links": _q_kg_entity_links,
+        "kg_triples_per_pred": _q_kg_triples_per_pred,
+        "kg_doc_entity_counts": _q_kg_doc_entity_counts,
+        "kg_validation_mincount": _q_kg_validation_mincount,
+        "kg_typing_counts": _q_kg_typing_counts,
+        "text_token_stats": _q_text_token_stats,
+        "text_fingerprints": _q_text_fingerprints,
+        "text_langid": _q_text_langid,
+        "dedup_exact": _q_dedup_exact,
+        "dedup_minhash": _q_dedup_minhash,
+        "dedup_simhash": _q_dedup_simhash,
+        "dedup_ngram_jaccard": _q_dedup_ngram_jaccard,
+        "ann_topk": _q_ann_topk,
+        "ann_lsh_buckets": _q_ann_lsh_buckets,
+        "media_features": _q_media_features,
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return {
+        "kg_triples": "WITH " + _TRIPLES_CTE + " SELECT * FROM kg_triples",
+        "doc_spans": "WITH "
+        + _SPANS_CTE
+        + " SELECT did, kind, text, media_ref, ord FROM spans",
+        "kg_entity_links": "WITH "
+        + _DOCS_CTE
+        + """
+        SELECT DISTINCT 'http://ex.org/mention/' || mention AS mention,
+               'http://ex.org/ent/' || tok AS canonical_iri
+        FROM entity_tokens
+        """,
+        "kg_triples_per_pred": "WITH "
+        + _TRIPLES_CTE
+        + " SELECT pred, CAST(count(*) AS BIGINT) AS n FROM kg_triples GROUP BY pred",
+        "kg_doc_entity_counts": "WITH "
+        + _DOCS_CTE
+        + """
+        SELECT 'http://ex.org/doc/' || did AS subj,
+               CAST(count(DISTINCT tok) AS BIGINT) AS n_entities
+        FROM entity_tokens GROUP BY did
+        """,
+        "kg_validation_mincount": "WITH "
+        + _DOCS_CTE
+        + """
+        SELECT 'http://ex.org/doc/' || did AS focus_iri
+        FROM docs WHERE doc_id NOT IN (SELECT doc_id FROM entity_tokens)
+        """,
+        "kg_typing_counts": "WITH "
+        + _DOCS_CTE
+        + """
+        , doc_counts AS (
+          SELECT CASE WHEN doc_id IN (SELECT doc_id FROM entity_tokens)
+                      THEN 'conforms' ELSE 'notConforms' END AS val,
+                 CAST(count(*) AS BIGINT) AS n
+          FROM docs GROUP BY 1
+        ), ent_counts AS (
+          SELECT 'conforms' AS val, CAST(count(DISTINCT tok) AS BIGINT) AS n
+          FROM entity_tokens
+        )
+        SELECT 'Ihttp://ex.org/DocumentShape' AS shape, val, n FROM doc_counts
+        UNION ALL
+        SELECT 'Ihttp://ex.org/EntityShape', val, n FROM ent_counts
+        """,
+        "text_token_stats": """
+        SELECT doc_id,
+               CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+               CAST(length(text) AS BIGINT) AS n_chars,
+               CAST((SELECT count(*) FROM unnest(string_split(text, ' ')) AS u(t)
+                     WHERE u.t IN ('the', 'a')) AS BIGINT) AS n_stopwords
+        FROM documents
+        """,
+        "text_fingerprints": """
+        SELECT doc_id, md5(array_to_string(string_split(trim(text), ' '), ' ')) AS fingerprint
+        FROM documents
+        """,
+        "dedup_exact": """
+        SELECT md5(text) AS fingerprint,
+               CAST(min(doc_id) AS BIGINT) AS canonical_doc_id,
+               CAST(count(*) AS BIGINT) AS n_dups
+        FROM documents GROUP BY md5(text)
+        """,
+        "ann_topk": """
+        WITH q AS (
+          SELECT vec_id AS query_id, embedding AS qe FROM embeddings
+          ORDER BY vec_id LIMIT 10
+        ), scored AS (
+          SELECT q.query_id, e.vec_id,
+                 list_cosine_similarity(q.qe, e.embedding) AS cos
+          FROM q CROSS JOIN embeddings e
+          WHERE e.vec_id != q.query_id
+        ), ranked AS (
+          SELECT query_id, vec_id,
+                 CAST(row_number() OVER (PARTITION BY query_id
+                      ORDER BY cos DESC, vec_id) AS BIGINT) AS rank
+          FROM scored
+        )
+        SELECT query_id, vec_id, rank FROM ranked WHERE rank <= 5
+        """,
+    }

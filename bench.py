@@ -1,0 +1,125 @@
+"""Benchmark driver: headline KG pipeline + operator timings over
+$GRAFT_SF_DIR (default /root/testdata/sf0.1).
+
+Prints ONE JSON line:
+  {"metric": "...", "value": <headline sec>, "unit": "sec",
+   "queries": {...}, "sf": ..., "num_cpus": N, "triples_per_sec": ...}
+
+--scaling: runs the headline pipeline in two fresh subprocesses
+(num_cpus=8 and num_cpus=32) on the same input and reports throughput at
+both plus the scaling efficiency (the sandbox substitute for the north
+rule's N vs 4N cluster sizes — see BASELINE.md).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import subprocess
+import sys
+import time
+
+
+def _init_ray(num_cpus: int):
+    import ray
+
+    if not ray.is_initialized():
+        ray.init(
+            address="local",
+            num_cpus=num_cpus,
+            include_dashboard=False,
+            logging_level="ERROR",
+            log_to_driver=False,
+        )
+
+
+def run_headline(sf_dir: str, out_dir: str, nbuckets: int = 32) -> dict:
+    """Full pipeline: docs -> triples -> links -> canonical -> validate."""
+    from shaclex_ray.pipelines.kg import run_kg_pipeline
+
+    shutil.rmtree(out_dir, ignore_errors=True)
+    t0 = time.perf_counter()
+    out = run_kg_pipeline(sf_dir, out_dir, nbuckets=nbuckets, resume=False)
+    wall = time.perf_counter() - t0
+    n_triples = out["triples"].count()
+    return {
+        "wall_sec": wall,
+        "triples": n_triples,
+        "triples_per_sec": n_triples / wall,
+        "stages": {k: round(v.get("wall_sec", 0), 3) for k, v in out["metrics"].items()},
+    }
+
+
+def run_queries(sf_dir: str) -> dict:
+    import __ray_entry__ as e
+
+    import ray.data
+
+    timings = {}
+    qs = e.queries()
+    for name, fn in qs.items():
+        t0 = time.perf_counter()
+        res = fn(sf_dir)
+        if isinstance(res, ray.data.Dataset):
+            res.count()  # force execution
+        timings[name] = round(time.perf_counter() - t0, 3)
+    return timings
+
+
+def main():
+    sf_dir = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    num_cpus = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
+
+    if "--scaling" in sys.argv:
+        results = {}
+        for n in (8, 32):
+            p = subprocess.run(
+                [sys.executable, __file__, "--headline-only"],
+                env={**os.environ, "RAY_GRAFT_CPUS": str(n), "GRAFT_SF_DIR": sf_dir},
+                capture_output=True,
+                text=True,
+            )
+            line = [l for l in p.stdout.splitlines() if l.startswith("{")][-1]
+            results[n] = json.loads(line)
+        t8 = results[8]["triples_per_sec"]
+        t32 = results[32]["triples_per_sec"]
+        eff = (t32 / t8) / 4.0
+        print(
+            json.dumps(
+                {
+                    "metric": "kg_pipeline_scaling",
+                    "value": round(eff, 4),
+                    "unit": "efficiency",
+                    "sf": sf_dir,
+                    "throughput_8": round(t8, 1),
+                    "throughput_32": round(t32, 1),
+                    "wall_8": round(results[8]["value"], 2),
+                    "wall_32": round(results[32]["value"], 2),
+                }
+            )
+        )
+        return
+
+    _init_ray(num_cpus)
+    headline = run_headline(sf_dir, f"/tmp/graft_bench/{num_cpus}")
+    out = {
+        "metric": "kg_pipeline_wall_sec",
+        "value": round(headline["wall_sec"], 3),
+        "unit": "sec",
+        "sf": sf_dir,
+        "num_cpus": num_cpus,
+        "triples": headline["triples"],
+        "triples_per_sec": round(headline["triples_per_sec"], 1),
+        "stages": headline["stages"],
+    }
+    if "--headline-only" not in sys.argv:
+        out["queries"] = run_queries(sf_dir)
+    print(json.dumps(out))
+    import ray
+
+    ray.shutdown()
+
+
+if __name__ == "__main__":
+    main()

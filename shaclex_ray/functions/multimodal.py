@@ -1,0 +1,97 @@
+"""Multimodal (media) column handling: opaque binary payloads with typed
+metadata, processed by actor-pool ``map_batches`` stages.
+
+The container has no image/audio codecs, so the *decode* kernel is stubbed
+(NotImplementedError behind ``decode_real=True``, deterministic fake
+features otherwise) — but the Ray-side plumbing is real and tested: schema,
+actor signature, batch sizing, and output layout are exactly what a codec-
+backed implementation would use (swap ``_fake_decode`` for the real
+library call in ``MediaFeaturizer.__call__``).
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+MEDIA_FEATURES_DIM = 8
+
+
+def media_refs_from_documents(docs_ds):
+    """documents (interleaved spans) -> media table
+    (media_ref, doc_id, span_offset, payload: binary)."""
+
+    def explode(batch: pa.Table) -> pa.Table:
+        spans = batch.column("spans").combine_chunks()
+        flat = pc.list_flatten(spans)
+        parents = pc.list_parent_indices(spans)
+        kind = flat.field("kind")
+        mask = pc.equal(kind, "image")
+        refs = pc.filter(flat.field("media_ref"), mask)
+        offs = pc.filter(flat.field("offset"), mask)
+        dids = pc.take(batch.column("doc_id").combine_chunks(), pc.filter(parents, mask))
+        # payload: the sandbox has no object store for media bytes — the
+        # payload is a deterministic pseudo-blob derived from the ref (the
+        # real system would fetch bytes by media_ref here)
+        payloads = [
+            hashlib.blake2b(r.encode(), digest_size=32).digest()
+            for r in refs.to_pylist()
+        ]
+        return pa.table(
+            {
+                "media_ref": refs,
+                "doc_id": dids,
+                "span_offset": offs,
+                "payload": pa.array(payloads, pa.binary()),
+            }
+        )
+
+    return docs_ds.map_batches(explode, batch_format="pyarrow")
+
+
+class MediaFeaturizer:
+    """Actor-pool decode/feature stage. ``__init__`` is where a codec /
+    model would load once per actor; small batch_size is the right setting
+    for large binary payloads."""
+
+    def __init__(self, decode_real: bool = False):
+        self.decode_real = decode_real
+
+    def _fake_decode(self, payload: bytes) -> np.ndarray:
+        # deterministic stand-in for decode+embed
+        h = hashlib.blake2b(payload, digest_size=MEDIA_FEATURES_DIM * 4).digest()
+        return (
+            np.frombuffer(h, dtype=np.uint32).astype(np.float64)
+            / np.iinfo(np.uint32).max
+        )
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        feats = []
+        for payload in batch.column("payload").to_pylist():
+            if self.decode_real:
+                raise NotImplementedError(
+                    "image decode requires a codec library not present in "
+                    "this container; wire e.g. PIL.Image.open here"
+                )
+            feats.append(self._fake_decode(payload))
+        arr = np.vstack(feats) if feats else np.zeros((0, MEDIA_FEATURES_DIM))
+        return pa.table(
+            {
+                "media_ref": batch.column("media_ref"),
+                "doc_id": batch.column("doc_id"),
+                "features": pa.array(list(arr), pa.list_(pa.float64(), MEDIA_FEATURES_DIM)),
+            }
+        )
+
+
+def media_features(docs_ds, concurrency=(1, 4), batch_size: int = 256):
+    media = media_refs_from_documents(docs_ds)
+    return media.map_batches(
+        MediaFeaturizer,
+        batch_format="pyarrow",
+        concurrency=concurrency,
+        batch_size=batch_size,
+    )

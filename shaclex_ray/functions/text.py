@@ -1,0 +1,163 @@
+"""Text-analysis operators over the documents table (training-data-pipeline
+surface): token counting, quality scoring, fingerprinting, language-ID.
+
+All are single-pass vectorized ``map_batches`` stages; the regexes /
+stopword sets are module-level constants compiled once per worker process.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+import ray.data
+
+STOPWORDS = ("the", "a")
+
+
+def token_stats_batch(batch: pa.Table) -> pa.Table:
+    text = batch.column("text").combine_chunks()
+    toks = pc.split_pattern(text, " ")
+    n_tokens = pc.list_value_length(toks).cast(pa.int64())
+    n_chars = pc.utf8_length(text).cast(pa.int64())
+    flat = pc.list_flatten(toks)
+    parents = pc.list_parent_indices(toks)
+    is_stop = pc.is_in(flat, value_set=pa.array(list(STOPWORDS)))
+    # per-doc stopword count via segmented sum (vectorized with numpy)
+    stop_np = is_stop.to_numpy(zero_copy_only=False).astype(np.int64)
+    par_np = parents.to_numpy(zero_copy_only=False)
+    counts = np.zeros(batch.num_rows, dtype=np.int64)
+    np.add.at(counts, par_np, stop_np)
+    return pa.table(
+        {
+            "doc_id": batch.column("doc_id"),
+            "n_tokens": n_tokens,
+            "n_chars": n_chars,
+            "n_stopwords": pa.array(counts, pa.int64()),
+        }
+    )
+
+
+def token_stats(sf_dir: str):
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    return ds.map_batches(token_stats_batch, batch_format="pyarrow")
+
+
+def quality_batch(batch: pa.Table) -> pa.Table:
+    stats = token_stats_batch(batch)
+    n_tokens = stats.column("n_tokens")
+    n_chars = stats.column("n_chars")
+    n_stop = stats.column("n_stopwords")
+    avg_tok = pc.divide(
+        pc.subtract(n_chars.cast(pa.float64()), pc.add(n_tokens.cast(pa.float64()), -1.0)),
+        pc.max_element_wise(n_tokens.cast(pa.float64()), 1.0),
+    )
+    stop_ratio = pc.divide(
+        n_stop.cast(pa.float64()), pc.max_element_wise(n_tokens.cast(pa.float64()), 1.0)
+    )
+    return pa.table(
+        {
+            "doc_id": batch.column("doc_id"),
+            "n_tokens": n_tokens,
+            "avg_token_len": avg_tok,
+            "stopword_ratio": stop_ratio,
+        }
+    )
+
+
+def quality(sf_dir: str):
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    return ds.map_batches(quality_batch, batch_format="pyarrow")
+
+
+def fingerprint_batch(batch: pa.Table) -> pa.Table:
+    """Document fingerprint = md5 of the whitespace-normalized text
+    (deterministic; mirrors the DuckDB oracle's md5())."""
+    texts = batch.column("text").to_pylist()
+    fps = [
+        hashlib.md5(" ".join(t.strip().split(" ")).encode()).hexdigest() for t in texts
+    ]
+    return pa.table(
+        {
+            "doc_id": batch.column("doc_id"),
+            "fingerprint": pa.array(fps, pa.string()),
+        }
+    )
+
+
+def fingerprints(sf_dir: str):
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    return ds.map_batches(fingerprint_batch, batch_format="pyarrow")
+
+
+# language-ID: character-bigram profile heuristic. The synthetic corpus uses
+# one shared vocabulary across langs, so content-based ID is impossible —
+# the operator is exercised on its real mechanics (n-gram profile cosine)
+# and evaluated against the stored lang label.
+_LANG_PROFILES: dict[str, dict] = {}
+
+
+class LangID:
+    """Actor-pool stage: profiles built once per actor (__init__)."""
+
+    def __init__(self, profiles: dict[str, dict[str, float]]):
+        self.langs = sorted(profiles)
+        grams = sorted({g for p in profiles.values() for g in p})
+        self.gram_index = {g: i for i, g in enumerate(grams)}
+        self.mat = np.zeros((len(self.langs), len(grams)))
+        for li, lang in enumerate(self.langs):
+            for g, w in profiles[lang].items():
+                self.mat[li, self.gram_index[g]] = w
+        norms = np.linalg.norm(self.mat, axis=1, keepdims=True)
+        self.mat = self.mat / np.maximum(norms, 1e-9)
+
+    def _vec(self, text: str) -> np.ndarray:
+        v = np.zeros(self.mat.shape[1])
+        for i in range(len(text) - 1):
+            g = text[i : i + 2]
+            j = self.gram_index.get(g)
+            if j is not None:
+                v[j] += 1.0
+        n = np.linalg.norm(v)
+        return v / n if n > 0 else v
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        preds = []
+        for t in batch.column("text").to_pylist():
+            sims = self.mat @ self._vec(t)
+            preds.append(self.langs[int(np.argmax(sims))])
+        return pa.table(
+            {
+                "doc_id": batch.column("doc_id"),
+                "lang": batch.column("lang"),
+                "lang_pred": pa.array(preds, pa.string()),
+            }
+        )
+
+
+def langid(sf_dir: str, sample_per_lang: int = 50):
+    """Fit bigram profiles on a driver-side sample, predict distributed."""
+    import pyarrow.parquet as pq
+
+    sample = pq.read_table(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text", "lang"]
+    ).slice(0, 2000)
+    profiles: dict[str, dict[str, float]] = {}
+    per_lang: dict[str, int] = {}
+    for t, lang in zip(sample.column("text").to_pylist(), sample.column("lang").to_pylist()):
+        if per_lang.get(lang, 0) >= sample_per_lang:
+            continue
+        per_lang[lang] = per_lang.get(lang, 0) + 1
+        p = profiles.setdefault(lang, {})
+        for i in range(len(t) - 1):
+            g = t[i : i + 2]
+            p[g] = p.get(g, 0.0) + 1.0
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text", "lang"]
+    )
+    return ds.map_batches(
+        LangID, fn_constructor_args=(profiles,), batch_format="pyarrow", concurrency=(1, 2)
+    )
