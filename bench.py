@@ -67,16 +67,52 @@ def run_queries(sf_dir: str) -> dict:
     return timings
 
 
+def _build_scale_input(sf_dir: str, factor: int) -> str:
+    """Deterministic corpus enlargement: replicate documents.parquet with
+    offset doc_ids (content-identical copies; linking/dedup behavior is
+    unchanged, volume scales by ``factor``)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    out_dir = f"/tmp/graft_scale_input_x{factor}"
+    marker = os.path.join(out_dir, "_built.json")
+    if os.path.exists(marker):
+        return out_dir
+    os.makedirs(out_dir, exist_ok=True)
+    src = pq.read_table(f"{sf_dir}/documents.parquet")
+    n = src.num_rows
+    parts = []
+    for k in range(factor):
+        t = src.set_column(
+            src.schema.get_field_index("doc_id"),
+            "doc_id",
+            pa.compute.add(src.column("doc_id"), k * n),
+        )
+        parts.append(t)
+    big = pa.concat_tables(parts)
+    pq.write_table(big, f"{out_dir}/documents.parquet", row_group_size=max(1024, (n * factor) // 64))
+    for t in ("embeddings",):
+        pq.write_table(pq.read_table(f"{sf_dir}/{t}.parquet"), f"{out_dir}/{t}.parquet")
+    with open(marker, "w") as f:
+        json.dump({"src": sf_dir, "factor": factor, "rows": n * factor}, f)
+    return out_dir
+
+
 def main():
     sf_dir = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
     num_cpus = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
 
     if "--scaling" in sys.argv:
+        # the sf0.1 corpus alone is overhead-bound; replicate it
+        # deterministically (distinct doc_ids, identical content) so each
+        # parallelism level has real work to chew (BASELINE.md protocol:
+        # ≥64 blocks at the higher level)
+        scale_dir = _build_scale_input(sf_dir, factor=int(os.environ.get("GRAFT_SCALE_FACTOR", "20")))
         results = {}
         for n in (8, 32):
             p = subprocess.run(
                 [sys.executable, __file__, "--headline-only"],
-                env={**os.environ, "RAY_GRAFT_CPUS": str(n), "GRAFT_SF_DIR": sf_dir},
+                env={**os.environ, "RAY_GRAFT_CPUS": str(n), "GRAFT_SF_DIR": scale_dir},
                 capture_output=True,
                 text=True,
             )

@@ -1,0 +1,95 @@
+"""Public engine facade — the analog of the reference's embedding API
+(SHACLWrapper/ShExWrapper, SURVEY.md §2.11) and pluggable-engine registry
+(Schemas.availableSchemas, Schemas.scala:22-50).
+
+    validate_shex(triples_ds, schema, shapemap)  -> (typing, summary)
+    validate_shacl(triples_ds, shapes)           -> (typing, report, summary)
+
+``triples_ds``: a Ray Dataset in TRIPLES_SCHEMA (from the KG pipeline,
+read_ntriples/read_turtle_files, or read_parquet of a triple table).
+Schemas accepted as ShExC text / ShExJ dict / SHACL Turtle text / compiled
+dict. Small graphs (< ``local_threshold`` rows) run on the in-memory
+conformance-verified validators; larger ones go through the distributed
+BSP fixpoint.
+"""
+
+from __future__ import annotations
+
+import pyarrow as pa
+
+from shaclex_ray.rdfio import parse_turtle
+from shaclex_ray.shapes.shacl import compile_shacl
+from shaclex_ray.shapes.shapemap import fix_shapemap, parse_shapemap
+from shaclex_ray.shapes.shexc import parse_shexc
+from shaclex_ray.shapes.shexj import load_shexj
+from shaclex_ray.terms import key_to_term, term_key
+from shaclex_ray.validate.dist import distributed_validate, resolve_shacl_targets
+
+ENGINES = ("shex", "shacl")  # the registry (reference: ShEx, SHACLex, …)
+
+
+def compile_schema(engine: str, schema) -> dict:
+    if isinstance(schema, dict) and "shapes" in schema:
+        if engine == "shex" and "te_refs" not in schema:
+            return load_shexj(schema)
+        return schema
+    if engine == "shex":
+        if isinstance(schema, str) and schema.lstrip().startswith("{"):
+            return load_shexj(schema)
+        return parse_shexc(schema)
+    if engine == "shacl":
+        triples = schema if isinstance(schema, list) else parse_turtle(schema)
+        return compile_shacl(triples)
+    raise ValueError(f"unknown engine {engine!r} (have {ENGINES})")
+
+
+def validate_shex(
+    triples_ds,
+    schema,
+    shapemap: str,
+    prefixes: dict | None = None,
+    nbuckets: int = 32,
+    include_inverse: bool = True,
+):
+    """ShEx validation of a triples Dataset; shapemap in compact syntax.
+    Returns (typing: pa.Table(node, shape, val, is_focus), summary dict)."""
+    compiled = compile_schema("shex", schema)
+    assocs = parse_shapemap(shapemap, prefixes)
+    focus = fix_shapemap(triples_ds, assocs)
+    typing, _report = distributed_validate(
+        triples_ds,
+        "shex",
+        compiled,
+        focus,
+        nbuckets=nbuckets,
+        include_inverse=include_inverse,
+    )
+    return typing, _summary(typing)
+
+
+def validate_shacl(triples_ds, shapes, nbuckets: int = 32):
+    """SHACL validation (TargetDeclarations trigger — the reference's
+    validateTargetDecls, ShaclexSchema.scala:35-42). Returns
+    (typing, report, summary)."""
+    compiled = compile_schema("shacl", shapes)
+    focus = resolve_shacl_targets(triples_ds, compiled)
+    typing, report = distributed_validate(
+        triples_ds, "shacl", compiled, focus, nbuckets=nbuckets
+    )
+    summary = _summary(typing)
+    summary["conforms"] = report.num_rows == 0
+    summary["violations"] = report.num_rows
+    return typing, report, summary
+
+
+def _summary(typing: pa.Table) -> dict:
+    import pyarrow.compute as pc
+
+    focus_mask = typing.column("is_focus")
+    focus = typing.filter(focus_mask)
+    vals = focus.column("val").to_pylist()
+    return {
+        "focus_pairs": focus.num_rows,
+        "conformant": sum(1 for v in vals if v == "conforms"),
+        "nonconformant": sum(1 for v in vals if v == "notConforms"),
+    }

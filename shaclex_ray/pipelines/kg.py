@@ -80,9 +80,9 @@ def run_kg_pipeline(
 
     def produce_raw(path):
         docs = read_documents(sf_dir)
-        raw = extract_triples(docs)
+        raw = extract_triples(docs).materialize()
         raw.write_parquet(path)
-        return rd.read_parquet(path).count()
+        return raw.count()
 
     raw = runner.run("triples_raw", digest, produce_raw, lambda p: rd.read_parquet(p))
 
@@ -105,9 +105,9 @@ def run_kg_pipeline(
 
     def produce_canonical(path):
         cano = canonicalize_triples(raw, links)
-        dd = dedup_triples(cano, nbuckets=nbuckets)
+        dd = dedup_triples(cano, nbuckets=nbuckets).materialize()
         dd.write_parquet(path)
-        return rd.read_parquet(path).count()
+        return dd.count()
 
     triples = runner.run(
         "triples_canonical", digest, produce_canonical, lambda p: rd.read_parquet(p)

@@ -218,16 +218,16 @@ class TurtleParser:
         if kind != "iriref":
             raise TurtleError(f"bad prefix IRI {iri_tok!r}")
         self.prefixes[pfx] = self._resolve(_unescape_unicode(iri_tok[1:-1]))
-        if dotted:
-            self.toks.expect(".")
+        if dotted and self.toks.peek()[1] == ".":
+            self.toks.next()  # trailing dot (lenient: some corpora omit it)
 
     def _base_body(self, dotted: bool):
         kind, iri_tok = self.toks.next()
         if kind != "iriref":
             raise TurtleError(f"bad base IRI {iri_tok!r}")
         self.base = self._resolve(_unescape_unicode(iri_tok[1:-1]))
-        if dotted:
-            self.toks.expect(".")
+        if dotted and self.toks.peek()[1] == ".":
+            self.toks.next()
 
     def _triples_block(self):
         kind, v = self.toks.peek()

@@ -138,14 +138,20 @@ def build_spans_batch(batch: pa.Table) -> pa.Table:
     )
 
 
-def read_documents(sf_dir: str) -> "ray.data.Dataset":
+def read_documents(sf_dir: str, parallelism: int = 32) -> "ray.data.Dataset":
     """sf_dir/documents.parquet -> interleaved-span documents Dataset.
 
     Column-pruned read (only the columns the span builder needs leave
-    storage); span construction streams through map_batches.
+    storage); span construction streams through map_batches. The test
+    corpus is a single one-row-group parquet file, so the read yields one
+    block — repartition to ``parallelism`` blocks so the span builder and
+    everything downstream runs wide. (A real multi-file corpus already
+    reads as many blocks; pass parallelism=0 to skip.)
     """
     ds = ray.data.read_parquet(
         f"{sf_dir}/documents.parquet",
         columns=["doc_id", "text", "lang", "source"],
     )
+    if parallelism:
+        ds = ds.repartition(parallelism)
     return ds.map_batches(build_spans_batch, batch_format="pyarrow")

@@ -14,51 +14,53 @@ hub subject with 10^7 arcs spreads over all buckets — the salt is the
 (pred, obj) part of the key, exactly the salted-aggregate shape from
 SURVEY.md §4.2. Determinism: the final table is a pure function of the
 input rows (lineage column kept = lexicographically-least (doc_id,
-span_idx) witness).
+span_idx) witness); the bucket hash is pandas' fixed-key siphash, stable
+across processes and runs.
 """
 
 from __future__ import annotations
 
-import polars as pl
+import numpy as np
+import pandas as pd
 import pyarrow as pa
 
 from shaclex_ray.terms import TRIPLE_ID_COLS
 
 DEFAULT_NBUCKETS = 64
+_SORT_COLS = TRIPLE_ID_COLS + ["doc_id", "span_idx"]
+
+
+def _key_series(df: pd.DataFrame) -> np.ndarray:
+    key = df[TRIPLE_ID_COLS[0]].astype(str)
+    for c in TRIPLE_ID_COLS[1:]:
+        key = key + "\x1f" + df[c].astype(str)
+    return key.to_numpy(dtype=object)
+
+
+def _dedup_df(df: pd.DataFrame) -> pd.DataFrame:
+    df = df.sort_values(_SORT_COLS, kind="mergesort", ignore_index=True)
+    return df.drop_duplicates(subset=TRIPLE_ID_COLS, ignore_index=True)
 
 
 def _dedup_table(tbl: pa.Table) -> pa.Table:
-    df = pl.from_arrow(tbl)
-    out = (
-        df.sort(TRIPLE_ID_COLS + ["doc_id", "span_idx"])
-        .unique(subset=TRIPLE_ID_COLS, keep="first", maintain_order=True)
-    )
-    return out.to_arrow().cast(tbl.schema)
-
-
-def _local_dedup(batch: pa.Table) -> pa.Table:
-    return _dedup_table(batch)
-
-
-def _add_bucket(batch: pa.Table, nbuckets: int) -> pa.Table:
-    df = pl.from_arrow(batch)
-    b = (
-        df.select(pl.concat_str([pl.col(c) for c in TRIPLE_ID_COLS], separator="\x1f").hash())
-        .to_series()
-        .rename("bucket")
-        % nbuckets
-    )
-    return batch.append_column("bucket", pa.array(b.to_list(), pa.int64()))
+    out = pa.Table.from_pandas(_dedup_df(tbl.to_pandas()), preserve_index=False)
+    return out.select(tbl.schema.names).cast(tbl.schema)
 
 
 def dedup_triples(triples_ds, nbuckets: int = DEFAULT_NBUCKETS):
     """Distinct triples (on TRIPLE_ID_COLS), streaming, skew-resistant."""
 
     def bucket_fn(batch: pa.Table) -> pa.Table:
-        return _add_bucket(_dedup_table(batch), nbuckets)
+        df = _dedup_df(batch.to_pandas())
+        bucket = (pd.util.hash_array(_key_series(df)) % np.uint64(nbuckets)).astype(
+            "int64"
+        )
+        df["bucket"] = bucket
+        return pa.Table.from_pandas(df, preserve_index=False)
 
     def group_fn(group: pa.Table) -> pa.Table:
-        return _dedup_table(group.drop_columns(["bucket"]))
+        tbl = group.drop_columns(["bucket"])
+        return _dedup_table(tbl)
 
     return (
         triples_ds.map_batches(bucket_fn, batch_format="pyarrow")

@@ -74,24 +74,16 @@ def harvest_mentions(triples_ds):
             {"mention_iri": iris, "surface": surfaces, "block_key": block}
         )
         # batch-local distinct (combiner)
-        import polars as pl
-
-        return (
-            pl.from_arrow(tbl)
-            .unique(subset=["mention_iri"], keep="first", maintain_order=True)
-            .to_arrow()
-            .cast(tbl.schema)
-        )
+        df = tbl.to_pandas().drop_duplicates(subset=["mention_iri"], ignore_index=True)
+        return pa.Table.from_pandas(df, preserve_index=False).cast(tbl.schema)
 
     def per_block(group: pa.Table) -> pa.Table:
-        import polars as pl
-
         df = (
-            pl.from_arrow(group)
-            .unique(subset=["mention_iri"], keep="first", maintain_order=True)
-            .sort("mention_iri")
+            group.to_pandas()
+            .drop_duplicates(subset=["mention_iri"], ignore_index=True)
+            .sort_values("mention_iri", ignore_index=True)
         )
-        return df.to_arrow().cast(group.schema)
+        return pa.Table.from_pandas(df, preserve_index=False).cast(group.schema)
 
     return (
         triples_ds.map_batches(project, batch_format="pyarrow")

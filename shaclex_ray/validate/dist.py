@@ -1,38 +1,39 @@
-"""Distributed shape validation: a semi-naive BSP fixpoint over Ray Data.
+"""Distributed shape validation: a semi-naive BSP fixpoint on Ray.
 
-This is the Ray-native re-expression of the reference's recursive
-neighborhood-closure validation (SURVEY.md §2.9; worklist semantics per
-weso/shaclex modules/slang/src/main/scala/es/weso/slang/ValidateND.scala:44-122):
+Ray-native re-expression of the reference's recursive neighborhood-closure
+validation (SURVEY.md §2.9; worklist semantics per weso/shaclex
+modules/slang/src/main/scala/es/weso/slang/ValidateND.scala:44-122):
 
-  * triples are routed once into ``nbuckets`` coarse partitions by a stable
-    hash of the subject, so every focus node's *outgoing* neighborhood is
-    co-located (J3); optional reversed copies co-locate incoming arcs
-  * each BSP round is ONE ``groupby(bucket).map_groups`` shuffle: a bucket
-    evaluates its pending (node, shape) pairs with the in-memory semantics
-    (the conformance-verified local validators) against its local arcs
+  * ONE explicit hash shuffle routes every triple to the bucket of its
+    subject (plus, optionally, a reversed copy to its object's bucket for
+    incoming arcs), so each focus node's neighborhood is co-located (J3)
+  * each bucket is a **persistent actor** (SURVEY.md A2: the one stateful
+    stage the Dataset API can't express — partitioned state reused across
+    fixpoint rounds): it builds its neighborhood index once and then
+    evaluates (node, shape) pairs with the in-memory, conformance-verified
+    validator semantics
   * a pair whose evaluation needs the conformance of a *remote* node
-    (value-shape recursion J5 / sh:class of a value node) emits a dependency
-    request routed to the child's bucket; the child's decided conformance is
-    routed back as an assumption the next round (the typing-join G9)
-  * rounds repeat until no pair flips; unresolved cross-bucket cycles are
-    then closed coinductively (assume conforms — the greatest-fixpoint
-    reading the local validators use, ValidateND.scala:51-54)
+    (value-shape recursion J5 / sh:class of a value node) reports a
+    dependency; the child's decided conformance is routed back as an
+    assumption the next round (the typing-join G9). Per-round traffic is
+    only tasks + assumptions — the arc data never moves again
+  * rounds repeat until no pair flips; unresolved cross-bucket cycles then
+    close coinductively (assume conforms — the greatest-fixpoint reading,
+    ValidateND.scala:51-54)
 
-Driver-side state is O(|focus pairs| + |dependency edges|) — the typing
-table; arcs (the 100-TB side) stay distributed and stream through the
-shuffle. Scale note: at extreme focus counts the typing bookkeeping moves
-onto ``Dataset.join``; the round structure is unchanged.
+Driver-side state is O(|focus pairs| + |distinct dependencies|); arcs (the
+100-TB side) are partitioned once and live in the bucket actors (sized via
+``nbuckets`` so a bucket fits a worker's heap; at larger scale the same
+actors would page buckets from the partitioned parquet checkpoints).
 
-Supported in distributed mode: full ShEx semantics minus cross-bucket
-inverse TCs unless ``include_inverse=True``; SHACL core with predicate and
-inverse paths (multi-hop sequence/closure paths are served by the local
-validator, which the conformance suite exercises — the KG pipeline's shapes
-use predicate paths only).
+Supported distributed: full ShEx semantics (inverse TCs need
+``include_inverse=True``); SHACL core with predicate and inverse paths
+(multi-hop sequence/closure paths are served by the local validator, which
+the conformance suite exercises — the KG pipeline's shapes use predicate
+paths only).
 """
 
 from __future__ import annotations
-
-import json
 
 import numpy as np
 import pandas as pd
@@ -40,108 +41,33 @@ import pyarrow as pa
 import pyarrow.compute as pc
 
 import ray
-import ray.data as rd
 
 from shaclex_ray.terms import RDF_TYPE, key_to_term, obj_key, subj_to_key, term_key
 from shaclex_ray.validate.local import Graph, ShExValidator
 from shaclex_ray.validate.shacl_local import RDFS_SUBCLASS, ShaclValidator
 
-WIDE_FIELDS = [
-    ("role", pa.string()),      # arc | rarc | task | asm | res | dep | rep
-    ("subj", pa.string()),
-    ("pred", pa.string()),
-    ("obj_kind", pa.string()),
-    ("obj_lex", pa.string()),
-    ("obj_dt", pa.string()),
-    ("obj_lang", pa.string()),
-    ("node", pa.string()),      # term key
-    ("shape", pa.string()),
-    ("pnode", pa.string()),     # dep: requesting parent
-    ("pshape", pa.string()),
-    ("val", pa.string()),       # res/asm: "conforms" | "notConforms"
-    ("component", pa.string()),  # rep rows
-    ("bucket", pa.int64()),
-]
-WIDE_SCHEMA = pa.schema([pa.field(n, t) for n, t in WIDE_FIELDS])
+# ---------------------------------------------------------------------------
+# stable bucketing (pandas fixed-key siphash: deterministic across processes)
 
-
-def stable_bucket_series(strings: pa.Array, nbuckets: int) -> pa.Array:
-    arr = np.asarray(strings.to_pylist(), dtype=object)
+def stable_bucket_array(strings, nbuckets: int) -> np.ndarray:
+    arr = np.asarray(strings, dtype=object)
     if len(arr) == 0:
-        return pa.array([], pa.int64())
-    h = pd.util.hash_array(arr) % np.uint64(nbuckets)
-    return pa.array(h.astype("int64"), pa.int64())
+        return np.zeros(0, dtype=np.int64)
+    return (pd.util.hash_array(arr) % np.uint64(nbuckets)).astype(np.int64)
 
 
 def stable_bucket(s: str, nbuckets: int) -> int:
-    return int(pd.util.hash_array(np.array([s], dtype=object))[0] % np.uint64(nbuckets))
+    return int(stable_bucket_array([s], nbuckets)[0])
 
 
-def _node_key_bucket_col(node_keys: pa.Array, nbuckets: int) -> pa.Array:
-    # node term keys are "I<iri>"/"B<id>"; arcs bucket on the raw subj string
-    subj = pc.utf8_replace_slice(node_keys, 0, 1, "")
-    is_b = pc.equal(pc.utf8_slice_codeunits(node_keys, 0, 1), "B")
-    subj = pc.if_else(is_b, pc.binary_join_element_wise("_:", subj, ""), subj)
-    return stable_bucket_series(subj.combine_chunks() if isinstance(subj, pa.ChunkedArray) else subj, nbuckets)
-
-
-def _wide(n: int, **cols) -> pa.Table:
-    data = {}
-    for name, typ in WIDE_FIELDS:
-        if name in cols:
-            v = cols[name]
-            data[name] = v if isinstance(v, (pa.Array, pa.ChunkedArray)) else pa.array(v, typ)
-        else:
-            fill = 0 if name == "bucket" else ""
-            data[name] = pa.array([fill] * n, typ)
-    return pa.table(data).cast(WIDE_SCHEMA)
-
-
-def arcs_to_wide(nbuckets: int, include_inverse: bool):
-    """map_batches fn: triples batch -> wide arc rows (+ reversed copies)."""
-
-    def fn(batch: pa.Table) -> pa.Table:
-        n = batch.num_rows
-        subj = batch.column("subj").combine_chunks()
-        out = _wide(
-            n,
-            role=pa.array(["arc"] * n, pa.string()),
-            subj=subj,
-            pred=batch.column("pred").combine_chunks(),
-            obj_kind=batch.column("obj_kind").combine_chunks(),
-            obj_lex=batch.column("obj_lex").combine_chunks(),
-            obj_dt=batch.column("obj_dt").combine_chunks(),
-            obj_lang=batch.column("obj_lang").combine_chunks(),
-            bucket=stable_bucket_series(subj, nbuckets),
-        )
-        if not include_inverse:
-            return out
-        # reversed copies live in the object's bucket (only IRI/bnode objects
-        # can be focus nodes of incoming arcs)
-        mask = pc.not_equal(batch.column("obj_kind"), "literal")
-        rev = batch.filter(mask)
-        m = rev.num_rows
-        okind = rev.column("obj_kind").combine_chunks()
-        olex = rev.column("obj_lex").combine_chunks()
-        ostr = pc.if_else(
-            pc.equal(okind, "bnode"),
-            pc.binary_join_element_wise("_:", olex, ""),
-            olex,
-        )
-        rout = _wide(
-            m,
-            role=pa.array(["rarc"] * m, pa.string()),
-            subj=rev.column("subj").combine_chunks(),
-            pred=rev.column("pred").combine_chunks(),
-            obj_kind=okind,
-            obj_lex=olex,
-            obj_dt=rev.column("obj_dt").combine_chunks(),
-            obj_lang=rev.column("obj_lang").combine_chunks(),
-            bucket=stable_bucket_series(ostr.combine_chunks() if isinstance(ostr, pa.ChunkedArray) else ostr, nbuckets),
-        )
-        return pa.concat_tables([out, rout])
-
-    return fn
+def node_key_bucket(nk: str, nbuckets: int) -> int:
+    """Bucket of a term-key node. Literals evaluate anywhere (they are
+    never subjects); route them by their own key for determinism."""
+    if nk.startswith("I"):
+        return stable_bucket(nk[1:], nbuckets)
+    if nk.startswith("B"):
+        return stable_bucket("_:" + nk[1:], nbuckets)
+    return stable_bucket(nk, nbuckets)
 
 
 # ---------------------------------------------------------------------------
@@ -296,137 +222,123 @@ class _DistShacl(ShaclValidator):
         )
 
 
-class EvalGroup:
-    """map_groups callable: evaluate one bucket's pending pairs.
+# ---------------------------------------------------------------------------
+# the one-time shuffle: split triple blocks into per-bucket sub-tables
 
-    Schema is deserialized ONCE per actor (SURVEY.md A1) — pass
-    ``compute``/``concurrency`` for an actor pool on large runs.
-    """
+@ray.remote
+def _split_block(tbl: pa.Table, nbuckets: int, include_inverse: bool):
+    """One triples block -> nbuckets sub-tables. Each sub-table carries a
+    'rev' column: false = outgoing arc stored at its subject's bucket,
+    true = reversed copy stored at its (IRI/bnode) object's bucket."""
+    cols = ["subj", "pred", "obj_kind", "obj_lex", "obj_dt", "obj_lang"]
+    base = tbl.select(cols)
+    n = base.num_rows
+    fwd = base.append_column("rev", pa.array(np.zeros(n, dtype=bool)))
+    fwd_b = stable_bucket_array(base.column("subj").to_pylist(), nbuckets)
+    parts = [fwd_b]
+    tables = [fwd]
+    if include_inverse:
+        mask = pc.not_equal(base.column("obj_kind"), "literal")
+        rev = base.filter(mask)
+        okind = rev.column("obj_kind").to_pylist()
+        olex = rev.column("obj_lex").to_pylist()
+        ostr = [("_:" + l if k == "bnode" else l) for k, l in zip(okind, olex)]
+        rev = rev.append_column("rev", pa.array(np.ones(rev.num_rows, dtype=bool)))
+        tables.append(rev)
+        parts.append(stable_bucket_array(ostr, nbuckets))
+    out = []
+    for b in range(nbuckets):
+        sel = [t.filter(pa.array(bb == b)) for t, bb in zip(tables, parts)]
+        out.append(pa.concat_tables(sel))
+    return tuple(out)
 
-    def __init__(self, schema_ref, engine: str, nbuckets: int):
+
+@ray.remote
+class BucketWorker:
+    """Persistent per-bucket evaluator: neighborhood index built once,
+    reused every round (schema compiled once per actor — SURVEY.md A1/A2)."""
+
+    def __init__(self, schema_ref, engine: str, nbuckets: int, bucket_id: int):
         self.schema = ray.get(schema_ref) if isinstance(schema_ref, ray.ObjectRef) else schema_ref
         self.engine = engine
         self.nbuckets = nbuckets
+        self.bucket_id = bucket_id
+        self.graph = Graph([])
 
-    def __call__(self, group: pa.Table) -> pa.Table:
-        nb = self.nbuckets
-        role = group.column("role")
-        bucket_vals = group.column("bucket")
-        this_bucket = bucket_vals[0].as_py() if group.num_rows else 0
-
-        arcs_mask = pc.equal(role, "arc")
-        arc_tbl = group.filter(arcs_mask)
+    def load(self, *parts: pa.Table) -> int:
         triples = []
-        d = arc_tbl.select(["subj", "pred", "obj_kind", "obj_lex", "obj_dt", "obj_lang"]).to_pydict()
-        for i in range(arc_tbl.num_rows):
-            s = d["subj"][i]
-            sterm = ("bnode", s[2:]) if s.startswith("_:") else ("iri", s)
-            k = d["obj_kind"][i]
-            if k == "iri":
-                o = ("iri", d["obj_lex"][i])
-            elif k == "bnode":
-                o = ("bnode", d["obj_lex"][i])
-            else:
-                o = ("lit", d["obj_lex"][i], d["obj_dt"][i], d["obj_lang"][i])
-            triples.append((sterm, d["pred"][i], o))
-        graph = Graph(triples)
-        # incoming arcs routed as reversed copies
-        rarc_tbl = group.filter(pc.equal(role, "rarc"))
-        rd_ = rarc_tbl.select(["subj", "pred", "obj_kind", "obj_lex", "obj_dt", "obj_lang"]).to_pydict()
-        for i in range(rarc_tbl.num_rows):
-            s = rd_["subj"][i]
-            sterm = ("bnode", s[2:]) if s.startswith("_:") else ("iri", s)
-            k = rd_["obj_kind"][i]
-            o = ("iri", rd_["obj_lex"][i]) if k == "iri" else ("bnode", rd_["obj_lex"][i])
-            graph.by_obj[term_key(o)].append((rd_["pred"][i], sterm))
+        g = self.graph
+        for tbl in parts:
+            d = tbl.to_pydict()
+            revs = d["rev"]
+            for i in range(tbl.num_rows):
+                s = d["subj"][i]
+                sterm = ("bnode", s[2:]) if s.startswith("_:") else ("iri", s)
+                k = d["obj_kind"][i]
+                if k == "iri":
+                    o = ("iri", d["obj_lex"][i])
+                elif k == "bnode":
+                    o = ("bnode", d["obj_lex"][i])
+                else:
+                    o = ("lit", d["obj_lex"][i], d["obj_dt"][i], d["obj_lang"][i])
+                if revs[i]:
+                    g.by_obj[term_key(o)].append((d["pred"][i], sterm))
+                else:
+                    g.by_subj[term_key(sterm)].append((d["pred"][i], o))
+        return sum(len(v) for v in g.by_subj.values())
 
-        asm_tbl = group.filter(pc.equal(role, "asm"))
-        assumptions = {}
-        ad = asm_tbl.select(["node", "shape", "val"]).to_pydict()
-        for i in range(asm_tbl.num_rows):
-            assumptions[(ad["node"][i], ad["shape"][i])] = ad["val"][i] == "conforms"
-
-        local_subjects = set(graph.by_subj)
+    def evaluate(self, tasks: list, assumptions: dict):
+        """tasks: [(node_key, shape_key)]; assumptions: {(nk, sk): bool}.
+        Returns (results, deps, reports):
+          results: [(node, shape, val)] for pairs decided this round
+          deps:    sorted [(child_node, child_shape)] still needed
+          reports: SHACL report row dicts
+        """
+        nb = self.nbuckets
+        me = self.bucket_id
 
         def is_local_key(nk: str) -> bool:
-            if nk[0] == "L":
-                # literals are never subjects: empty out-neighborhood is
-                # correct in any bucket
+            if nk.startswith("L"):
                 return True
-            subj = nk[1:] if nk[0] == "I" else "_:" + nk[1:]
-            return stable_bucket(subj, nb) == this_bucket
+            return node_key_bucket(nk, nb) == me
 
         def is_local_term(t: tuple) -> bool:
             return is_local_key(term_key(t))
 
-        out_rows = {name: [] for name, _ in WIDE_FIELDS}
-
-        def emit(role_, **kw):
-            for name, typ in WIDE_FIELDS:
-                if name == "role":
-                    out_rows["role"].append(role_)
-                elif name == "bucket":
-                    out_rows["bucket"].append(kw.get("bucket", 0))
-                else:
-                    out_rows[name].append(kw.get(name, ""))
-
-        task_tbl = group.filter(pc.equal(role, "task"))
-        td = task_tbl.select(["node", "shape"]).to_pydict()
-        seen_tasks = set()
-        for i in range(task_tbl.num_rows):
-            nk, shape_key = td["node"][i], td["shape"][i]
-            if (nk, shape_key) in seen_tasks:
-                continue
-            seen_tasks.add((nk, shape_key))
+        results = []
+        reports = []
+        all_deps: set = set()
+        for nk, shape_key in tasks:
             deps: set = set()
 
-            def record_dep(cnk, cshape):
-                deps.add((cnk, cshape))
-
+            def record(c, s, d=deps):
+                d.add((c, s))
             try:
                 if shape_key.startswith("class:"):
                     cls_key = shape_key[len("class:") :]
-                    v = _DistShacl(self.schema, graph, assumptions, is_local_key, record_dep)
+                    v = _DistShacl(self.schema, self.graph, assumptions, is_local_key, record)
                     ok = ShaclValidator._is_instance(v, nk, cls_key)
-                    emit("res", node=nk, shape=shape_key, val="conforms" if ok else "notConforms")
+                    results.append((nk, shape_key, "conforms" if ok else "notConforms"))
                     continue
                 if self.engine == "shex":
-                    v = _DistShEx(self.schema, graph, assumptions, is_local_term, record_dep)
+                    v = _DistShEx(self.schema, self.graph, assumptions, is_local_term, record)
                     node = key_to_term(nk)
                     ok = v.validate_node_shape(node, shape_key if shape_key != "START" else None)
                     if not v.provisional:
-                        emit("res", node=nk, shape=shape_key, val="conforms" if ok else "notConforms")
+                        results.append((nk, shape_key, "conforms" if ok else "notConforms"))
                 else:
-                    v = _DistShacl(self.schema, graph, assumptions, is_local_key, record_dep)
-                    results = v.validate_shape(nk, shape_key)
+                    v = _DistShacl(self.schema, self.graph, assumptions, is_local_key, record)
+                    rres = v.validate_shape(nk, shape_key)
                     if not v.provisional:
-                        emit(
-                            "res",
-                            node=nk,
-                            shape=shape_key,
-                            val="conforms" if not results else "notConforms",
+                        results.append(
+                            (nk, shape_key, "conforms" if not rres else "notConforms")
                         )
-                        for r in results:
-                            emit(
-                                "rep",
-                                node=r["focus"],
-                                shape=r["source"],
-                                pred=r["path"] or "",
-                                obj_lex=r["value"] or "",
-                                obj_dt=r["severity"],
-                                obj_lang=r["message"],
-                                component=r["component"],
-                            )
+                        reports.extend(rres)
             except _NeedRemote as e:
-                emit("res", node=nk, shape=shape_key, val=f"error:{e}")
+                results.append((nk, shape_key, f"error:{e}"))
                 continue
-            for cnk, cshape in sorted(deps):
-                emit("dep", node=cnk, shape=cshape, pnode=nk, pshape=shape_key)
-
-        out = pa.table(
-            {name: pa.array(vals, typ) for (name, typ), vals in zip(WIDE_FIELDS, out_rows.values())}
-        ).cast(WIDE_SCHEMA)
-        return out
+            all_deps |= deps
+        return results, sorted(all_deps), reports
 
 
 def distributed_validate(
@@ -447,13 +359,28 @@ def distributed_validate(
         register_inline_shapes(schema)
     schema_ref = ray.put(schema)
 
-    arcs = triples_ds.map_batches(
-        arcs_to_wide(nbuckets, include_inverse), batch_format="pyarrow"
-    ).materialize()
+    # ---- one-time shuffle: blocks -> per-bucket parts -> bucket actors
+    mat = triples_ds.materialize()
+    block_refs = mat.to_arrow_refs()
+    split_refs = [
+        _split_block.options(num_returns=nbuckets).remote(ref, nbuckets, include_inverse)
+        for ref in block_refs
+    ]
+    if nbuckets == 1:
+        split_refs = [[r] for r in split_refs]
+    workers = [
+        BucketWorker.remote(schema_ref, engine, nbuckets, b) for b in range(nbuckets)
+    ]
+    load_calls = [
+        workers[b].load.remote(*[blk[b] for blk in split_refs])
+        for b in range(nbuckets)
+    ]
+    ray.get(load_calls)
 
+    # ---- driver fixpoint state
     typing: dict[tuple[str, str], str] = {}
-    dep_edges: set[tuple[str, str, str, str]] = set()  # child nk, child shape, parent nk, parent shape
-    reports: list[pa.Table] = []
+    need_by: dict[tuple[str, str], set[int]] = {}  # (child) -> requesting buckets
+    reports: list[dict] = []
     pending: set[tuple[str, str]] = {
         (n, s)
         for n, s in zip(
@@ -462,89 +389,66 @@ def distributed_validate(
     }
     root_tasks = set(pending)
 
+    # cache node -> bucket (vectorized batch fill per round)
+    bucket_of: dict[str, int] = {}
+
+    def buckets_for(pairs):
+        missing = [nk for nk, _ in pairs if nk not in bucket_of]
+        if missing:
+            uniq = sorted(set(missing))
+            subj_strs = [
+                nk[1:] if nk[0] == "I" else ("_:" + nk[1:] if nk[0] == "B" else nk)
+                for nk in uniq
+            ]
+            for nk, b in zip(uniq, stable_bucket_array(subj_strs, nbuckets)):
+                bucket_of[nk] = int(b)
+        out: dict[int, list] = {}
+        for p in pairs:
+            out.setdefault(bucket_of[p[0]], []).append(p)
+        return out
+
     rounds = 0
     cycle_broken = False
     while pending and rounds < max_rounds:
         rounds += 1
-        # task rows routed to each node's bucket
-        nodes = pa.array([n for n, _ in sorted(pending)], pa.string())
-        shapes_a = pa.array([s for _, s in sorted(pending)], pa.string())
-        tasks_wide = _wide(
-            len(nodes),
-            role=pa.array(["task"] * len(nodes), pa.string()),
-            node=nodes,
-            shape=shapes_a,
-            bucket=_node_key_bucket_col(nodes, nbuckets),
-        )
-        # assumptions: every decided (node, shape) needed by a pending parent,
-        # routed to the parent's bucket
-        asm_rows = []
-        for cnk, cs, pnk, ps in dep_edges:
-            if (pnk, ps) in pending and (cnk, cs) in typing:
-                asm_rows.append((cnk, cs, typing[(cnk, cs)], pnk))
-        if asm_rows:
-            anodes = pa.array([r[0] for r in asm_rows], pa.string())
-            ashapes = pa.array([r[1] for r in asm_rows], pa.string())
-            avals = pa.array([r[2] for r in asm_rows], pa.string())
-            apar = pa.array([r[3] for r in asm_rows], pa.string())
-            asm_wide = _wide(
-                len(asm_rows),
-                role=pa.array(["asm"] * len(asm_rows), pa.string()),
-                node=anodes,
-                shape=ashapes,
-                val=avals,
-                bucket=_node_key_bucket_col(apar, nbuckets),
-            )
-        else:
-            asm_wide = _wide(0)
-
-        round_ds = arcs.union(rd.from_arrow(tasks_wide), rd.from_arrow(asm_wide))
-        out = (
-            round_ds.groupby("bucket")
-            .map_groups(
-                EvalGroup,
-                fn_constructor_args=(schema_ref, engine, nbuckets),
-                batch_format="pyarrow",
-                concurrency=(1, 8),
-            )
-            .materialize()
-        )
-        batches = list(out.iter_batches(batch_format="pyarrow", batch_size=None))
-        out_tbl = pa.concat_tables(batches) if batches else _wide(0)
-
+        by_bucket = buckets_for(sorted(pending))
+        calls = {}
+        for b, tasks in by_bucket.items():
+            # assumptions: decided children this bucket asked for
+            asms = {
+                child: typing[child] == "conforms"
+                for child, buckets in need_by.items()
+                if b in buckets and child in typing
+            }
+            calls[b] = workers[b].evaluate.remote(tasks, asms)
         progress = False
-        res = out_tbl.filter(pc.equal(out_tbl.column("role"), "res"))
-        rdict = res.select(["node", "shape", "val"]).to_pydict()
-        for i in range(res.num_rows):
-            key = (rdict["node"][i], rdict["shape"][i])
-            if key not in typing:
-                typing[key] = rdict["val"][i]
-                progress = True
-            pending.discard(key)
-        rep = out_tbl.filter(pc.equal(out_tbl.column("role"), "rep"))
-        if rep.num_rows:
-            reports.append(rep)
-        dep = out_tbl.filter(pc.equal(out_tbl.column("role"), "dep"))
-        ddict = dep.select(["node", "shape", "pnode", "pshape"]).to_pydict()
-        for i in range(dep.num_rows):
-            edge = (ddict["node"][i], ddict["shape"][i], ddict["pnode"][i], ddict["pshape"][i])
-            if edge not in dep_edges:
-                dep_edges.add(edge)
-                progress = True
-            ck = (edge[0], edge[1])
-            if ck not in typing and ck not in pending:
-                pending.add(ck)
-                progress = True
+        for b, ref in calls.items():
+            results, deps, reps = ray.get(ref)
+            for nk, sk, val in results:
+                key = (nk, sk)
+                if key not in typing:
+                    typing[key] = val
+                    progress = True
+                pending.discard(key)
+            reports.extend(reps)
+            for child in deps:
+                need_by.setdefault(child, set()).add(b)
+                if child not in typing and child not in pending:
+                    pending.add(child)
+                    progress = True
 
         if not progress:
             if cycle_broken:
                 break
             # cross-bucket cycle: close coinductively (assume conforms)
-            for cnk, cs, pnk, ps in dep_edges:
-                if (cnk, cs) in pending:
-                    typing[(cnk, cs)] = "conforms"
-                    pending.discard((cnk, cs))
+            for child in list(need_by):
+                if child in pending:
+                    typing[child] = "conforms"
+                    pending.discard(child)
             cycle_broken = True
+
+    for w in workers:
+        ray.kill(w)
 
     typing_tbl = pa.table(
         {
@@ -554,31 +458,17 @@ def distributed_validate(
             "is_focus": pa.array([k in root_tasks for k in sorted(typing)], pa.bool_()),
         }
     )
-    if reports:
-        rep_all = pa.concat_tables(reports)
-        report_tbl = pa.table(
-            {
-                "focus_node": rep_all.column("node"),
-                "path": rep_all.column("pred"),
-                "value_lex": rep_all.column("obj_lex"),
-                "source_shape": rep_all.column("shape"),
-                "component": rep_all.column("component"),
-                "severity": rep_all.column("obj_dt"),
-                "message": rep_all.column("obj_lang"),
-            }
-        )
-    else:
-        report_tbl = pa.table(
-            {
-                "focus_node": pa.array([], pa.string()),
-                "path": pa.array([], pa.string()),
-                "value_lex": pa.array([], pa.string()),
-                "source_shape": pa.array([], pa.string()),
-                "component": pa.array([], pa.string()),
-                "severity": pa.array([], pa.string()),
-                "message": pa.array([], pa.string()),
-            }
-        )
+    report_tbl = pa.table(
+        {
+            "focus_node": pa.array([r["focus"] for r in reports], pa.string()),
+            "path": pa.array([r["path"] or "" for r in reports], pa.string()),
+            "value_lex": pa.array([r["value"] or "" for r in reports], pa.string()),
+            "source_shape": pa.array([r["source"] for r in reports], pa.string()),
+            "component": pa.array([r["component"] for r in reports], pa.string()),
+            "severity": pa.array([r["severity"] for r in reports], pa.string()),
+            "message": pa.array([r["message"] for r in reports], pa.string()),
+        }
+    )
     return typing_tbl, report_tbl
 
 
@@ -589,9 +479,13 @@ def resolve_shacl_targets(triples_ds, schema: dict) -> pa.Table:
     """Compute (node term key, shape key) focus pairs with vectorized
     Dataset filters; also attaches the data-graph subclass closure to the
     schema (small side, collected on the driver)."""
-    sub_rows = triples_ds.filter(
-        lambda r: r["pred"] == RDFS_SUBCLASS, concurrency=2
-    ).take_all()
+
+    def _sub_filter(batch: pa.Table) -> pa.Table:
+        mask = pc.equal(batch.column("pred"), RDFS_SUBCLASS)
+        sub = batch.filter(mask)
+        return sub.select(["subj", "obj_kind", "obj_lex"])
+
+    sub_rows = triples_ds.map_batches(_sub_filter, batch_format="pyarrow").take_all()
     children: dict[str, set[str]] = {}
     for r in sub_rows:
         child = subj_to_key(r["subj"])
@@ -609,8 +503,7 @@ def resolve_shacl_targets(triples_ds, schema: dict) -> pa.Table:
                     frontier.append(ch)
         return sorted(seen)
 
-    # collect per-shape target specs
-    class_targets: list[tuple[str, str]] = []  # (class key, shape key)
+    class_targets: list[tuple[str, str]] = []
     node_pairs: list[tuple[str, str]] = []
     subjects_of: list[tuple[str, str]] = []
     objects_of: list[tuple[str, str]] = []
