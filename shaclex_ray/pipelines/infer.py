@@ -1,0 +1,176 @@
+"""Schema inference: data graph → ShEx shape (SURVEY.md C7 / G4-G6).
+
+Re-expresses the reference's SchemaInfer
+(modules/schemaInfer/src/main/scala/es/weso/schemaInfer/SchemaInfer.scala:82-428):
+select focus nodes, group their neighborhoods by predicate, collapse the
+object sets through the constraint lattice
+(InferredNodeConstraint.collapse, InferredNodeConstraint.scala:9-78), and
+derive cardinalities from per-focus frequencies (InferredShape.scala:159-165).
+
+Ray Data shape: one filtered arc projection (focus set broadcast) →
+per-batch partial aggregation → ``groupby(pred)`` final collapse — the
+lattice meet is commutative/associative, exactly partial+final aggregable
+(SURVEY.md G5).
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+
+import ray
+
+from shaclex_ray.terms import RDF_TYPE, XSD_STRING
+
+# lattice element encoding (collapse = meet):
+#   kind: "iri" | "bnode" | "lit:<datatype>" | "lang:<tag>" | mixtures
+TOP = "."  # any node
+
+
+def _collapse2(a: str, b: str) -> str:
+    if a == b:
+        return a
+    if a is None:
+        return b
+    if b is None:
+        return a
+    if a.startswith("lit:") and b.startswith("lit:"):
+        return "literal"
+    if a.startswith("lang:") and b.startswith("lang:"):
+        return "langstring"
+    if {a, b} <= {"literal", "langstring"} or (
+        (a.startswith(("lit:", "lang:")) or a in ("literal", "langstring"))
+        and (b.startswith(("lit:", "lang:")) or b in ("literal", "langstring"))
+    ):
+        return "literal"
+    return TOP
+
+
+def infer_schema(
+    triples_ds,
+    focus_class: str | None = None,
+    shape_label: str = "http://example.org/InferredShape",
+    max_preds: int = 64,
+):
+    """Infer a shape for instances of ``focus_class`` (or all subjects when
+    None). Returns (schema_ir, stats_table)."""
+    # focus set (small side, broadcast; reference guards with a visited set,
+    # InferState.scala:7-46 — here the set is explicit)
+    if focus_class is not None:
+
+        def find_focus(batch: pa.Table) -> pa.Table:
+            mask = pc.and_(
+                pc.equal(batch.column("pred"), RDF_TYPE),
+                pc.equal(batch.column("obj_lex"), focus_class),
+            )
+            return pa.table({"subj": pc.filter(batch.column("subj"), mask)})
+
+        focus = {
+            r["subj"]
+            for r in triples_ds.map_batches(find_focus, batch_format="pyarrow").take_all()
+        }
+    else:
+        focus = None
+    focus_ref = ray.put(focus)
+    n_focus_holder = len(focus) if focus is not None else None
+
+    def project(batch: pa.Table) -> pa.Table:
+        f = ray.get(focus_ref)
+        if f is not None:
+            mask = pc.is_in(batch.column("subj"), value_set=pa.array(sorted(f)))
+            batch = batch.filter(mask)
+        kind = []
+        for k, dt, lg in zip(
+            batch.column("obj_kind").to_pylist(),
+            batch.column("obj_dt").to_pylist(),
+            batch.column("obj_lang").to_pylist(),
+        ):
+            if k == "iri":
+                kind.append("iri")
+            elif k == "bnode":
+                kind.append("bnode")
+            elif lg:
+                kind.append("lang:" + lg)
+            else:
+                kind.append("lit:" + (dt or XSD_STRING))
+        return pa.table(
+            {
+                "pred": batch.column("pred"),
+                "subj": batch.column("subj"),
+                "kind": pa.array(kind, pa.string()),
+            }
+        )
+
+    def finalize(group: pa.Table) -> pa.Table:
+        df = group.to_pandas()
+        pred = df["pred"].iloc[0]
+        per_subj = df.groupby("subj").size()
+        collapsed = None
+        for k in df["kind"].unique():
+            collapsed = _collapse2(collapsed, k)
+        return pa.Table.from_pandas(
+            pd.DataFrame(
+                {
+                    "pred": [pred],
+                    "n_arcs": [len(df)],
+                    "n_subjects": [int(per_subj.shape[0])],
+                    "max_per_subject": [int(per_subj.max())],
+                    "min_per_subject": [int(per_subj.min())],
+                    "constraint": [collapsed],
+                }
+            ),
+            preserve_index=False,
+        )
+
+    stats = (
+        triples_ds.map_batches(project, batch_format="pyarrow")
+        .groupby("pred")
+        .map_groups(finalize, batch_format="pyarrow")
+    )
+    stats_tbl = pa.concat_tables(
+        list(stats.iter_batches(batch_format="pyarrow", batch_size=None))
+        or [pa.table({"pred": pa.array([], pa.string())})]
+    )
+
+    # cardinality rule (reference: n==1 per node ? {1,1} : {0,*};
+    # InferredShape.scala:159-165 — refined with min/max evidence)
+    n_focus = n_focus_holder
+    exprs = []
+    df = stats_tbl.to_pandas().sort_values("pred", ignore_index=True)
+    for _i, row in df.head(max_preds).iterrows():
+        everywhere = n_focus is not None and row["n_subjects"] == n_focus
+        mn = 1 if everywhere and row["min_per_subject"] >= 1 else 0
+        mx = 1 if row["max_per_subject"] <= 1 else -1
+        tc = {"type": "TripleConstraint", "predicate": row["pred"]}
+        c = row["constraint"]
+        if c == "iri":
+            tc["valueExpr"] = {"type": "NodeConstraint", "nodeKind": "iri"}
+        elif c == "bnode":
+            tc["valueExpr"] = {"type": "NodeConstraint", "nodeKind": "bnode"}
+        elif isinstance(c, str) and c.startswith("lit:"):
+            tc["valueExpr"] = {"type": "NodeConstraint", "datatype": c[4:]}
+        elif isinstance(c, str) and c.startswith("lang:"):
+            tc["valueExpr"] = {
+                "type": "NodeConstraint",
+                "values": [{"type": "Language", "languageTag": c[5:]}],
+            }
+        elif c in ("literal", "langstring"):
+            tc["valueExpr"] = {"type": "NodeConstraint", "nodeKind": "literal"}
+        if not (mn == 1 and mx == 1):
+            tc["min"], tc["max"] = mn, mx
+        exprs.append(tc)
+
+    shape = {"type": "Shape"}
+    if len(exprs) == 1:
+        shape["expression"] = exprs[0]
+    elif exprs:
+        shape["expression"] = {"type": "EachOf", "expressions": exprs}
+    shape["id"] = shape_label
+    schema_ir = {
+        "start": None,
+        "shapes": {shape_label: shape},
+        "te_refs": {},
+        "imports": [],
+    }
+    return schema_ir, stats_tbl

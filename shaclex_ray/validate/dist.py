@@ -255,8 +255,11 @@ def _split_block(tbl: pa.Table, nbuckets: int, include_inverse: bool):
 
 @ray.remote
 class BucketWorker:
-    """Persistent per-bucket evaluator: neighborhood index built once,
-    reused every round (schema compiled once per actor — SURVEY.md A1/A2)."""
+    """Persistent per-bucket evaluator: the neighborhood index AND the
+    bucket's pending worklist live here across rounds (schema compiled once
+    per actor — SURVEY.md A1/A2). The driver only routes the (small)
+    cross-bucket dependency traffic, so its per-round work is
+    O(#dependencies + #buckets), independent of focus-pair count."""
 
     def __init__(self, schema_ref, engine: str, nbuckets: int, bucket_id: int):
         self.schema = ray.get(schema_ref) if isinstance(schema_ref, ray.ObjectRef) else schema_ref
@@ -264,9 +267,13 @@ class BucketWorker:
         self.nbuckets = nbuckets
         self.bucket_id = bucket_id
         self.graph = Graph([])
+        self.pending: dict[tuple[str, str], bool] = {}
+        self.typing: dict[tuple[str, str], str] = {}
+        self.focus_flags: dict[tuple[str, str], bool] = {}
+        self.assumptions: dict[tuple[str, str], bool] = {}
+        self.reports: list[dict] = []
 
     def load(self, *parts: pa.Table) -> int:
-        triples = []
         g = self.graph
         for tbl in parts:
             d = tbl.to_pydict()
@@ -287,15 +294,32 @@ class BucketWorker:
                     g.by_subj[term_key(sterm)].append((d["pred"][i], o))
         return sum(len(v) for v in g.by_subj.values())
 
-    def evaluate(self, tasks: list, assumptions: dict):
-        """tasks: [(node_key, shape_key)]; assumptions: {(nk, sk): bool}.
-        Returns (results, deps, reports):
-          results: [(node, shape, val)] for pairs decided this round
-          deps:    sorted [(child_node, child_shape)] still needed
-          reports: SHACL report row dicts
+    def submit(self, tasks: pa.Table, is_focus: bool) -> int:
+        for nk, sk in zip(
+            tasks.column("node").to_pylist(), tasks.column("shape").to_pylist()
+        ):
+            key = (nk, sk)
+            if key not in self.typing and key not in self.pending:
+                self.pending[key] = True
+            if is_focus:
+                self.focus_flags[key] = True
+        return len(self.pending)
+
+    def add_assumptions(self, asms: list):
+        for nk, sk, val in asms:
+            self.assumptions[(nk, sk)] = val
+
+    def run_round(self):
+        """Evaluate every pending pair against local arcs + assumptions.
+        Returns (n_decided, n_pending, deps, answered):
+          deps     — still-unanswered (child_node, child_shape) this bucket
+                     needs from other buckets
+          answered — (node, shape, val) decided this round (the driver
+                     forwards the ones other buckets wait on)
         """
         nb = self.nbuckets
         me = self.bucket_id
+        assumptions = self.assumptions
 
         def is_local_key(nk: str) -> bool:
             if nk.startswith("L"):
@@ -305,40 +329,84 @@ class BucketWorker:
         def is_local_term(t: tuple) -> bool:
             return is_local_key(term_key(t))
 
-        results = []
-        reports = []
+        decided = []
         all_deps: set = set()
-        for nk, shape_key in tasks:
+        for key in list(self.pending):
+            nk, shape_key = key
             deps: set = set()
 
             def record(c, s, d=deps):
-                d.add((c, s))
+                if (c, s) not in assumptions:
+                    d.add((c, s))
+
             try:
                 if shape_key.startswith("class:"):
                     cls_key = shape_key[len("class:") :]
                     v = _DistShacl(self.schema, self.graph, assumptions, is_local_key, record)
                     ok = ShaclValidator._is_instance(v, nk, cls_key)
-                    results.append((nk, shape_key, "conforms" if ok else "notConforms"))
+                    self.typing[key] = "conforms" if ok else "notConforms"
+                    decided.append(key)
                     continue
                 if self.engine == "shex":
                     v = _DistShEx(self.schema, self.graph, assumptions, is_local_term, record)
                     node = key_to_term(nk)
                     ok = v.validate_node_shape(node, shape_key if shape_key != "START" else None)
                     if not v.provisional:
-                        results.append((nk, shape_key, "conforms" if ok else "notConforms"))
+                        self.typing[key] = "conforms" if ok else "notConforms"
+                        decided.append(key)
                 else:
                     v = _DistShacl(self.schema, self.graph, assumptions, is_local_key, record)
                     rres = v.validate_shape(nk, shape_key)
                     if not v.provisional:
-                        results.append(
-                            (nk, shape_key, "conforms" if not rres else "notConforms")
-                        )
-                        reports.extend(rres)
+                        self.typing[key] = "conforms" if not rres else "notConforms"
+                        decided.append(key)
+                        self.reports.extend(rres)
             except _NeedRemote as e:
-                results.append((nk, shape_key, f"error:{e}"))
+                self.typing[key] = f"error:{e}"
+                decided.append(key)
                 continue
             all_deps |= deps
-        return results, sorted(all_deps), reports
+        for key in decided:
+            self.pending.pop(key, None)
+        answered = [(k[0], k[1], self.typing[k]) for k in decided]
+        return len(decided), len(self.pending), sorted(all_deps), answered
+
+    def assume_deps(self, deps: list):
+        """Cycle-breaking: treat listed unanswered deps as conforming
+        (coinductive close, ValidateND.scala:51-54 reading)."""
+        for nk, sk in deps:
+            self.assumptions.setdefault((nk, sk), True)
+
+    def collect(self):
+        keys = sorted(self.typing)
+        typing_tbl = pa.table(
+            {
+                "node": pa.array([k[0] for k in keys], pa.string()),
+                "shape": pa.array([k[1] for k in keys], pa.string()),
+                "val": pa.array([self.typing[k] for k in keys], pa.string()),
+                "is_focus": pa.array(
+                    [self.focus_flags.get(k, False) for k in keys], pa.bool_()
+                ),
+            }
+        )
+        return typing_tbl, self.reports
+
+
+def _route_tasks(tasks: pa.Table, nbuckets: int) -> dict[int, pa.Table]:
+    """Vectorized (node,shape) routing to buckets."""
+    if tasks.num_rows == 0:
+        return {}
+    nodes = tasks.column("node").to_pandas()
+    subj = nodes.str.slice(1)
+    is_b = nodes.str.startswith("B")
+    subj = subj.where(~is_b, "_:" + subj)
+    is_l = nodes.str.startswith("L")
+    subj = subj.where(~is_l, nodes)
+    buckets = pd.Series(stable_bucket_array(subj.to_numpy(dtype=object), nbuckets))
+    out = {}
+    for b, idx in buckets.groupby(buckets).groups.items():
+        out[int(b)] = tasks.take(pa.array(idx.to_numpy()))
+    return out
 
 
 def distributed_validate(
@@ -371,93 +439,83 @@ def distributed_validate(
     workers = [
         BucketWorker.remote(schema_ref, engine, nbuckets, b) for b in range(nbuckets)
     ]
-    load_calls = [
-        workers[b].load.remote(*[blk[b] for blk in split_refs])
-        for b in range(nbuckets)
-    ]
-    ray.get(load_calls)
+    ray.get(
+        [
+            workers[b].load.remote(*[blk[b] for blk in split_refs])
+            for b in range(nbuckets)
+        ]
+    )
 
-    # ---- driver fixpoint state
-    typing: dict[tuple[str, str], str] = {}
-    need_by: dict[tuple[str, str], set[int]] = {}  # (child) -> requesting buckets
-    reports: list[dict] = []
-    pending: set[tuple[str, str]] = {
-        (n, s)
-        for n, s in zip(
-            focus_tasks.column("node").to_pylist(), focus_tasks.column("shape").to_pylist()
-        )
-    }
-    root_tasks = set(pending)
+    # initial focus submission (vectorized routing; worklists live in actors)
+    for b, tbl in _route_tasks(focus_tasks, nbuckets).items():
+        workers[b].submit.remote(tbl, True)
 
-    # cache node -> bucket (vectorized batch fill per round)
-    bucket_of: dict[str, int] = {}
-
-    def buckets_for(pairs):
-        missing = [nk for nk, _ in pairs if nk not in bucket_of]
-        if missing:
-            uniq = sorted(set(missing))
-            subj_strs = [
-                nk[1:] if nk[0] == "I" else ("_:" + nk[1:] if nk[0] == "B" else nk)
-                for nk in uniq
-            ]
-            for nk, b in zip(uniq, stable_bucket_array(subj_strs, nbuckets)):
-                bucket_of[nk] = int(b)
-        out: dict[int, list] = {}
-        for p in pairs:
-            out.setdefault(bucket_of[p[0]], []).append(p)
-        return out
+    # ---- driver loop: only dependency traffic crosses the driver
+    need_by: dict[tuple[str, str], set[int]] = {}
+    answered_vals: dict[tuple[str, str], str] = {}
+    forwarded: set[tuple[tuple[str, str], int]] = set()
 
     rounds = 0
     cycle_broken = False
-    while pending and rounds < max_rounds:
+    while rounds < max_rounds:
         rounds += 1
-        by_bucket = buckets_for(sorted(pending))
-        calls = {}
-        for b, tasks in by_bucket.items():
-            # assumptions: decided children this bucket asked for
-            asms = {
-                child: typing[child] == "conforms"
-                for child, buckets in need_by.items()
-                if b in buckets and child in typing
-            }
-            calls[b] = workers[b].evaluate.remote(tasks, asms)
-        progress = False
-        for b, ref in calls.items():
-            results, deps, reps = ray.get(ref)
-            for nk, sk, val in results:
-                key = (nk, sk)
-                if key not in typing:
-                    typing[key] = val
-                    progress = True
-                pending.discard(key)
-            reports.extend(reps)
+        results = ray.get([w.run_round.remote() for w in workers])
+        total_decided = sum(r[0] for r in results)
+        total_pending = sum(r[1] for r in results)
+        new_child_tasks: list[tuple[str, str]] = []
+        progress = total_decided > 0
+        for b, (_nd, _np, deps, answered) in enumerate(results):
+            for nk, sk, val in answered:
+                answered_vals[(nk, sk)] = val
             for child in deps:
-                need_by.setdefault(child, set()).add(b)
-                if child not in typing and child not in pending:
-                    pending.add(child)
+                if b not in need_by.setdefault(child, set()):
+                    need_by[child].add(b)
                     progress = True
+                if child not in answered_vals:
+                    new_child_tasks.append(child)
+        # route newly-requested child pairs to their buckets
+        if new_child_tasks:
+            uniq = sorted(set(new_child_tasks))
+            tbl = pa.table(
+                {
+                    "node": pa.array([c[0] for c in uniq], pa.string()),
+                    "shape": pa.array([c[1] for c in uniq], pa.string()),
+                }
+            )
+            for b, sub in _route_tasks(tbl, nbuckets).items():
+                workers[b].submit.remote(sub, False)
+        # forward decided answers to the buckets waiting on them
+        fwd: dict[int, list] = {}
+        for child, buckets in need_by.items():
+            val = answered_vals.get(child)
+            if val is None:
+                continue
+            for b in buckets:
+                if (child, b) not in forwarded:
+                    forwarded.add((child, b))
+                    fwd.setdefault(b, []).append((child[0], child[1], val == "conforms"))
+                    progress = True
+        for b, asms in fwd.items():
+            workers[b].add_assumptions.remote(asms)
 
+        if total_pending == 0 and not new_child_tasks:
+            break
         if not progress:
             if cycle_broken:
                 break
             # cross-bucket cycle: close coinductively (assume conforms)
-            for child in list(need_by):
-                if child in pending:
-                    typing[child] = "conforms"
-                    pending.discard(child)
+            unresolved = sorted(c for c in need_by if c not in answered_vals)
+            ray.get([w.assume_deps.remote(unresolved) for w in workers])
             cycle_broken = True
 
+    collected = ray.get([w.collect.remote() for w in workers])
     for w in workers:
         ray.kill(w)
 
-    typing_tbl = pa.table(
-        {
-            "node": pa.array([k[0] for k in sorted(typing)], pa.string()),
-            "shape": pa.array([k[1] for k in sorted(typing)], pa.string()),
-            "val": pa.array([typing[k] for k in sorted(typing)], pa.string()),
-            "is_focus": pa.array([k in root_tasks for k in sorted(typing)], pa.bool_()),
-        }
-    )
+    typing_tbl = pa.concat_tables([c[0] for c in collected])
+    reports: list[dict] = []
+    for c in collected:
+        reports.extend(c[1])
     report_tbl = pa.table(
         {
             "focus_node": pa.array([r["focus"] for r in reports], pa.string()),
@@ -470,6 +528,7 @@ def distributed_validate(
         }
     )
     return typing_tbl, report_tbl
+
 
 
 # ---------------------------------------------------------------------------
