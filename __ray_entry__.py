@@ -320,6 +320,15 @@ def _q_text_langid(sf_dir: str):
     return langid(sf_dir)
 
 
+def _q_kg_infer_doc_shape(sf_dir: str):
+    from shaclex_ray.pipelines.infer import infer_schema
+    from shaclex_ray.stages.extract import C_DOCUMENT
+
+    ds = _q_kg_triples(sf_dir)
+    _schema, stats = infer_schema(ds, focus_class=C_DOCUMENT)
+    return stats
+
+
 def _q_media_features(sf_dir: str):
     from shaclex_ray.functions.multimodal import media_features
     from shaclex_ray.sources.documents import read_documents
@@ -343,6 +352,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_minhash": _q_dedup_minhash,
         "dedup_simhash": _q_dedup_simhash,
         "dedup_ngram_jaccard": _q_dedup_ngram_jaccard,
+        "kg_infer_doc_shape": _q_kg_infer_doc_shape,
         "ann_topk": _q_ann_topk,
         "ann_lsh_buckets": _q_ann_lsh_buckets,
         "media_features": _q_media_features,
@@ -411,6 +421,35 @@ def oracle_sql() -> dict[str, str]:
                CAST(min(doc_id) AS BIGINT) AS canonical_doc_id,
                CAST(count(*) AS BIGINT) AS n_dups
         FROM documents GROUP BY md5(text)
+        """,
+        "kg_infer_doc_shape": "WITH "
+        + _TRIPLES_CTE
+        + """
+        , doc_arcs AS (
+          SELECT t.* FROM kg_triples t
+          WHERE t.subj IN (
+            SELECT subj FROM kg_triples
+            WHERE pred = 'http://www.w3.org/1999/02/22-rdf-syntax-ns#type'
+              AND obj_lex = 'http://ex.org/Document')
+        ), per_subj AS (
+          SELECT pred, subj, count(*) AS cnt FROM doc_arcs GROUP BY pred, subj
+        )
+        SELECT a.pred,
+               CAST(count(*) AS BIGINT) AS n_arcs,
+               CAST(count(DISTINCT a.subj) AS BIGINT) AS n_subjects,
+               CAST((SELECT max(cnt) FROM per_subj p WHERE p.pred = a.pred) AS BIGINT) AS max_per_subject,
+               CAST((SELECT min(cnt) FROM per_subj p WHERE p.pred = a.pred) AS BIGINT) AS min_per_subject,
+               CASE WHEN bool_and(a.obj_kind = 'iri') THEN 'iri'
+                    WHEN bool_and(a.obj_kind = 'bnode') THEN 'bnode'
+                    WHEN bool_and(a.obj_kind = 'literal' AND a.obj_lang <> '') THEN
+                      CASE WHEN count(DISTINCT a.obj_lang) = 1
+                           THEN 'lang:' || min(a.obj_lang) ELSE 'langstring' END
+                    WHEN bool_and(a.obj_kind = 'literal' AND a.obj_lang = '') THEN
+                      CASE WHEN count(DISTINCT a.obj_dt) = 1
+                           THEN 'lit:' || min(a.obj_dt) ELSE 'literal' END
+                    WHEN bool_and(a.obj_kind = 'literal') THEN 'literal'
+                    ELSE '.' END AS constraint
+        FROM doc_arcs a GROUP BY a.pred
         """,
         "ann_topk": """
         WITH q AS (

@@ -70,11 +70,18 @@ def build_triples(sf_dir: str):
 def run_kg_pipeline(
     sf_dir: str,
     out_dir: str,
-    nbuckets: int = 32,
+    nbuckets: int | None = None,
     validate: bool = True,
     resume: bool = True,
 ):
-    """Checkpointed end-to-end run. Returns dict of result handles."""
+    """Checkpointed end-to-end run. Returns dict of result handles.
+
+    ``nbuckets`` defaults to the cluster CPU count — partition count grows
+    with the cluster, as it would across real node counts."""
+    if nbuckets is None:
+        import ray as _ray
+
+        nbuckets = max(8, int(_ray.cluster_resources().get("CPU", 8)))
     runner = StageRunner(out_dir, resume=resume)
     digest = f"{sf_dir}|nb={nbuckets}"
 

@@ -272,6 +272,9 @@ class BucketWorker:
         self.focus_flags: dict[tuple[str, str], bool] = {}
         self.assumptions: dict[tuple[str, str], bool] = {}
         self.reports: list[dict] = []
+        # pair -> unanswered deps it is blocked on (skip re-evaluation until
+        # one of them gets an assumption — semi-naive delta, SURVEY.md §7.4)
+        self.blocked_on: dict[tuple[str, str], set] = {}
 
     def load(self, *parts: pa.Table) -> int:
         g = self.graph
@@ -308,6 +311,11 @@ class BucketWorker:
     def add_assumptions(self, asms: list):
         for nk, sk, val in asms:
             self.assumptions[(nk, sk)] = val
+        answered = {(nk, sk) for nk, sk, _v in asms}
+        for pair in list(self.blocked_on):
+            self.blocked_on[pair] -= answered
+            if not self.blocked_on[pair]:
+                del self.blocked_on[pair]
 
     def run_round(self):
         """Evaluate every pending pair against local arcs + assumptions.
@@ -332,6 +340,9 @@ class BucketWorker:
         decided = []
         all_deps: set = set()
         for key in list(self.pending):
+            if key in self.blocked_on:
+                all_deps |= self.blocked_on[key]
+                continue  # still waiting on the same unanswered children
             nk, shape_key = key
             deps: set = set()
 
@@ -365,9 +376,12 @@ class BucketWorker:
                 self.typing[key] = f"error:{e}"
                 decided.append(key)
                 continue
+            if deps:
+                self.blocked_on[key] = deps
             all_deps |= deps
         for key in decided:
             self.pending.pop(key, None)
+            self.blocked_on.pop(key, None)
         answered = [(k[0], k[1], self.typing[k]) for k in decided]
         return len(decided), len(self.pending), sorted(all_deps), answered
 
@@ -376,6 +390,11 @@ class BucketWorker:
         (coinductive close, ValidateND.scala:51-54 reading)."""
         for nk, sk in deps:
             self.assumptions.setdefault((nk, sk), True)
+        answered = set(map(tuple, deps))
+        for pair in list(self.blocked_on):
+            self.blocked_on[pair] -= answered
+            if not self.blocked_on[pair]:
+                del self.blocked_on[pair]
 
     def collect(self):
         keys = sorted(self.typing)
@@ -423,6 +442,18 @@ def distributed_validate(
     ``focus_tasks``: pa.Table(node: term key, shape: shape key).
     Returns (typing_table, report_table) as pyarrow Tables.
     """
+    import os as _os
+    import time as _time
+
+    dbg = _os.environ.get("SHACLEX_DIST_DEBUG")
+    t0 = _time.perf_counter()
+
+    def _mark(label):
+        nonlocal t0
+        if dbg:
+            print(f"[dist] {label}: {_time.perf_counter() - t0:.2f}s", flush=True)
+        t0 = _time.perf_counter()
+
     if engine == "shex":
         register_inline_shapes(schema)
     schema_ref = ray.put(schema)
@@ -430,6 +461,12 @@ def distributed_validate(
     # ---- one-time shuffle: blocks -> per-bucket parts -> bucket actors
     mat = triples_ds.materialize()
     block_refs = mat.to_arrow_refs()
+    if len(block_refs) > 2 * nbuckets:
+        # coalesce: splitting B blocks × nbuckets makes B·nbuckets tiny
+        # objects; cap the fan-in so load() isn't RPC-bound
+        mat = mat.repartition(nbuckets)
+        block_refs = mat.to_arrow_refs()
+    _mark("materialize")
     split_refs = [
         _split_block.options(num_returns=nbuckets).remote(ref, nbuckets, include_inverse)
         for ref in block_refs
@@ -445,6 +482,7 @@ def distributed_validate(
             for b in range(nbuckets)
         ]
     )
+    _mark("split+load")
 
     # initial focus submission (vectorized routing; worklists live in actors)
     for b, tbl in _route_tasks(focus_tasks, nbuckets).items():
@@ -498,6 +536,7 @@ def distributed_validate(
         for b, asms in fwd.items():
             workers[b].add_assumptions.remote(asms)
 
+        _mark(f"round{rounds} decided={total_decided} pending={total_pending}")
         if total_pending == 0 and not new_child_tasks:
             break
         if not progress:

@@ -1,0 +1,52 @@
+"""Schema inference (SURVEY.md C7) + ShExC renderer (S10) round-trip."""
+
+import pytest
+
+
+def test_infer_and_render_roundtrip(ray_session):
+    import ray.data as rd
+
+    from shaclex_ray.pipelines.infer import infer_schema
+    from shaclex_ray.rdfio import parse_turtle
+    from shaclex_ray.shapes.render import render_shexc
+    from shaclex_ray.shapes.shexc import parse_shexc
+    from shaclex_ray.terms import triples_to_table
+
+    data = """
+    @prefix ex: <http://ex.org/> .
+    @prefix xsd: <http://www.w3.org/2001/XMLSchema#> .
+    ex:a a ex:T ; ex:name "Alice" ; ex:age 30 ; ex:knows ex:b .
+    ex:b a ex:T ; ex:name "Bob" ; ex:age 25 ; ex:knows ex:a , ex:c .
+    ex:c ex:other "x" .
+    """
+    ds = rd.from_arrow(triples_to_table(parse_turtle(data)))
+    schema, stats = infer_schema(ds, focus_class="http://ex.org/T")
+    by_pred = {r["pred"]: r for r in stats.to_pylist()}
+    assert by_pred["http://ex.org/name"]["constraint"] == "lit:http://www.w3.org/2001/XMLSchema#string"
+    assert by_pred["http://ex.org/age"]["constraint"] == "lit:http://www.w3.org/2001/XMLSchema#integer"
+    assert by_pred["http://ex.org/knows"]["constraint"] == "iri"
+    assert by_pred["http://ex.org/knows"]["max_per_subject"] == 2
+    assert by_pred["http://ex.org/name"]["n_subjects"] == 2
+
+    # render -> reparse -> validate: both focus nodes conform to the
+    # inferred shape
+    text = render_shexc(schema)
+    reparsed = parse_shexc(text)
+    from shaclex_ray.validate.local import Graph, ShExValidator
+
+    g = Graph(parse_turtle(data))
+    v = ShExValidator(reparsed, g)
+    label = next(iter(reparsed["shapes"]))
+    assert v.satisfies_label(("iri", "http://ex.org/a"), label)
+    assert v.satisfies_label(("iri", "http://ex.org/b"), label)
+
+
+def test_render_existing_schema_roundtrip():
+    from shaclex_ray.shapes.render import render_shexc
+    from shaclex_ray.shapes.shexc import parse_shexc
+
+    src = open("/root/reference/examples/shex/datatype.shex").read()
+    ir = parse_shexc(src)
+    text = render_shexc(ir)
+    ir2 = parse_shexc(text)
+    assert sorted(ir2["shapes"]) == sorted(ir["shapes"])
