@@ -82,6 +82,44 @@ def validate_shacl(triples_ds, shapes, nbuckets: int = 32):
     return typing, report, summary
 
 
+def validate(
+    triples_ds,
+    engine: str,
+    schema,
+    trigger: str = "TARGETDECLS",
+    shapemap: str | None = None,
+    node: str | None = None,
+    shape: str | None = None,
+    prefixes: dict | None = None,
+    nbuckets: int = 32,
+):
+    """Unified entry with the reference's four trigger modes
+    (ValidationTrigger.findTrigger, ValidationTrigger.scala:57-96):
+    TARGETDECLS (SHACL-style), SHAPEMAP, NODESHAPE, NODESTART."""
+    trigger = trigger.upper()
+    if trigger == "TARGETDECLS":
+        if engine != "shacl":
+            raise ValueError("TARGETDECLS trigger requires the shacl engine")
+        return validate_shacl(triples_ds, schema, nbuckets=nbuckets)
+    if trigger == "SHAPEMAP":
+        if shapemap is None:
+            raise ValueError("SHAPEMAP trigger needs a shapemap string")
+        return validate_shex(triples_ds, schema, shapemap, prefixes, nbuckets=nbuckets)
+    if trigger == "NODESHAPE":
+        if node is None or shape is None:
+            raise ValueError("NODESHAPE trigger needs node and shape")
+        return validate_shex(
+            triples_ds, schema, f"{node}@{shape}", prefixes, nbuckets=nbuckets
+        )
+    if trigger == "NODESTART":
+        if node is None:
+            raise ValueError("NODESTART trigger needs a node")
+        return validate_shex(
+            triples_ds, schema, f"{node}@START", prefixes, nbuckets=nbuckets
+        )
+    raise ValueError(f"unknown trigger {trigger!r}")
+
+
 def _summary(typing: pa.Table) -> dict:
     import pyarrow.compute as pc
 

@@ -275,6 +275,9 @@ class BucketWorker:
         # pair -> unanswered deps it is blocked on (skip re-evaluation until
         # one of them gets an assumption — semi-naive delta, SURVEY.md §7.4)
         self.blocked_on: dict[tuple[str, str], set] = {}
+        # node-key -> is-local memo (the scalar stable-hash is ~50µs; value
+        # nodes repeat heavily across focus pairs)
+        self._local_cache: dict[str, bool] = {}
 
     def load(self, *parts: pa.Table) -> int:
         g = self.graph
@@ -328,11 +331,14 @@ class BucketWorker:
         nb = self.nbuckets
         me = self.bucket_id
         assumptions = self.assumptions
+        cache = self._local_cache
 
         def is_local_key(nk: str) -> bool:
-            if nk.startswith("L"):
-                return True
-            return node_key_bucket(nk, nb) == me
+            v = cache.get(nk)
+            if v is None:
+                v = True if nk.startswith("L") else node_key_bucket(nk, nb) == me
+                cache[nk] = v
+            return v
 
         def is_local_term(t: tuple) -> bool:
             return is_local_key(term_key(t))
@@ -384,6 +390,9 @@ class BucketWorker:
             self.blocked_on.pop(key, None)
         answered = [(k[0], k[1], self.typing[k]) for k in decided]
         return len(decided), len(self.pending), sorted(all_deps), answered
+
+    def ping(self):
+        return self.bucket_id
 
     def assume_deps(self, deps: list):
         """Cycle-breaking: treat listed unanswered deps as conforming
@@ -485,8 +494,13 @@ def distributed_validate(
     _mark("split+load")
 
     # initial focus submission (vectorized routing; worklists live in actors)
-    for b, tbl in _route_tasks(focus_tasks, nbuckets).items():
-        workers[b].submit.remote(tbl, True)
+    ray.get(
+        [
+            workers[b].submit.remote(tbl, True)
+            for b, tbl in _route_tasks(focus_tasks, nbuckets).items()
+        ]
+    )
+    _mark("submit")
 
     # ---- driver loop: only dependency traffic crosses the driver
     need_by: dict[tuple[str, str], set[int]] = {}
@@ -633,47 +647,78 @@ def resolve_shacl_targets(triples_ds, schema: dict) -> pa.Table:
         "objects_of": objects_of,
     }
 
+    def _subj_keys(subj_arr) -> pa.Array:
+        subj_arr = (
+            subj_arr.combine_chunks() if isinstance(subj_arr, pa.ChunkedArray) else subj_arr
+        )
+        is_b = pc.starts_with(subj_arr, "_:")
+        as_b = pc.binary_join_element_wise(
+            "B", pc.utf8_replace_slice(subj_arr, 0, 2, ""), ""
+        )
+        as_i = pc.binary_join_element_wise("I", subj_arr, "")
+        return pc.if_else(is_b, as_b, as_i)
+
     def find_targets(batch: pa.Table) -> pa.Table:
-        nodes, shapes = [], []
+        parts = []
         pred = batch.column("pred")
         for cls_iris, sk in spec["class_targets"]:
             mask = pc.and_(
                 pc.equal(pred, RDF_TYPE),
                 pc.is_in(batch.column("obj_lex"), value_set=pa.array(sorted(cls_iris))),
             )
-            for s in pc.filter(batch.column("subj"), mask).to_pylist():
-                nodes.append(subj_to_key(s))
-                shapes.append(sk)
+            keys = _subj_keys(pc.filter(batch.column("subj"), mask))
+            parts.append(
+                pa.table({"node": keys, "shape": pa.array([sk] * len(keys), pa.string())})
+            )
         for p, sk in spec["subjects_of"]:
-            mask = pc.equal(pred, p)
-            for s in pc.filter(batch.column("subj"), mask).to_pylist():
-                nodes.append(subj_to_key(s))
-                shapes.append(sk)
+            keys = _subj_keys(pc.filter(batch.column("subj"), pc.equal(pred, p)))
+            parts.append(
+                pa.table({"node": keys, "shape": pa.array([sk] * len(keys), pa.string())})
+            )
         for p, sk in spec["objects_of"]:
-            mask = pc.equal(pred, p)
-            sub = batch.filter(mask)
-            for k, lx, dt, lg in zip(
-                sub.column("obj_kind").to_pylist(),
-                sub.column("obj_lex").to_pylist(),
-                sub.column("obj_dt").to_pylist(),
-                sub.column("obj_lang").to_pylist(),
-            ):
-                nodes.append(obj_key(k, lx, dt, lg))
-                shapes.append(sk)
-        return pa.table(
-            {"node": pa.array(nodes, pa.string()), "shape": pa.array(shapes, pa.string())}
-        )
+            sub = batch.filter(pc.equal(pred, p))
+            nodes = [
+                obj_key(k, lx, dt, lg)
+                for k, lx, dt, lg in zip(
+                    sub.column("obj_kind").to_pylist(),
+                    sub.column("obj_lex").to_pylist(),
+                    sub.column("obj_dt").to_pylist(),
+                    sub.column("obj_lang").to_pylist(),
+                )
+            ]
+            parts.append(
+                pa.table(
+                    {
+                        "node": pa.array(nodes, pa.string()),
+                        "shape": pa.array([sk] * len(nodes), pa.string()),
+                    }
+                )
+            )
+        if not parts:
+            return pa.table(
+                {"node": pa.array([], pa.string()), "shape": pa.array([], pa.string())}
+            )
+        out = pa.concat_tables(parts)
+        # batch-local dedup (combiner)
+        return pa.Table.from_pandas(
+            out.to_pandas().drop_duplicates(ignore_index=True), preserve_index=False
+        ).cast(out.schema)
 
-    found = triples_ds.map_batches(find_targets, batch_format="pyarrow").take_all()
-    pairs = {(r["node"], r["shape"]) for r in found}
-    pairs.update(node_pairs)
-    pairs_sorted = sorted(pairs)
-    return pa.table(
+    batches = list(
+        triples_ds.map_batches(find_targets, batch_format="pyarrow").iter_batches(
+            batch_format="pyarrow", batch_size=None
+        )
+    )
+    extra = pa.table(
         {
-            "node": pa.array([p[0] for p in pairs_sorted], pa.string()),
-            "shape": pa.array([p[1] for p in pairs_sorted], pa.string()),
+            "node": pa.array([p[0] for p in node_pairs], pa.string()),
+            "shape": pa.array([p[1] for p in node_pairs], pa.string()),
         }
     )
+    all_tbl = pa.concat_tables(batches + [extra]) if batches else extra
+    df = all_tbl.to_pandas().drop_duplicates(ignore_index=True)
+    df = df.sort_values(["node", "shape"], ignore_index=True)
+    return pa.Table.from_pandas(df, preserve_index=False).cast(all_tbl.schema)
 
 
 def _all_class_params(schema: dict) -> set[str]:
