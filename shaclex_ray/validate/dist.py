@@ -226,12 +226,15 @@ class _DistShacl(ShaclValidator):
 # the one-time shuffle: split triple blocks into per-bucket sub-tables
 
 @ray.remote
-def _split_block(tbl: pa.Table, nbuckets: int, include_inverse: bool):
-    """One triples block -> nbuckets sub-tables. Each sub-table carries a
-    'rev' column: false = outgoing arc stored at its subject's bucket,
-    true = reversed copy stored at its (IRI/bnode) object's bucket."""
+def _split_block(nbuckets: int, include_inverse: bool, *tbls: pa.Table):
+    """A group of triples blocks -> nbuckets sub-tables. Each sub-table
+    carries a 'rev' column: false = outgoing arc stored at its subject's
+    bucket, true = reversed copy stored at its (IRI/bnode) object's
+    bucket. Taking a block *group* keeps the object-count at
+    groups × nbuckets instead of blocks × nbuckets."""
     cols = ["subj", "pred", "obj_kind", "obj_lex", "obj_dt", "obj_lang"]
-    base = tbl.select(cols)
+    tbl = pa.concat_tables([t.select(cols) for t in tbls])
+    base = tbl
     n = base.num_rows
     fwd = base.append_column("rev", pa.array(np.zeros(n, dtype=bool)))
     fwd_b = stable_bucket_array(base.column("subj").to_pylist(), nbuckets)
@@ -253,6 +256,117 @@ def _split_block(tbl: pa.Table, nbuckets: int, include_inverse: bool):
     return tuple(out)
 
 
+class LazyBucketGraph:
+    """Bucket-local neighborhood index with vectorized construction.
+
+    The per-subject row index is built with one pandas groupby (C path)
+    over Arrow columns; Python term tuples materialize lazily, only for
+    subjects actually evaluated, and are cached. Replaces the eager
+    per-row dict-append build (9.2M-row buckets spent more time building
+    tuples than validating)."""
+
+    def __init__(self):
+        self._parts: list[pa.Table] = []
+        self._finalized = False
+
+    def add_part(self, tbl: pa.Table):
+        self._parts.append(tbl)
+
+    def _key_col(self, subj: pa.Array) -> pa.Array:
+        is_b = pc.starts_with(subj, "_:")
+        as_b = pc.binary_join_element_wise("B", pc.utf8_replace_slice(subj, 0, 2, ""), "")
+        as_i = pc.binary_join_element_wise("I", subj, "")
+        return pc.if_else(is_b, as_b, as_i)
+
+    def finalize(self):
+        if self._finalized:
+            return
+        self._finalized = True
+        if self._parts:
+            t = pa.concat_tables(self._parts).combine_chunks()
+        else:
+            t = pa.table(
+                {
+                    "subj": pa.array([], pa.string()),
+                    "pred": pa.array([], pa.string()),
+                    "obj_kind": pa.array([], pa.string()),
+                    "obj_lex": pa.array([], pa.string()),
+                    "obj_dt": pa.array([], pa.string()),
+                    "obj_lang": pa.array([], pa.string()),
+                    "rev": pa.array([], pa.bool_()),
+                }
+            )
+        self._parts = None
+        rev_mask = t.column("rev").combine_chunks()
+        fwd = t.filter(pc.invert(rev_mask))
+        rev = t.filter(rev_mask)
+
+        self._f = {c: fwd.column(c).to_pylist() for c in ("pred", "obj_kind", "obj_lex", "obj_dt", "obj_lang")}
+        fkeys = self._key_col(fwd.column("subj").combine_chunks())
+        self._fwd_idx = pd.Series(range(len(fkeys))).groupby(fkeys.to_pandas().values).indices
+
+        self._r = {
+            c: rev.column(c).to_pylist() for c in ("subj", "pred", "obj_kind", "obj_lex")
+        }
+        okind = rev.column("obj_kind").combine_chunks()
+        olex = rev.column("obj_lex").combine_chunks()
+        rkeys = pc.if_else(
+            pc.equal(okind, "bnode"),
+            pc.binary_join_element_wise("B", olex, ""),
+            pc.binary_join_element_wise("I", olex, ""),
+        )
+        self._rev_idx = pd.Series(range(len(rkeys))).groupby(rkeys.to_pandas().values).indices
+
+        self._out_cache: dict[str, list] = {}
+        self._in_cache: dict[str, list] = {}
+
+    def arcs_out(self, key: str) -> list:
+        got = self._out_cache.get(key)
+        if got is None:
+            idx = self._fwd_idx.get(key)
+            if idx is None:
+                got = []
+            else:
+                f = self._f
+                got = []
+                for i in idx:
+                    k = f["obj_kind"][i]
+                    if k == "iri":
+                        o = ("iri", f["obj_lex"][i])
+                    elif k == "bnode":
+                        o = ("bnode", f["obj_lex"][i])
+                    else:
+                        o = ("lit", f["obj_lex"][i], f["obj_dt"][i], f["obj_lang"][i])
+                    got.append((f["pred"][i], o))
+            self._out_cache[key] = got
+        return got
+
+    def arcs_in(self, key: str) -> list:
+        got = self._in_cache.get(key)
+        if got is None:
+            idx = self._rev_idx.get(key)
+            if idx is None:
+                got = []
+            else:
+                r = self._r
+                got = []
+                for i in idx:
+                    s = r["subj"][i]
+                    sterm = ("bnode", s[2:]) if s.startswith("_:") else ("iri", s)
+                    got.append((r["pred"][i], sterm))
+            self._in_cache[key] = got
+        return got
+
+    # attribute views used by the in-memory validators' helper paths
+    @property
+    def by_subj(self):
+        return {k: self.arcs_out(k) for k in self._fwd_idx}
+
+    @property
+    def by_obj(self):
+        return {k: self.arcs_in(k) for k in self._rev_idx}
+
+
 @ray.remote
 class BucketWorker:
     """Persistent per-bucket evaluator: the neighborhood index AND the
@@ -266,7 +380,7 @@ class BucketWorker:
         self.engine = engine
         self.nbuckets = nbuckets
         self.bucket_id = bucket_id
-        self.graph = Graph([])
+        self.graph = LazyBucketGraph()
         self.pending: dict[tuple[str, str], bool] = {}
         self.typing: dict[tuple[str, str], str] = {}
         self.focus_flags: dict[tuple[str, str], bool] = {}
@@ -280,25 +394,12 @@ class BucketWorker:
         self._local_cache: dict[str, bool] = {}
 
     def load(self, *parts: pa.Table) -> int:
-        g = self.graph
+        n = 0
         for tbl in parts:
-            d = tbl.to_pydict()
-            revs = d["rev"]
-            for i in range(tbl.num_rows):
-                s = d["subj"][i]
-                sterm = ("bnode", s[2:]) if s.startswith("_:") else ("iri", s)
-                k = d["obj_kind"][i]
-                if k == "iri":
-                    o = ("iri", d["obj_lex"][i])
-                elif k == "bnode":
-                    o = ("bnode", d["obj_lex"][i])
-                else:
-                    o = ("lit", d["obj_lex"][i], d["obj_dt"][i], d["obj_lang"][i])
-                if revs[i]:
-                    g.by_obj[term_key(o)].append((d["pred"][i], sterm))
-                else:
-                    g.by_subj[term_key(sterm)].append((d["pred"][i], o))
-        return sum(len(v) for v in g.by_subj.values())
+            self.graph.add_part(tbl)
+            n += tbl.num_rows
+        self.graph.finalize()
+        return n
 
     def submit(self, tasks: pa.Table, is_focus: bool) -> int:
         for nk, sk in zip(
@@ -467,18 +568,17 @@ def distributed_validate(
         register_inline_shapes(schema)
     schema_ref = ray.put(schema)
 
-    # ---- one-time shuffle: blocks -> per-bucket parts -> bucket actors
+    # ---- one-time shuffle: block groups -> per-bucket parts -> actors
     mat = triples_ds.materialize()
     block_refs = mat.to_arrow_refs()
-    if len(block_refs) > 2 * nbuckets:
-        # coalesce: splitting B blocks × nbuckets makes B·nbuckets tiny
-        # objects; cap the fan-in so load() isn't RPC-bound
-        mat = mat.repartition(nbuckets)
-        block_refs = mat.to_arrow_refs()
     _mark("materialize")
+    ngroups = max(1, min(len(block_refs), nbuckets))
+    groups = [block_refs[g::ngroups] for g in range(ngroups)]
     split_refs = [
-        _split_block.options(num_returns=nbuckets).remote(ref, nbuckets, include_inverse)
-        for ref in block_refs
+        _split_block.options(num_returns=nbuckets).remote(
+            nbuckets, include_inverse, *grp
+        )
+        for grp in groups
     ]
     if nbuckets == 1:
         split_refs = [[r] for r in split_refs]

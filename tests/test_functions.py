@@ -1,0 +1,107 @@
+"""Training-data operator units: dedup family, ANN, text analysis,
+multimodal plumbing (SURVEY.md §2 extensions)."""
+
+import numpy as np
+import pytest
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_minhash_similarity_monotone():
+    from shaclex_ray.functions.dedup import MinHasher
+
+    mh = MinHasher(num_perm=64)
+    a = "the quick brown fox jumps over the lazy dog " * 5
+    b = a.replace("lazy", "sleepy")
+    c = "completely different text about other things entirely " * 5
+    sa, sb, sc = mh.signature(a), mh.signature(b), mh.signature(c)
+    sim_ab = float(np.mean(sa == sb))
+    sim_ac = float(np.mean(sa == sc))
+    assert sim_ab > 0.5 > sim_ac
+    # deterministic across instances
+    assert np.array_equal(MinHasher(num_perm=64).signature(a), sa)
+
+
+def test_simhash_hamming():
+    from shaclex_ray.functions.dedup import SimHasher
+
+    sh = SimHasher()
+    a = sh._simhash("alpha beta gamma delta epsilon zeta eta theta")
+    b = sh._simhash("alpha beta gamma delta epsilon zeta eta iota")
+    c = sh._simhash("one two three four five six seven eight")
+    ham_ab = bin(a ^ b).count("1")
+    ham_ac = bin(a ^ c).count("1")
+    assert ham_ab < ham_ac
+
+
+def test_exact_dedup_and_fingerprints(ray_session):
+    from shaclex_ray.functions.dedup import exact_groups
+    from shaclex_ray.functions.text import fingerprints, token_stats
+
+    groups = exact_groups(SF).take_all()
+    assert sum(g["n_dups"] for g in groups) == 500
+    stats = {r["doc_id"]: r for r in token_stats(SF).take_all()}
+    import pyarrow.parquet as pq
+
+    texts = dict(
+        zip(
+            pq.read_table(f"{SF}/documents.parquet").column("doc_id").to_pylist(),
+            pq.read_table(f"{SF}/documents.parquet").column("text").to_pylist(),
+        )
+    )
+    for did in list(texts)[:20]:
+        assert stats[did]["n_tokens"] == len(texts[did].split(" "))
+        assert stats[did]["n_chars"] == len(texts[did])
+
+
+def test_ann_topk_matches_numpy(ray_session):
+    from shaclex_ray.functions.ann import topk_cosine
+
+    got = topk_cosine(SF, n_queries=3, k=4).take_all()
+    import pyarrow.parquet as pq
+
+    t = pq.read_table(f"{SF}/embeddings.parquet")
+    ids = np.array(t.column("vec_id").to_pylist())
+    emb = np.array(t.column("embedding").to_pylist(), dtype=np.float64)
+    emb = emb / np.linalg.norm(emb, axis=1, keepdims=True)
+    for q in range(3):
+        sims = emb @ emb[q]
+        mask = ids != ids[q]
+        order = np.lexsort((ids[mask], -sims[mask]))[:4]
+        expect = list(ids[mask][order])
+        mine = [r["vec_id"] for r in sorted(got, key=lambda r: (r["query_id"], r["rank"])) if r["query_id"] == ids[q]]
+        assert mine == expect, q
+
+
+def test_media_features_plumbing(ray_session):
+    from shaclex_ray.functions.multimodal import MEDIA_FEATURES_DIM, media_features
+    from shaclex_ray.sources.documents import read_documents
+
+    feats = media_features(read_documents(SF)).take_all()
+    assert len(feats) > 0
+    row = feats[0]
+    assert row["media_ref"].startswith("media://h/")
+    assert len(row["features"]) == MEDIA_FEATURES_DIM
+    # deterministic: same ref -> same features
+    by_ref = {}
+    for r in feats:
+        key = r["media_ref"]
+        if key in by_ref:
+            assert list(by_ref[key]) == list(r["features"])
+        by_ref[key] = r["features"]
+
+    # the decode stub raises loudly when real decoding is requested
+    from shaclex_ray.functions.multimodal import MediaFeaturizer
+    import pyarrow as pa
+
+    f = MediaFeaturizer(decode_real=True)
+    with pytest.raises(NotImplementedError):
+        f(pa.table({"media_ref": ["m"], "doc_id": ["d"], "payload": [b"x"]}))
+
+
+def test_langid_runs(ray_session):
+    from shaclex_ray.functions.text import langid
+
+    rows = langid(SF).take_all()
+    assert len(rows) == 500
+    assert all(r["lang_pred"] in ("en", "fr", "es", "zh", "de") for r in rows)
