@@ -63,13 +63,12 @@ def exact_groups(sf_dir: str):
 # ---------------------------------------------------------------- minhash
 
 def _token_hashes(text: str, shingle: int) -> np.ndarray:
-    """32-bit shingle hashes (so (a*h+b) stays inside uint64 — vectorized
-    universal hashing without bigint arithmetic)."""
+    """64-bit shingle hashes."""
     toks = text.split(" ")
     grams = [" ".join(toks[i : i + shingle]) for i in range(max(1, len(toks) - shingle + 1))]
     return np.fromiter(
         (
-            int.from_bytes(hashlib.blake2b(g.encode(), digest_size=4).digest(), "big")
+            int.from_bytes(hashlib.blake2b(g.encode(), digest_size=8).digest(), "big")
             for g in grams
         ),
         dtype=np.uint64,
@@ -77,13 +76,24 @@ def _token_hashes(text: str, shingle: int) -> np.ndarray:
     )
 
 
+def _splitmix64(x: np.ndarray) -> np.ndarray:
+    """64-bit finalizer (wrapping uint64 arithmetic is the point)."""
+    with np.errstate(over="ignore"):
+        x = (x ^ (x >> np.uint64(30))) * np.uint64(0xBF58476D1CE4E5B9)
+        x = (x ^ (x >> np.uint64(27))) * np.uint64(0x94D049BB133111EB)
+        return x ^ (x >> np.uint64(31))
+
+
 class MinHasher:
-    """Actor-pool stage: permutation coefficients built once per actor."""
+    """Actor-pool stage: permutation seeds built once per actor. Each
+    "permutation" is splitmix64 over (shingle-hash XOR seed) — a well-mixed
+    min-wise family, one vectorized numpy expression per doc."""
 
     def __init__(self, num_perm: int = 64, shingle: int = 3):
         rng = np.random.RandomState(12345)  # fixed seed: deterministic LSH
-        self.a = rng.randint(1, 2**31 - 1, size=num_perm).astype(np.uint64)
-        self.b = rng.randint(0, 2**31 - 1, size=num_perm).astype(np.uint64)
+        self.seeds = rng.randint(0, 2**63 - 1, size=num_perm, dtype=np.int64).astype(
+            np.uint64
+        )
         self.num_perm = num_perm
         self.shingle = shingle
 
@@ -91,9 +101,7 @@ class MinHasher:
         h = _token_hashes(text, self.shingle)
         if len(h) == 0:
             return np.zeros(self.num_perm, dtype=np.uint64)
-        # (num_perm × n) universal hash matrix, min over shingles — one
-        # vectorized numpy expression (a,h < 2^32 so a*h+b < 2^64)
-        vals = (self.a[:, None] * h[None, :] + self.b[:, None]) % np.uint64(_M61)
+        vals = _splitmix64(h[None, :] ^ self.seeds[:, None])
         return vals.min(axis=1)
 
     def __call__(self, batch: pa.Table) -> pa.Table:

@@ -17,7 +17,7 @@ def test_minhash_similarity_monotone():
     sa, sb, sc = mh.signature(a), mh.signature(b), mh.signature(c)
     sim_ab = float(np.mean(sa == sb))
     sim_ac = float(np.mean(sa == sc))
-    assert sim_ab > 0.5 > sim_ac
+    assert sim_ab > 0.25 > sim_ac  # true shingle jaccard(a,b) ≈ 0.42
     # deterministic across instances
     assert np.array_equal(MinHasher(num_perm=64).signature(a), sa)
 
