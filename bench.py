@@ -109,7 +109,7 @@ def main():
         # ≥64 blocks at the higher level)
         scale_dir = _build_scale_input(sf_dir, factor=int(os.environ.get("GRAFT_SCALE_FACTOR", "20")))
         results = {}
-        for n in (8, 32):
+        for n in (32, 8):
             p = subprocess.run(
                 [sys.executable, __file__, "--headline-only"],
                 env={**os.environ, "RAY_GRAFT_CPUS": str(n), "GRAFT_SF_DIR": scale_dir},
@@ -118,6 +118,7 @@ def main():
             )
             line = [l for l in p.stdout.splitlines() if l.startswith("{")][-1]
             results[n] = json.loads(line)
+            time.sleep(10)  # let the previous cluster's workers fully reap
         t8 = results[8]["triples_per_sec"]
         t32 = results[32]["triples_per_sec"]
         eff = (t32 / t8) / 4.0

@@ -21,7 +21,7 @@ import ray.data as rd
 from shaclex_ray.rdfio import parse_turtle
 from shaclex_ray.shapes.shacl import compile_shacl
 from shaclex_ray.sources.documents import read_documents
-from shaclex_ray.stages.dedup import dedup_triples
+from shaclex_ray.stages.dedup import dedup_triples, dedup_triples_fast
 from shaclex_ray.stages.extract import extract_triples
 from shaclex_ray.stages.link import build_entity_links, canonicalize_triples
 from shaclex_ray.state.checkpoint import StageRunner
@@ -112,7 +112,7 @@ def run_kg_pipeline(
 
     def produce_canonical(path):
         cano = canonicalize_triples(raw, links)
-        dd = dedup_triples(cano, nbuckets=nbuckets).materialize()
+        dd = dedup_triples_fast(cano, nbuckets=nbuckets).materialize()
         dd.write_parquet(path)
         return dd.count()
 
@@ -127,9 +127,10 @@ def run_kg_pipeline(
             import pyarrow.parquet as pq
 
             schema = kg_schema()
-            focus = resolve_shacl_targets(triples, schema)
+            triples_m = triples.materialize()  # one disk scan for both passes
+            focus = resolve_shacl_targets(triples_m, schema)
             typing, report = distributed_validate(
-                triples, "shacl", schema, focus, nbuckets=nbuckets
+                triples_m, "shacl", schema, focus, nbuckets=nbuckets
             )
             pq.write_table(typing, f"{path}/typing.parquet")
             pq.write_table(report, f"{path}/report.parquet")

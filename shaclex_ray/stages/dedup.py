@@ -48,7 +48,11 @@ def _dedup_table(tbl: pa.Table) -> pa.Table:
 
 
 def dedup_triples(triples_ds, nbuckets: int = DEFAULT_NBUCKETS):
-    """Distinct triples (on TRIPLE_ID_COLS), streaming, skew-resistant."""
+    """Distinct triples (on TRIPLE_ID_COLS), streaming, skew-resistant.
+
+    Dataset-API variant (one groupby sort-shuffle). See
+    ``dedup_triples_fast`` for the explicit single-pass hash exchange used
+    by the pipeline at bench scale."""
 
     def bucket_fn(batch: pa.Table) -> pa.Table:
         df = _dedup_df(batch.to_pandas())
@@ -67,3 +71,55 @@ def dedup_triples(triples_ds, nbuckets: int = DEFAULT_NBUCKETS):
         .groupby("bucket")
         .map_groups(group_fn, batch_format="pyarrow")
     )
+
+
+# ---------------------------------------------------------------------------
+# explicit hash exchange (the north-star "salted hash shuffles +
+# per-partition triple-dedup sort-merge" with rows moving exactly once)
+
+def _dedup_split_impl(nbuckets: int, *tbls: pa.Table):
+    base = pa.concat_tables(list(tbls)).combine_chunks()
+    df = _dedup_df(base.to_pandas())  # map-side combine
+    buckets = (pd.util.hash_array(_key_series(df)) % np.uint64(nbuckets)).astype(
+        np.int64
+    )
+    order = np.argsort(buckets, kind="stable")
+    sorted_tbl = pa.Table.from_pandas(df.iloc[order], preserve_index=False)
+    sorted_b = buckets[order]
+    bounds = np.searchsorted(sorted_b, np.arange(nbuckets + 1))
+    return tuple(
+        sorted_tbl.slice(bounds[i], bounds[i + 1] - bounds[i])
+        for i in range(nbuckets)
+    )
+
+
+def _dedup_bucket_impl(*parts: pa.Table) -> pa.Table:
+    return _dedup_table(pa.concat_tables(list(parts)).combine_chunks())
+
+
+def dedup_triples_fast(triples_ds, nbuckets: int | None = None):
+    """Explicit one-move hash exchange: blocks → map-side combine +
+    single-sort partition → per-bucket sort-merge dedup; result wraps back
+    into a Dataset via from_arrow_refs (zero-copy)."""
+    import ray
+    import ray.data as rd
+
+    if nbuckets is None:
+        nbuckets = max(8, int(ray.cluster_resources().get("CPU", 8)))
+    split_task = ray.remote(_dedup_split_impl)
+    bucket_task = ray.remote(_dedup_bucket_impl)
+
+    mat = triples_ds.materialize()
+    refs = mat.to_arrow_refs()
+    ngroups = max(1, min(len(refs), nbuckets))
+    groups = [refs[g::ngroups] for g in range(ngroups)]
+    split_refs = [
+        split_task.options(num_returns=nbuckets).remote(nbuckets, *grp)
+        for grp in groups
+    ]
+    if nbuckets == 1:
+        split_refs = [[r] for r in split_refs]
+    out_refs = [
+        bucket_task.remote(*[grp[b] for grp in split_refs]) for b in range(nbuckets)
+    ]
+    return rd.from_arrow_refs(out_refs)

@@ -233,27 +233,35 @@ def _split_block(nbuckets: int, include_inverse: bool, *tbls: pa.Table):
     bucket. Taking a block *group* keeps the object-count at
     groups × nbuckets instead of blocks × nbuckets."""
     cols = ["subj", "pred", "obj_kind", "obj_lex", "obj_dt", "obj_lang"]
-    tbl = pa.concat_tables([t.select(cols) for t in tbls])
-    base = tbl
+    base = pa.concat_tables([t.select(cols) for t in tbls]).combine_chunks()
     n = base.num_rows
+
+    def partition(tbl: pa.Table, buckets: np.ndarray) -> list[pa.Table]:
+        """Single-sort partition: argsort once, emit zero-copy slices."""
+        order = np.argsort(buckets, kind="stable")
+        sorted_tbl = tbl.take(pa.array(order))
+        sorted_b = buckets[order]
+        bounds = np.searchsorted(sorted_b, np.arange(nbuckets + 1))
+        return [
+            sorted_tbl.slice(bounds[i], bounds[i + 1] - bounds[i])
+            for i in range(nbuckets)
+        ]
+
     fwd = base.append_column("rev", pa.array(np.zeros(n, dtype=bool)))
     fwd_b = stable_bucket_array(base.column("subj").to_pylist(), nbuckets)
-    parts = [fwd_b]
-    tables = [fwd]
-    if include_inverse:
-        mask = pc.not_equal(base.column("obj_kind"), "literal")
-        rev = base.filter(mask)
-        okind = rev.column("obj_kind").to_pylist()
-        olex = rev.column("obj_lex").to_pylist()
-        ostr = [("_:" + l if k == "bnode" else l) for k, l in zip(okind, olex)]
-        rev = rev.append_column("rev", pa.array(np.ones(rev.num_rows, dtype=bool)))
-        tables.append(rev)
-        parts.append(stable_bucket_array(ostr, nbuckets))
-    out = []
-    for b in range(nbuckets):
-        sel = [t.filter(pa.array(bb == b)) for t, bb in zip(tables, parts)]
-        out.append(pa.concat_tables(sel))
-    return tuple(out)
+    fwd_parts = partition(fwd, fwd_b)
+    if not include_inverse:
+        return tuple(fwd_parts)
+    mask = pc.not_equal(base.column("obj_kind"), "literal")
+    rev = base.filter(mask)
+    okind = rev.column("obj_kind").to_pylist()
+    olex = rev.column("obj_lex").to_pylist()
+    ostr = [("_:" + l if k == "bnode" else l) for k, l in zip(okind, olex)]
+    rev = rev.append_column("rev", pa.array(np.ones(rev.num_rows, dtype=bool)))
+    rev_parts = partition(rev, stable_bucket_array(ostr, nbuckets))
+    return tuple(
+        pa.concat_tables([f, r]) for f, r in zip(fwd_parts, rev_parts)
+    )
 
 
 class LazyBucketGraph:
