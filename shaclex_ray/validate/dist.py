@@ -590,8 +590,18 @@ def distributed_validate(
     ]
     if nbuckets == 1:
         split_refs = [[r] for r in split_refs]
+    # finish the split BEFORE creating the actor fleet: the actors' CPU
+    # reservations would otherwise starve the split tasks (full-cluster
+    # actor pools + pending tasks = scheduling roulette)
+    ray.wait(
+        [r for blk in split_refs for r in blk],
+        num_returns=ngroups * nbuckets,
+        fetch_local=False,
+    )
+    _mark("split")
     workers = [
-        BucketWorker.remote(schema_ref, engine, nbuckets, b) for b in range(nbuckets)
+        BucketWorker.options(num_cpus=0.5).remote(schema_ref, engine, nbuckets, b)
+        for b in range(nbuckets)
     ]
     ray.get(
         [
@@ -599,7 +609,7 @@ def distributed_validate(
             for b in range(nbuckets)
         ]
     )
-    _mark("split+load")
+    _mark("load")
 
     # initial focus submission (vectorized routing; worklists live in actors)
     ray.get(
