@@ -34,7 +34,7 @@ def _init_ray(num_cpus: int):
         )
 
 
-def run_headline(sf_dir: str, out_dir: str, nbuckets: int = 32) -> dict:
+def run_headline(sf_dir: str, out_dir: str, nbuckets: int | None = None) -> dict:
     """Full pipeline: docs -> triples -> links -> canonical -> validate."""
     from shaclex_ray.pipelines.kg import run_kg_pipeline
 

@@ -600,7 +600,7 @@ def distributed_validate(
     )
     _mark("split")
     workers = [
-        BucketWorker.options(num_cpus=0.5).remote(schema_ref, engine, nbuckets, b)
+        BucketWorker.remote(schema_ref, engine, nbuckets, b)
         for b in range(nbuckets)
     ]
     ray.get(
