@@ -74,7 +74,8 @@ def _build_scale_input(sf_dir: str, factor: int) -> str:
     import pyarrow as pa
     import pyarrow.parquet as pq
 
-    out_dir = f"/tmp/graft_scale_input_x{factor}"
+    base = "/dev/shm" if os.path.isdir("/dev/shm") else "/tmp"
+    out_dir = f"{base}/graft_scale_input_x{factor}"
     marker = os.path.join(out_dir, "_built.json")
     if os.path.exists(marker):
         return out_dir
@@ -118,6 +119,9 @@ def main():
             )
             line = [l for l in p.stdout.splitlines() if l.startswith("{")][-1]
             results[n] = json.loads(line)
+            os.makedirs("/tmp/graft_bench", exist_ok=True)
+            with open(f"/tmp/graft_bench/scaling_{n}.log", "w") as f:
+                f.write(p.stdout + "\n--- stderr ---\n" + p.stderr[-4000:])
             time.sleep(10)  # let the previous cluster's workers fully reap
         t8 = results[8]["triples_per_sec"]
         t32 = results[32]["triples_per_sec"]
@@ -139,7 +143,8 @@ def main():
         return
 
     _init_ray(num_cpus)
-    headline = run_headline(sf_dir, f"/tmp/graft_bench/{num_cpus}")
+    bench_base = "/dev/shm" if os.path.isdir("/dev/shm") else "/tmp"
+    headline = run_headline(sf_dir, f"{bench_base}/graft_bench/{num_cpus}")
     out = {
         "metric": "kg_pipeline_wall_sec",
         "value": round(headline["wall_sec"], 3),

@@ -576,6 +576,15 @@ def distributed_validate(
         register_inline_shapes(schema)
     schema_ref = ray.put(schema)
 
+    # spawn the actor fleet FIRST: worker-process startup (the dominant
+    # fixed cost at high bucket counts) overlaps the split below.
+    # default actor semantics: num_cpus=1 for placement, 0 reserved while
+    # alive — a large fleet never deadlocks a small cluster
+    workers = [
+        BucketWorker.remote(schema_ref, engine, nbuckets, b) for b in range(nbuckets)
+    ]
+    warmups = [w.ping.remote() for w in workers]
+
     # ---- one-time shuffle: block groups -> per-bucket parts -> actors
     mat = triples_ds.materialize()
     block_refs = mat.to_arrow_refs()
@@ -590,19 +599,14 @@ def distributed_validate(
     ]
     if nbuckets == 1:
         split_refs = [[r] for r in split_refs]
-    # finish the split BEFORE creating the actor fleet: the actors' CPU
-    # reservations would otherwise starve the split tasks (full-cluster
-    # actor pools + pending tasks = scheduling roulette)
     ray.wait(
         [r for blk in split_refs for r in blk],
         num_returns=ngroups * nbuckets,
         fetch_local=False,
     )
     _mark("split")
-    workers = [
-        BucketWorker.remote(schema_ref, engine, nbuckets, b)
-        for b in range(nbuckets)
-    ]
+    ray.get(warmups)
+    _mark("warmup")
     ray.get(
         [
             workers[b].load.remote(*[blk[b] for blk in split_refs])
