@@ -1,0 +1,128 @@
+"""CLI entry — the analog of the reference's Main (src/main/scala/es/weso/
+shaclex/Main.scala): validate / infer / convert / kg subcommands over
+triple files, submitted as a plain script or via ``ray job submit``.
+
+    python -m shaclex_ray validate --data g.ttl --schema s.shex \\
+        --engine shex --shapemap ':x@:S' [--result-format json|text]
+    python -m shaclex_ray validate --data g.ttl --shacl shapes.ttl
+    python -m shaclex_ray infer --data g.ttl --class http://e/T
+    python -m shaclex_ray convert --schema s.shex --to shacl
+    python -m shaclex_ray kg --sf-dir /root/testdata/sf0.001 --out /tmp/kg
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+
+
+def _load_triples_ds(path: str):
+    import ray.data as rd
+
+    from shaclex_ray.rdfio import parse_turtle
+    from shaclex_ray.sources.rdf_source import read_ntriples
+    from shaclex_ray.terms import triples_to_table
+
+    if path.endswith(".nt"):
+        return read_ntriples(path)
+    if path.endswith(".parquet") or path.rstrip("/").endswith("triples_canonical"):
+        return rd.read_parquet(path)
+    return rd.from_arrow(
+        triples_to_table(parse_turtle(open(path).read(), bnode_prefix=path + "#"))
+    )
+
+
+def main(argv=None):
+    ap = argparse.ArgumentParser(prog="shaclex_ray")
+    sub = ap.add_subparsers(dest="cmd", required=True)
+
+    v = sub.add_parser("validate")
+    v.add_argument("--data", required=True)
+    v.add_argument("--engine", default="shacl", choices=("shex", "shacl"))
+    v.add_argument("--schema")
+    v.add_argument("--shacl")
+    v.add_argument("--shapemap")
+    v.add_argument("--trigger", default=None)
+    v.add_argument("--result-format", default="text", choices=("text", "json", "report-nt"))
+    v.add_argument("--nbuckets", type=int, default=8)
+
+    i = sub.add_parser("infer")
+    i.add_argument("--data", required=True)
+    i.add_argument("--class", dest="focus_class")
+
+    c = sub.add_parser("convert")
+    c.add_argument("--schema", required=True)
+    c.add_argument("--to", required=True, choices=("shacl", "shex"))
+
+    k = sub.add_parser("kg")
+    k.add_argument("--sf-dir", required=True)
+    k.add_argument("--out", required=True)
+
+    args = ap.parse_args(argv)
+
+    import ray
+
+    if not ray.is_initialized():
+        ray.init(address="local", include_dashboard=False, logging_level="ERROR", log_to_driver=False)
+
+    if args.cmd == "validate":
+        ds = _load_triples_ds(args.data)
+        from shaclex_ray.result import report_ntriples, result_json, result_text
+
+        if args.engine == "shacl":
+            from shaclex_ray.engine import validate_shacl
+
+            shapes = open(args.shacl or args.schema).read()
+            typing, report, summary = validate_shacl(ds, shapes, nbuckets=args.nbuckets)
+            if args.result_format == "json":
+                print(result_json(typing, report))
+            elif args.result_format == "report-nt":
+                print(report_ntriples(report))
+            else:
+                print(result_text(typing, report))
+        else:
+            from shaclex_ray.engine import validate_shex
+
+            typing, summary = validate_shex(
+                ds, open(args.schema).read(), args.shapemap or "", nbuckets=args.nbuckets
+            )
+            print(result_json(typing) if args.result_format == "json" else result_text(typing))
+    elif args.cmd == "infer":
+        from shaclex_ray.pipelines.infer import infer_schema
+        from shaclex_ray.shapes.render import render_shexc
+
+        ds = _load_triples_ds(args.data)
+        schema, _stats = infer_schema(ds, focus_class=args.focus_class)
+        print(render_shexc(schema))
+    elif args.cmd == "convert":
+        from shaclex_ray.rdfio import parse_turtle
+        from shaclex_ray.shapes.convert import shacl_to_shex, shex_to_shacl
+        from shaclex_ray.shapes.render import render_shexc
+        from shaclex_ray.shapes.shacl import compile_shacl
+        from shaclex_ray.shapes.shexc import parse_shexc
+
+        text = open(args.schema).read()
+        if args.to == "shacl":
+            import json as _json
+
+            print(_json.dumps(shex_to_shacl(parse_shexc(text)), indent=1))
+        else:
+            shex, selectors = shacl_to_shex(compile_shacl(parse_turtle(text)))
+            print(render_shexc(shex))
+            print("# query shapemap:", ", ".join(selectors))
+    elif args.cmd == "kg":
+        from shaclex_ray.pipelines.kg import run_kg_pipeline
+
+        out = run_kg_pipeline(args.sf_dir, args.out)
+        print(
+            {
+                "triples": out["triples"].count(),
+                "links": out["links"].num_rows,
+                "violations": out["report"].num_rows if "report" in out else None,
+            }
+        )
+    ray.shutdown()
+
+
+if __name__ == "__main__":
+    main()

@@ -54,7 +54,7 @@ def validate_shex(
     """ShEx validation of a triples Dataset; shapemap in compact syntax.
     Returns (typing: pa.Table(node, shape, val, is_focus), summary dict)."""
     compiled = compile_schema("shex", schema)
-    assocs = parse_shapemap(shapemap, prefixes)
+    assocs = parse_shapemap(shapemap, prefixes or compiled.get("prefixes"))
     focus = fix_shapemap(triples_ds, assocs)
     typing, _report = distributed_validate(
         triples_ds,

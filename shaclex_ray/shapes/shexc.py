@@ -178,7 +178,9 @@ class ShExCParser:
             doc["start"] = self.start
         from shaclex_ray.shapes.shexj import load_shexj
 
-        return load_shexj(doc)
+        out = load_shexj(doc)
+        out["prefixes"] = dict(self.prefixes)  # reused by shapemap parsing
+        return out
 
     def _shape_label(self) -> str:
         k, v = self.t.next()

@@ -42,13 +42,30 @@ def read_turtle_files(paths, **kwargs) -> "ray.data.Dataset":
     ds = ray.data.read_binary_files(paths, include_paths=True, **kwargs)
 
     def parse_file(row):
+        # bnode ids are file-scoped (reference semantics: bnodes are
+        # graph-scoped, SURVEY.md O6) so cross-file joins stay disjoint
         triples = parse_turtle(
-            row["bytes"].decode("utf-8"), base="file://" + row["path"]
+            row["bytes"].decode("utf-8"),
+            base="file://" + row["path"],
+            bnode_prefix=row["path"] + "#",
         )
         tbl = triples_to_table(triples, doc_id=row["path"])
         return tbl.to_pylist()
 
     return ds.flat_map(parse_file)
+
+
+def write_triples(triples_ds, path: str) -> str:
+    """North-star triple sink (SURVEY.md S13): Lance when the package is
+    available, else partitioned parquet with the identical Arrow schema."""
+    try:
+        import lance  # noqa: F401
+
+        triples_ds.write_lance(path)
+        return "lance"
+    except ImportError:
+        triples_ds.write_parquet(path)
+        return "parquet"
 
 
 def render_ntriples_batch(batch: pa.Table) -> pa.Table:
