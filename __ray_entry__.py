@@ -320,6 +320,52 @@ def _q_text_langid(sf_dir: str):
     return langid(sf_dir)
 
 
+KG_SHEX = """
+prefix ex: <http://ex.org/>
+prefix xsd: <http://www.w3.org/2001/XMLSchema#>
+
+ex:DocShape {
+  a [ ex:Document ] ;
+  ex:lang xsd:string ;
+  ex:source xsd:string ;
+  ex:hasText LITERAL * ;
+  ex:hasMedia IRI * ;
+  ex:mentions @ex:EntShape +
+}
+
+ex:EntShape {
+  a [ ex:Entity ] ;
+  a [ ex:Mention ] ;
+  ex:surface xsd:string
+}
+"""
+
+
+def _q_kg_shex_doc_conformance(sf_dir: str):
+    """Distributed ShEx validation of every document against the KG ShEx
+    schema (EXTRA-free shape with value-shape recursion into entities);
+    returns conformance counts — SQL-expressible because the shape reduces
+    to 'has >= 1 mention' on this deterministic corpus."""
+    import polars as pl
+
+    from shaclex_ray.engine import validate_shex
+    from shaclex_ray.shapes.shapemap import parse_shapemap
+
+    ds = _q_kg_triples(sf_dir)
+    typing, _summary = validate_shex(
+        ds,
+        KG_SHEX,
+        "{FOCUS a <http://ex.org/Document>}@<http://ex.org/DocShape>",
+    )
+    t = pl.from_arrow(typing).filter(pl.col("is_focus"))
+    return (
+        t.group_by("val")
+        .agg(pl.len().cast(pl.Int64).alias("n"))
+        .sort("val")
+        .to_arrow()
+    )
+
+
 def _q_kg_infer_doc_shape(sf_dir: str):
     from shaclex_ray.pipelines.infer import infer_schema
     from shaclex_ray.stages.extract import C_DOCUMENT
@@ -353,6 +399,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_simhash": _q_dedup_simhash,
         "dedup_ngram_jaccard": _q_dedup_ngram_jaccard,
         "kg_infer_doc_shape": _q_kg_infer_doc_shape,
+        "kg_shex_doc_conformance": _q_kg_shex_doc_conformance,
         "ann_topk": _q_ann_topk,
         "ann_lsh_buckets": _q_ann_lsh_buckets,
         "media_features": _q_media_features,
@@ -421,6 +468,14 @@ def oracle_sql() -> dict[str, str]:
                CAST(min(doc_id) AS BIGINT) AS canonical_doc_id,
                CAST(count(*) AS BIGINT) AS n_dups
         FROM documents GROUP BY md5(text)
+        """,
+        "kg_shex_doc_conformance": "WITH "
+        + _DOCS_CTE
+        + """
+        SELECT CASE WHEN doc_id IN (SELECT doc_id FROM entity_tokens)
+                    THEN 'conforms' ELSE 'notConforms' END AS val,
+               CAST(count(*) AS BIGINT) AS n
+        FROM docs GROUP BY 1 ORDER BY val
         """,
         "kg_infer_doc_shape": "WITH "
         + _TRIPLES_CTE

@@ -138,7 +138,7 @@ def main():
         # deterministically (distinct doc_ids, identical content) so each
         # parallelism level has real work to chew (BASELINE.md protocol:
         # ≥64 blocks at the higher level)
-        scale_dir = _build_scale_input(sf_dir, factor=int(os.environ.get("GRAFT_SCALE_FACTOR", "20")))
+        scale_dir = _build_scale_input(sf_dir, factor=int(os.environ.get("GRAFT_SCALE_FACTOR", "100")))
         results = {}
         for n in (32, 8):
             p = subprocess.run(

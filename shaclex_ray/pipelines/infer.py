@@ -37,7 +37,8 @@ def _collapse2(a: str, b: str) -> str:
         return a
     if a.startswith("lit:") and b.startswith("lit:"):
         return "literal"
-    if a.startswith("lang:") and b.startswith("lang:"):
+    lang_family = lambda x: x == "langstring" or x.startswith("lang:")  # noqa: E731
+    if lang_family(a) and lang_family(b):
         return "langstring"
     if {a, b} <= {"literal", "langstring"} or (
         (a.startswith(("lit:", "lang:")) or a in ("literal", "langstring"))

@@ -123,6 +123,7 @@ def parse_shapemap(text: str, prefixes: dict[str, str] | None = None) -> list[di
                     assoc["subj"] = term(parts[0])
             else:
                 raise ShapeMapError("pattern must contain FOCUS")
+            i -= 1  # compensate the shared post-selector advance below
         elif k == "keyword" and v == "START":
             assoc = {"kind": "node", "node": None}
         else:

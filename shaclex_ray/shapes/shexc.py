@@ -31,7 +31,7 @@ _TOKEN_RE = re.compile(
   | (?P<code>%[a-zA-Z_][\w.\-]*:?\{(?:[^%\\]|\\.)*%\}|%[a-zA-Z_][\w.\-]*:?%)
   | (?P<bnode>_:[A-Za-z0-9_.\-]+)
   | (?P<langstem_empty>@~)
-  | (?P<langtag>@[a-zA-Z]+(?:-[a-zA-Z0-9]+)*(?:~)?)
+  | (?P<langtag>@[a-zA-Z]+(?:-[a-zA-Z0-9]+)*(?:~)?(?![\w:]))
   | (?P<atref>@(?:<[^<>]*>|[A-Za-z_][\w.\-]*:[\w.\-]*|:[\w.\-]*|_:[A-Za-z0-9_.\-]+))
   | (?P<teref>[$&](?:<[^<>]*>|[A-Za-z_][\w.\-]*:[\w.\-]*|:[\w.\-]*|_:[A-Za-z0-9_.\-]+))
   | (?P<double>[+-]?(?:\d+\.\d*[eE][+-]?\d+|\.?\d+[eE][+-]?\d+))

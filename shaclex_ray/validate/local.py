@@ -57,6 +57,7 @@ class ShExValidator:
         self.graph = graph
         self.typing: dict[tuple[str, str], bool] = {}
         self._in_progress: set[tuple[str, str]] = set()
+        self._flat_cache: dict[int, list | None] = {}
 
     # -- public API --------------------------------------------------------
     def validate_node_shape(self, node: tuple, shape_label: str | None) -> bool:
@@ -127,6 +128,71 @@ class ShExValidator:
             for sub in te["expressions"]:
                 self._collect_tcs(sub, out, seen)
 
+    def _flat_tcs(self, expr):
+        """If expr is a flat EachOf (group card 1,1) of TripleConstraints
+        with pairwise-distinct (predicate, inverse), return the TC list —
+        the counting decomposition applies (SURVEY.md C4: TripleConstraint
+        → counting ops, ShEx2SLang.scala:94-115). Cached per expr."""
+        key = id(expr)
+        if key in self._flat_cache:
+            return self._flat_cache[key]
+        result = None
+        te = self._resolve_te(expr)
+        t = te.get("type")
+        tcs = None
+        if t == "TripleConstraint":
+            tcs = [te]
+        elif t == "EachOf" and _card(te) == (1, 1):
+            tcs = []
+            for sub in te["expressions"]:
+                sub_r = self._resolve_te(sub) if isinstance(sub, str) else sub
+                if not (isinstance(sub_r, dict) and sub_r.get("type") == "TripleConstraint"):
+                    tcs = None
+                    break
+                tcs.append(sub_r)
+        if tcs is not None:
+            seen = set()
+            ok = True
+            for tc in tcs:
+                k = (tc["predicate"], bool(tc.get("inverse")))
+                if k in seen:
+                    ok = False
+                    break
+                seen.add(k)
+            if ok:
+                result = tcs
+        self._flat_cache[key] = result
+        return result
+
+    def _match_flat(self, node, shape, tcs, outs, ins, extra, closed) -> bool:
+        """Counting evaluation for flat shapes — any neighborhood size."""
+        for tc in tcs:
+            pred = tc["predicate"]
+            inv = bool(tc.get("inverse"))
+            vals = (
+                [s for p, s in ins if p == pred]
+                if inv
+                else [o for p, o in outs if p == pred]
+            )
+            ve = tc.get("valueExpr")
+            if ve is None:
+                c_sat = len(vals)
+            else:
+                c_sat = sum(1 for v in vals if self.satisfies(v, ve))
+            c_tot = len(vals)
+            mn, mx = _card(tc)
+            if not inv and pred not in extra:
+                # every arc with this predicate must be matched
+                if c_sat != c_tot:
+                    return False
+                if c_tot < mn or (mx != UNBOUNDED and c_tot > mx):
+                    return False
+            else:
+                # EXTRA (or incoming): matched = the satisfying arcs
+                if c_sat < mn or (mx != UNBOUNDED and c_sat > mx):
+                    return False
+        return True
+
     def _match_shape(self, node: tuple, shape: dict) -> bool:
         expr = shape.get("expression")
         extra = set(shape.get("extra", []) or [])
@@ -156,6 +222,12 @@ class ShExValidator:
             for p, _o in outs:
                 if p not in mentioned:
                     return False
+
+        # flat counting fast path (any neighborhood size)
+        if expr is not None:
+            flat = self._flat_tcs(expr)
+            if flat is not None:
+                return self._match_flat(node, shape, flat, outs, ins, extra, closed)
 
         n = len(arcs)
         if n > _MAX_MATCHABLE_ARCS:

@@ -67,6 +67,8 @@ NAMES = [
     "kg_doc_entity_counts",
     "kg_validation_mincount",
     "kg_typing_counts",
+    "kg_shex_doc_conformance",
+    "kg_infer_doc_shape",
     "text_token_stats",
     "text_fingerprints",
     "dedup_exact",
