@@ -83,7 +83,14 @@ def run_kg_pipeline(
 
         nbuckets = max(8, int(_ray.cluster_resources().get("CPU", 8)))
     runner = StageRunner(out_dir, resume=resume)
-    digest = f"{sf_dir}|nb={nbuckets}"
+    # digest covers inputs AND code/shape revision, so stale checkpoints
+    # from an older engine version are never resumed
+    import hashlib as _hl
+
+    import shaclex_ray as _pkg
+
+    rev = _hl.md5((_pkg.__version__ + KG_SHAPES_TTL).encode()).hexdigest()[:12]
+    digest = f"{sf_dir}|nb={nbuckets}|rev={rev}"
 
     def produce_raw(path):
         docs = read_documents(sf_dir)
