@@ -83,8 +83,10 @@ def main(argv=None):
         else:
             from shaclex_ray.engine import validate_shex
 
+            if not args.shapemap:
+                ap.error("--engine shex requires --shapemap (e.g. ':node@:Shape')")
             typing, summary = validate_shex(
-                ds, open(args.schema).read(), args.shapemap or "", nbuckets=args.nbuckets
+                ds, open(args.schema).read(), args.shapemap, nbuckets=args.nbuckets
             )
             print(result_json(typing) if args.result_format == "json" else result_text(typing))
     elif args.cmd == "infer":
