@@ -126,8 +126,15 @@ def _summary(typing: pa.Table) -> dict:
     focus_mask = typing.column("is_focus")
     focus = typing.filter(focus_mask)
     vals = focus.column("val").to_pylist()
+    conformant = sum(1 for v in vals if v == "conforms")
+    nonconformant = sum(1 for v in vals if v == "notConforms")
+    # undecided (unknown / error:*) focus pairs are NOT valid — a truncated
+    # or partially-failed validation must never present as a clean pass
+    unknown = focus.num_rows - conformant - nonconformant
     return {
         "focus_pairs": focus.num_rows,
-        "conformant": sum(1 for v in vals if v == "conforms"),
-        "nonconformant": sum(1 for v in vals if v == "notConforms"),
+        "conformant": conformant,
+        "nonconformant": nonconformant,
+        "unknown": unknown,
+        "valid": conformant == focus.num_rows,  # unknown/error ⇒ not valid
     }

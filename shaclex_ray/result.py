@@ -25,7 +25,11 @@ def result_json(typing: pa.Table, report: pa.Table | None = None) -> str:
         {
             "node": _node_str(n),
             "shape": s,
-            "status": "conformant" if v == "conforms" else "nonconformant",
+            "status": (
+                "conformant"
+                if v == "conforms"
+                else ("unknown" if v == "unknown" else "nonconformant")
+            ),
         }
         for n, s, v in zip(
             focus.column("node").to_pylist(),

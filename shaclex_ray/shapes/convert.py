@@ -176,6 +176,17 @@ def shex_to_shacl(schema: dict) -> dict:
 _COMPONENT_TO_NC = {v: k for k, v in _NC_TO_COMPONENT.items()}
 
 
+def _register_logical(out_shapes: dict, parent: str, kind: str, refs: list[str]) -> str:
+    """Register a synthetic ShapeOr/ShapeNot combination shape and return
+    its label (sh:or / sh:not at node-shape level)."""
+    label = f"_:{kind.lower()}-{parent}-{len(out_shapes)}"
+    if kind == "ShapeNot":
+        out_shapes[label] = {"type": "ShapeNot", "id": label, "shapeExpr": refs[0]}
+    else:
+        out_shapes[label] = {"type": kind, "id": label, "shapeExprs": list(refs)}
+    return label
+
+
 def shacl_to_shex(schema: dict) -> tuple[dict, list[str]]:
     """Compiled SHACL IR -> (ShEx schema IR, query shapemap selectors).
 
@@ -188,14 +199,35 @@ def shacl_to_shex(schema: dict) -> tuple[dict, list[str]]:
     def label_of(key: str) -> str:
         return key[1:] if key.startswith("I") else "_:" + key[1:]
 
+    def class_shape_ref(cls_key: str) -> str:
+        """Synthetic shape encoding ``sh:class c`` as a ShEx direct-type
+        check (reference emits the rdf:type/subClassOf* query pattern,
+        Shacl2ShEx.scala:61-70; we emit the direct-type shape matching our
+        target resolution): ``{ a [c] +  // EXTRA a }``."""
+        cls = cls_key[1:] if cls_key.startswith("I") else cls_key
+        label = f"_:class-{cls}"
+        if label not in out_shapes:
+            out_shapes[label] = {
+                "type": "Shape",
+                "id": label,
+                "extra": ["http://www.w3.org/1999/02/22-rdf-syntax-ns#type"],
+                "expression": {
+                    "type": "TripleConstraint",
+                    "predicate": "http://www.w3.org/1999/02/22-rdf-syntax-ns#type",
+                    "valueExpr": {"type": "NodeConstraint", "values": [cls]},
+                    "min": 1,
+                    "max": -1,
+                },
+            }
+        return label
+
     def conv(key: str) -> str:
         label = label_of(key)
         if label in out_shapes:
             return label
         sh = schema["shapes"][key]
         out_shapes[label] = {"type": "Shape", "id": label}
-        ncs: list[dict] = []
-        tcs: list[dict] = []
+        node_refs: list[str] = []  # node-level sh:node / sh:class conjuncts
         nc: dict = {"type": "NodeConstraint"}
         for kind, params in sh["components"]:
             if kind == "nodeKind":
@@ -229,9 +261,42 @@ def shacl_to_shex(schema: dict) -> tuple[dict, list[str]]:
                         values.append(v)
                 nc["values"] = values
             elif kind == "node":
-                tcs.append(("__self__", conv(params["shape"])))
+                node_refs.append(conv(params["shape"]))
             elif kind == "class":
-                nc.setdefault("_classes", []).append(params["cls"])
+                node_refs.append(class_shape_ref(params["cls"]))
+            elif kind == "hasValue":
+                # node-level hasValue: the focus itself must equal the value
+                vk = params["value"]
+                if vk.startswith("I"):
+                    nc["values"] = [vk[1:]]
+                else:
+                    lex, dt, lang = vk[1:].split("\x1f")
+                    v = {"value": lex}
+                    if lang:
+                        v["language"] = lang
+                    elif dt and dt != XSD + "string":
+                        v["type"] = dt
+                    nc["values"] = [v]
+            elif kind in ("and", "or", "not"):
+                refs = (
+                    [conv(s) for s in params["shapes"]]
+                    if kind != "not"
+                    else [conv(params["shape"])]
+                )
+                if kind == "and":
+                    node_refs.extend(refs)
+                elif kind == "or":
+                    node_refs.append(
+                        _register_logical(out_shapes, label, "ShapeOr", refs)
+                    )
+                else:
+                    node_refs.append(
+                        _register_logical(out_shapes, label, "ShapeNot", refs)
+                    )
+            else:
+                raise ConversionError(
+                    f"SHACL component {kind!r} does not convert to ShEx"
+                )
         exprs = []
         for pk in sh["properties"]:
             psh = schema["shapes"][pk]
@@ -240,7 +305,7 @@ def shacl_to_shex(schema: dict) -> tuple[dict, list[str]]:
             tc = {"type": "TripleConstraint", "predicate": psh["path"]["pred"]}
             mn, mx = 0, -1
             pnc = {"type": "NodeConstraint"}
-            ref = None
+            refs: list[str] = []
             for kind, params in psh["components"]:
                 if kind == "minCount":
                     mn = params["n"]
@@ -252,15 +317,48 @@ def shacl_to_shex(schema: dict) -> tuple[dict, list[str]]:
                     pnc["nodeKind"] = _COMPONENT_TO_NC.get(params["iri"], "nonliteral")
                 elif kind == "pattern":
                     pnc["pattern"] = params["pattern"]
+                    if params.get("flags"):
+                        pnc["flags"] = params["flags"]
+                elif kind == "minLength":
+                    pnc["minlength"] = params["n"]
+                elif kind == "maxLength":
+                    pnc["maxlength"] = params["n"]
+                elif kind in (
+                    "minInclusive",
+                    "minExclusive",
+                    "maxInclusive",
+                    "maxExclusive",
+                ):
+                    lex, _dt = params["value"]
+                    pnc[kind.lower()] = int(lex) if "." not in lex else float(lex)
+                elif kind == "in":
+                    values = []
+                    for vk in params["values"]:
+                        if vk.startswith("I"):
+                            values.append(vk[1:])
+                        else:
+                            lex, dt, lang = vk[1:].split("\x1f")
+                            v = {"value": lex}
+                            if lang:
+                                v["language"] = lang
+                            elif dt and dt != XSD + "string":
+                                v["type"] = dt
+                            values.append(v)
+                    pnc["values"] = values
                 elif kind == "node":
-                    ref = conv(params["shape"])
+                    refs.append(conv(params["shape"]))
+                elif kind == "class":
+                    refs.append(class_shape_ref(params["cls"]))
+                else:
+                    raise ConversionError(
+                        f"SHACL property component {kind!r} does not convert to ShEx"
+                    )
             tc["min"], tc["max"] = mn, mx
-            if len(pnc) > 1 and ref:
-                tc["valueExpr"] = {"type": "ShapeAnd", "shapeExprs": [pnc, ref]}
-            elif len(pnc) > 1:
-                tc["valueExpr"] = pnc
-            elif ref:
-                tc["valueExpr"] = ref
+            parts: list = ([pnc] if len(pnc) > 1 else []) + refs
+            if len(parts) > 1:
+                tc["valueExpr"] = {"type": "ShapeAnd", "shapeExprs": parts}
+            elif parts:
+                tc["valueExpr"] = parts[0]
             exprs.append(tc)
         shape: dict = {"type": "Shape", "id": label}
         if sh["closed"]:
@@ -270,14 +368,19 @@ def shacl_to_shex(schema: dict) -> tuple[dict, list[str]]:
             shape["expression"] = exprs[0]
         elif exprs:
             shape["expression"] = {"type": "EachOf", "expressions": exprs}
+        # conjoin node constraint + node-level sh:node/sh:class refs
+        # (reference wraps in a conjunction rather than dropping them)
+        conjuncts: list = []
         if len(nc) > 1:
-            nc.pop("_classes", None)
-            if len(nc) > 1:
-                shape = {
-                    "type": "ShapeAnd",
-                    "id": label,
-                    "shapeExprs": [nc, {k: v for k, v in shape.items() if k != "id"}],
-                }
+            conjuncts.append(nc)
+        conjuncts.extend(node_refs)
+        if conjuncts:
+            shape = {
+                "type": "ShapeAnd",
+                "id": label,
+                "shapeExprs": conjuncts
+                + [{k: v for k, v in shape.items() if k != "id"}],
+            }
         out_shapes[label] = shape
 
         for kind, val in sh["targets"]:
@@ -300,7 +403,10 @@ def shacl_to_shex(schema: dict) -> tuple[dict, list[str]]:
         return label
 
     for key in sorted(schema["shapes"]):
-        if schema["shapes"][key] is not None:
+        sh = schema["shapes"][key]
+        # property shapes (path != None) convert inline as TripleConstraints
+        # of their parent — not as standalone node shapes
+        if sh is not None and sh.get("path") is None:
             conv(key)
     return (
         {"start": None, "shapes": out_shapes, "te_refs": {}, "imports": []},

@@ -87,6 +87,8 @@ def _dedup_split_impl(nbuckets: int, *tbls: pa.Table):
     sorted_tbl = pa.Table.from_pandas(df.iloc[order], preserve_index=False)
     sorted_b = buckets[order]
     bounds = np.searchsorted(sorted_b, np.arange(nbuckets + 1))
+    if nbuckets == 1:
+        return sorted_tbl  # num_returns=1: the single return IS the table
     return tuple(
         sorted_tbl.slice(bounds[i], bounds[i + 1] - bounds[i])
         for i in range(nbuckets)

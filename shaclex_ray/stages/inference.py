@@ -105,7 +105,10 @@ def rdfs_entailment(triples_ds):
                 if prop in dom:
                     add_type(subj[i], dom[prop])
                 if prop in rng and okind[i] != "literal":
-                    add_type(olex[i], rng[prop])
+                    # bnode objects need the subject-column '_:' prefix
+                    # (otherwise the derived subject decodes as an IRI)
+                    o_subj = "_:" + olex[i] if okind[i] == "bnode" else olex[i]
+                    add_type(o_subj, rng[prop])
             # rdfs9: subclass type propagation
             if p == RDF_TYPE and okind[i] == "iri":
                 for sup in sc.get(olex[i], ()):

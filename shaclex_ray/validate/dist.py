@@ -111,6 +111,61 @@ def register_inline_shapes(schema: dict) -> dict:
     return schema
 
 
+def schema_has_inverse(engine: str, schema: dict) -> bool:
+    """Does the schema contain any inverse constraint (ShEx ^p TCs or
+    SHACL inverse paths)? Determines whether reversed arc copies and
+    literal home-bucketing are needed."""
+    if engine == "shex":
+        found = [False]
+
+        def walk_se(se):
+            if found[0] or not isinstance(se, dict):
+                return
+            for sub in se.get("shapeExprs", []) or []:
+                walk_se(sub)
+            if isinstance(se.get("shapeExpr"), (dict, str)):
+                walk_se(se["shapeExpr"]) if isinstance(se["shapeExpr"], dict) else None
+            if se.get("expression") is not None:
+                walk_te(se["expression"])
+
+        def walk_te(te):
+            if found[0] or not isinstance(te, dict):
+                return
+            if te.get("type") == "TripleConstraint" and te.get("inverse"):
+                found[0] = True
+                return
+            for sub in te.get("expressions", []) or []:
+                walk_te(sub)
+            if isinstance(te.get("valueExpr"), dict):
+                walk_se(te["valueExpr"])
+
+        for se in schema.get("shapes", {}).values():
+            walk_se(se)
+        for te in schema.get("te_refs", {}).values():
+            walk_te(te)
+        if isinstance(schema.get("start"), dict):
+            walk_se(schema["start"])
+        return found[0]
+
+    def path_has_inverse(path) -> bool:
+        if not isinstance(path, dict):
+            return False
+        if "inverse" in path:
+            return True
+        for k in ("seq", "alt"):
+            if k in path and any(path_has_inverse(p) for p in path[k]):
+                return True
+        for k in ("zeroOrMore", "oneOrMore", "zeroOrOne"):
+            if k in path and path_has_inverse(path[k]):
+                return True
+        return False
+
+    for sh in schema.get("shapes", {}).values():
+        if sh and path_has_inverse(sh.get("path")):
+            return True
+    return False
+
+
 class _NeedRemote(Exception):
     pass
 
@@ -251,14 +306,31 @@ def _split_block(nbuckets: int, include_inverse: bool, *tbls: pa.Table):
     fwd_b = stable_bucket_array(base.column("subj").to_pylist(), nbuckets)
     fwd_parts = partition(fwd, fwd_b)
     if not include_inverse:
+        if nbuckets == 1:
+            return fwd_parts[0]  # num_returns=1: return the table itself
         return tuple(fwd_parts)
-    mask = pc.not_equal(base.column("obj_kind"), "literal")
-    rev = base.filter(mask)
+    # reversed copies co-locate incoming arcs with their object node —
+    # including literal objects (a literal focus with an inverse constraint
+    # must see its arcs_in; bucketing matches node_key_bucket's 'L' branch)
+    rev = base
     okind = rev.column("obj_kind").to_pylist()
     olex = rev.column("obj_lex").to_pylist()
-    ostr = [("_:" + l if k == "bnode" else l) for k, l in zip(okind, olex)]
+    odt = rev.column("obj_dt").to_pylist()
+    olang = rev.column("obj_lang").to_pylist()
+    from shaclex_ray.terms import SEP as _SEP
+
+    ostr = [
+        (
+            "_:" + l
+            if k == "bnode"
+            else (l if k == "iri" else "L" + l + _SEP + d + _SEP + g)
+        )
+        for k, l, d, g in zip(okind, olex, odt, olang)
+    ]
     rev = rev.append_column("rev", pa.array(np.ones(rev.num_rows, dtype=bool)))
     rev_parts = partition(rev, stable_bucket_array(ostr, nbuckets))
+    if nbuckets == 1:
+        return pa.concat_tables([fwd_parts[0], rev_parts[0]])
     return tuple(
         pa.concat_tables([f, r]) for f, r in zip(fwd_parts, rev_parts)
     )
@@ -318,10 +390,21 @@ class LazyBucketGraph:
         }
         okind = rev.column("obj_kind").combine_chunks()
         olex = rev.column("obj_lex").combine_chunks()
+        odt = rev.column("obj_dt").combine_chunks()
+        olang = rev.column("obj_lang").combine_chunks()
+        from shaclex_ray.terms import SEP as _SEP
+
+        lit_key = pc.binary_join_element_wise(
+            pc.binary_join_element_wise("L", olex, ""), odt, olang, _SEP
+        )
         rkeys = pc.if_else(
-            pc.equal(okind, "bnode"),
-            pc.binary_join_element_wise("B", olex, ""),
-            pc.binary_join_element_wise("I", olex, ""),
+            pc.equal(okind, "literal"),
+            lit_key,
+            pc.if_else(
+                pc.equal(okind, "bnode"),
+                pc.binary_join_element_wise("B", olex, ""),
+                pc.binary_join_element_wise("I", olex, ""),
+            ),
         )
         self._rev_idx = pd.Series(range(len(rkeys))).groupby(rkeys.to_pandas().values).indices
 
@@ -442,10 +525,19 @@ class BucketWorker:
         assumptions = self.assumptions
         cache = self._local_cache
 
+        # literals have no outgoing arcs, so without inverse constraints any
+        # bucket evaluates them correctly (term-local fast path); WITH
+        # inverse constraints a literal focus must run in its home bucket
+        # where its reversed copies live
+        lit_local = not self.schema.get("_has_inverse")
+
         def is_local_key(nk: str) -> bool:
             v = cache.get(nk)
             if v is None:
-                v = True if nk.startswith("L") else node_key_bucket(nk, nb) == me
+                if nk.startswith("L") and lit_local:
+                    v = True
+                else:
+                    v = node_key_bucket(nk, nb) == me
                 cache[nk] = v
             return v
 
@@ -502,6 +594,18 @@ class BucketWorker:
 
     def ping(self):
         return self.bucket_id
+
+    def mark_pending_unknown(self) -> int:
+        """Loop-exit fallback: pairs the fixpoint could not decide become
+        val='unknown' (result_json/_summary treat them as not valid)."""
+        n = 0
+        for key in list(self.pending):
+            if key not in self.typing:
+                self.typing[key] = "unknown"
+                n += 1
+        self.pending.clear()
+        self.blocked_on.clear()
+        return n
 
     def assume_deps(self, deps: list):
         """Cycle-breaking: treat listed unanswered deps as conforming
@@ -574,6 +678,11 @@ def distributed_validate(
 
     if engine == "shex":
         register_inline_shapes(schema)
+    # inverse constraints require reversed arc copies (and route literal
+    # focus nodes to a home bucket so their arcs_in are co-located)
+    has_inv = schema_has_inverse(engine, schema)
+    schema["_has_inverse"] = has_inv
+    include_inverse = include_inverse or has_inv
     schema_ref = ray.put(schema)
 
     # spawn the actor fleet FIRST: worker-process startup (the dominant
@@ -629,9 +738,15 @@ def distributed_validate(
     answered_vals: dict[tuple[str, str], str] = {}
     forwarded: set[tuple[tuple[str, str], int]] = set()
 
+    # Productive rounds never count against the cap (a deep shape-reference
+    # chain legitimately needs depth-many rounds); only consecutive
+    # non-productive rounds do. Pairs still pending when the loop exits are
+    # marked val='unknown' — never silently dropped (a truncated validation
+    # must not read as a clean pass).
     rounds = 0
+    stalls = 0
     cycle_broken = False
-    while rounds < max_rounds:
+    while rounds < 100_000:  # safety valve; real exits are below
         rounds += 1
         results = ray.get([w.run_round.remote() for w in workers])
         total_decided = sum(r[0] for r in results)
@@ -675,13 +790,23 @@ def distributed_validate(
         _mark(f"round{rounds} decided={total_decided} pending={total_pending}")
         if total_pending == 0 and not new_child_tasks:
             break
-        if not progress:
-            if cycle_broken:
-                break
+        if progress:
+            stalls = 0
+            continue
+        stalls += 1
+        if not cycle_broken:
             # cross-bucket cycle: close coinductively (assume conforms)
             unresolved = sorted(c for c in need_by if c not in answered_vals)
             ray.get([w.assume_deps.remote(unresolved) for w in workers])
             cycle_broken = True
+            continue
+        if stalls >= max(2, max_rounds):
+            break
+
+    # anything still pending is UNDECIDED — surface it, don't drop it
+    n_unknown = sum(ray.get([w.mark_pending_unknown.remote() for w in workers]))
+    if n_unknown and dbg:
+        print(f"[dist] WARNING: {n_unknown} pairs left unknown", flush=True)
 
     collected = ray.get([w.collect.remote() for w in workers])
     for w in workers:

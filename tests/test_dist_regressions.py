@@ -1,0 +1,210 @@
+"""Regression tests for distributed-validator edge cases:
+
+  * deep cross-bucket shape-reference chains must not be truncated by the
+    round cap (pairs left undecided surface as val='unknown', never vanish)
+  * a literal focus node with an inverse TripleConstraint validates against
+    its co-located reversed arcs (literal home-bucketing)
+  * nbuckets=1 works (single-return split)
+  * shacl_to_shex preserves node-level sh:node / sh:class constraints
+  * RDFS range entailment types bnode objects with proper '_:' subjects
+"""
+
+import pyarrow as pa
+
+
+def _chain_schema(depth: int) -> dict:
+    """S0 -> :p -> S1 -> :p -> ... -> S{depth} (each hop crosses buckets)."""
+    shapes = {}
+    for i in range(depth):
+        shapes[f"http://ex.org/S{i}"] = {
+            "type": "Shape",
+            "id": f"http://ex.org/S{i}",
+            "expression": {
+                "type": "TripleConstraint",
+                "predicate": "http://ex.org/p",
+                "valueExpr": f"http://ex.org/S{i + 1}",
+                "min": 1,
+                "max": 1,
+            },
+        }
+    shapes[f"http://ex.org/S{depth}"] = {
+        "type": "Shape",
+        "id": f"http://ex.org/S{depth}",
+        "expression": None,
+    }
+    return {"start": None, "shapes": shapes, "te_refs": {}, "imports": []}
+
+
+def _chain_triples(depth: int):
+    from shaclex_ray.terms import iri, triples_to_table
+
+    return triples_to_table(
+        [
+            (iri(f"http://ex.org/n{i}"), "http://ex.org/p", iri(f"http://ex.org/n{i + 1}"))
+            for i in range(depth)
+        ]
+    )
+
+
+def test_deep_chain_not_truncated(ray_session):
+    """A 20-deep reference chain needs ~20 productive rounds; with the old
+    max_rounds=12 cap the focus pair silently vanished and result_json said
+    valid:true vacuously."""
+    import ray.data as rd
+
+    from shaclex_ray.result import result_json
+    from shaclex_ray.validate.dist import distributed_validate
+
+    depth = 20
+    ds = rd.from_arrow(_chain_triples(depth))
+    focus = pa.table({"node": ["Ihttp://ex.org/n0"], "shape": ["http://ex.org/S0"]})
+    typing, _rep = distributed_validate(
+        ds, "shex", _chain_schema(depth), focus, nbuckets=4, max_rounds=12
+    )
+    focus_rows = typing.filter(typing.column("is_focus"))
+    assert focus_rows.num_rows == 1
+    assert focus_rows.column("val")[0].as_py() == "conforms"
+    import json
+
+    doc = json.loads(result_json(typing))
+    assert doc["valid"] is True and len(doc["shapeMap"]) == 1
+
+
+def test_undecided_pairs_marked_unknown(ray_session):
+    """Force an undecidable setup: unresolvable cross-bucket cycle closes
+    coinductively, but if anything remains pending at exit it must surface
+    as 'unknown', and the summary must not read valid."""
+    from shaclex_ray.engine import _summary
+
+    typing = pa.table(
+        {
+            "node": ["In1", "In2"],
+            "shape": ["S", "S"],
+            "val": ["conforms", "unknown"],
+            "is_focus": [True, True],
+        }
+    )
+    s = _summary(typing)
+    assert s["unknown"] == 1 and s["valid"] is False
+
+
+def test_literal_focus_inverse_tc(ray_session):
+    """schema ':S { ^:p IRI+ }' on ':x :p "v"': the literal focus "v" must
+    see its incoming arc (previously reversed copies dropped literals and
+    distributed said notConforms while local said conforms)."""
+    import ray.data as rd
+
+    from shaclex_ray.terms import iri, literal, term_key, triples_to_table
+    from shaclex_ray.validate.dist import distributed_validate
+
+    lit = literal("v")
+    ds = rd.from_arrow(
+        triples_to_table([(iri("http://ex.org/x"), "http://ex.org/p", lit)])
+    )
+    schema = {
+        "start": None,
+        "te_refs": {},
+        "imports": [],
+        "shapes": {
+            "http://ex.org/S": {
+                "type": "Shape",
+                "id": "http://ex.org/S",
+                "expression": {
+                    "type": "TripleConstraint",
+                    "predicate": "http://ex.org/p",
+                    "inverse": True,
+                    "valueExpr": {"type": "NodeConstraint", "nodeKind": "iri"},
+                    "min": 1,
+                    "max": -1,
+                },
+            }
+        },
+    }
+    for nb in (1, 4):  # nbuckets=1 also exercises the single-return split
+        focus = pa.table({"node": [term_key(lit)], "shape": ["http://ex.org/S"]})
+        import copy
+
+        typing, _rep = distributed_validate(
+            ds, "shex", copy.deepcopy(schema), focus, nbuckets=nb
+        )
+        focus_rows = typing.filter(typing.column("is_focus"))
+        assert focus_rows.num_rows == 1, nb
+        assert focus_rows.column("val")[0].as_py() == "conforms", nb
+
+
+def test_dedup_nbuckets_1(ray_session):
+    import ray.data as rd
+
+    from shaclex_ray.stages.dedup import dedup_triples_fast
+    from shaclex_ray.terms import iri, triples_to_table
+
+    tbl = triples_to_table(
+        [
+            (iri("http://ex.org/a"), "http://ex.org/p", iri("http://ex.org/b")),
+            (iri("http://ex.org/a"), "http://ex.org/p", iri("http://ex.org/b")),
+        ]
+    )
+    out = dedup_triples_fast(rd.from_arrow(tbl), nbuckets=1)
+    assert out.count() == 1
+
+
+def test_shacl_to_shex_preserves_node_and_class():
+    """Node-shape-level sh:node and sh:class must constrain the converted
+    ShEx shape (previously silently dropped)."""
+    from shaclex_ray.rdfio import parse_turtle
+    from shaclex_ray.shapes.convert import shacl_to_shex
+    from shaclex_ray.shapes.shacl import compile_shacl
+    from shaclex_ray.terms import iri
+    from shaclex_ray.validate.local import Graph, ShExValidator
+
+    ttl = """
+    @prefix sh: <http://www.w3.org/ns/shacl#> .
+    @prefix ex: <http://ex.org/> .
+    ex:S a sh:NodeShape ;
+      sh:node ex:Inner ;
+      sh:class ex:Cls .
+    ex:Inner a sh:NodeShape ;
+      sh:property [ sh:path ex:q ; sh:minCount 1 ] .
+    """
+    shex, _sel = shacl_to_shex(compile_shacl(parse_turtle(ttl)))
+    # a node lacking both ex:q and rdf:type ex:Cls must NOT conform
+    from shaclex_ray.terms import triples_to_table, table_to_triples
+
+    data_bad = [(iri("http://ex.org/n"), "http://ex.org/r", iri("http://ex.org/m"))]
+    v = ShExValidator(shex, Graph(data_bad))
+    assert v.validate_node_shape(iri("http://ex.org/n"), "http://ex.org/S") is False
+    data_good = [
+        (iri("http://ex.org/n"), "http://ex.org/q", iri("http://ex.org/m")),
+        (
+            iri("http://ex.org/n"),
+            "http://www.w3.org/1999/02/22-rdf-syntax-ns#type",
+            iri("http://ex.org/Cls"),
+        ),
+    ]
+    v2 = ShExValidator(shex, Graph(data_good))
+    assert v2.validate_node_shape(iri("http://ex.org/n"), "http://ex.org/S") is True
+
+
+def test_rdfs_range_entailment_bnode_subject(ray_session):
+    """rdfs:range typing of a bnode object must emit subj='_:<id>'."""
+    import ray.data as rd
+
+    from shaclex_ray.stages.inference import rdfs_entailment
+    from shaclex_ray.terms import bnode, iri, triples_to_table
+
+    RDFS = "http://www.w3.org/2000/01/rdf-schema#"
+    schema_triples = [
+        (iri("http://ex.org/p"), RDFS + "range", iri("http://ex.org/C")),
+    ]
+    data = [(iri("http://ex.org/s"), "http://ex.org/p", bnode("b0"))]
+    ds = rd.from_arrow(triples_to_table(schema_triples + data))
+    out = rdfs_entailment(ds)
+    rows = out.take_all()
+    typed = [
+        r
+        for r in rows
+        if r["pred"] == "http://www.w3.org/1999/02/22-rdf-syntax-ns#type"
+        and r["obj_lex"] == "http://ex.org/C"
+    ]
+    assert typed, "range entailment missing"
+    assert all(r["subj"].startswith("_:") for r in typed), typed

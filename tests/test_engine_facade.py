@@ -41,7 +41,13 @@ def test_datatype_example_shex(rd):
     assert res["Ihttp://example.org/good"] == "conforms"
     for bad in ("bad1", "bad2", "bad3", "bad4", "bad5"):
         assert res[f"Ihttp://example.org/{bad}"] == "notConforms", bad
-    assert summary == {"focus_pairs": 6, "conformant": 1, "nonconformant": 5}
+    assert summary == {
+        "focus_pairs": 6,
+        "conformant": 1,
+        "nonconformant": 5,
+        "unknown": 0,
+        "valid": False,
+    }
 
 
 WEBINDEX_DATA = """
