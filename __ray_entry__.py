@@ -314,6 +314,12 @@ def _q_ann_lsh_buckets(sf_dir: str):
     return lsh_buckets(sf_dir)
 
 
+def _q_ann_lsh_topk(sf_dir: str):
+    from shaclex_ray.functions.ann import lsh_topk
+
+    return lsh_topk(sf_dir, n_queries=10, k=5)
+
+
 def _q_text_langid(sf_dir: str):
     from shaclex_ray.functions.text import langid
 
@@ -402,11 +408,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_shex_doc_conformance": _q_kg_shex_doc_conformance,
         "ann_topk": _q_ann_topk,
         "ann_lsh_buckets": _q_ann_lsh_buckets,
+        "ann_lsh_topk": _q_ann_lsh_topk,
         "media_features": _q_media_features,
     }
 
 
 def oracle_sql() -> dict[str, str]:
+    from shaclex_ray.functions import sql_oracles as _sql_oracles
+
     return {
         "kg_triples": "WITH " + _TRIPLES_CTE + " SELECT * FROM kg_triples",
         "doc_spans": "WITH "
@@ -506,6 +515,14 @@ def oracle_sql() -> dict[str, str]:
                     ELSE '.' END AS constraint
         FROM doc_arcs a GROUP BY a.pred
         """,
+        # hash-based dedup / LSH oracles: generated with the SAME seeds /
+        # hyperplanes as the Ray operators (md5_number_lower-derived hashes,
+        # splitmix64 as 32-bit-split HUGEINT arithmetic — full SQL twins)
+        "dedup_minhash": _sql_oracles.minhash_candidates_sql(),
+        "dedup_simhash": _sql_oracles.simhash_sql(),
+        "dedup_ngram_jaccard": _sql_oracles.ngram_jaccard_sql(),
+        "ann_lsh_buckets": _sql_oracles.lsh_buckets_sql(dim=64),
+        "ann_lsh_topk": _sql_oracles.lsh_topk_sql(dim=64),
         "ann_topk": """
         WITH q AS (
           SELECT vec_id AS query_id, embedding AS qe FROM embeddings

@@ -2,11 +2,15 @@
 list<float>, label).
 
   * brute-force cosine top-k: the query matrix is broadcast once
-    (``ray.put``); every batch does one float64 matmul against it
-  * LSH-bucketed variant (scale path): random-hyperplane signatures bucket
-    vectors; queries only score within their bucket (+ optional multiprobe)
+    (``ray.put``); every batch does one float64 matmul against it and
+    emits only its per-(query, batch) top-k — the reduce sees
+    nq × k × nblocks rows, never the full nq × N score table
+  * LSH-bucketed top-k (scale path): random-hyperplane signatures bucket
+    vectors; queries score only against vectors sharing their bucket
 
-Determinism: ties broken by vec_id; hyperplanes from a fixed seed.
+Determinism: ties broken by vec_id (selection by (-cos, vec_id) is
+order-monotone, so per-batch partial top-k composes exactly with the
+final merge); hyperplanes from a fixed seed.
 """
 
 from __future__ import annotations
@@ -16,6 +20,17 @@ import pyarrow as pa
 
 import ray
 import ray.data
+
+
+def _cpus() -> int:
+    try:
+        return max(2, int(ray.cluster_resources().get("CPU", 4)))
+    except Exception:  # pragma: no cover
+        return 4
+
+
+def _pool():
+    return (2, _cpus())
 
 
 def _read_emb(sf_dir: str):
@@ -30,8 +45,20 @@ def _to_matrix(batch: pa.Table) -> tuple[np.ndarray, np.ndarray]:
     return ids, emb
 
 
+def _partial_topk(qids, ids, sims, k, out_q, out_v, out_s):
+    """Per-query top-k within one batch, selected by (-cos, vec_id) so the
+    final merge over partials equals the global top-k exactly."""
+    for qi in range(sims.shape[0]):
+        order = np.lexsort((ids, -sims[qi]))[:k]
+        order = order[np.isfinite(sims[qi][order])]  # drop masked self rows
+        out_q.extend([int(qids[qi])] * len(order))
+        out_v.extend(int(x) for x in ids[order])
+        out_s.extend(float(s) for s in sims[qi][order])
+
+
 class BruteForceTopK:
-    """Actor-pool stage: normalized query matrix prepared once per actor."""
+    """Actor-pool stage: normalized query matrix prepared once per actor;
+    emits k best per (query, batch) — the scale-safe partial reduce."""
 
     def __init__(self, queries_ref, k: int):
         q = ray.get(queries_ref) if isinstance(queries_ref, ray.ObjectRef) else queries_ref
@@ -45,11 +72,15 @@ class BruteForceTopK:
         en = np.linalg.norm(emb, axis=1, keepdims=True)
         emb = emb / np.maximum(en, 1e-12)
         sims = self.qm @ emb.T  # (nq, nb)
-        out_q, out_v, out_s = [], [], []
-        for qi in range(sims.shape[0]):
-            out_q.extend([int(self.qids[qi])] * len(ids))
-            out_v.extend(int(x) for x in ids)
-            out_s.extend(float(s) for s in sims[qi])
+        # exclude self-matches before selection
+        for qi, qid in enumerate(self.qids):
+            self_mask = ids == qid
+            if self_mask.any():
+                sims[qi, self_mask] = -np.inf
+        out_q: list = []
+        out_v: list = []
+        out_s: list = []
+        _partial_topk(self.qids, ids, sims, self.k, out_q, out_v, out_s)
         return pa.table(
             {
                 "query_id": pa.array(out_q, pa.int64()),
@@ -59,32 +90,11 @@ class BruteForceTopK:
         )
 
 
-def topk_cosine(sf_dir: str, n_queries: int = 10, k: int = 5):
-    """Top-k cosine neighbors (excluding self) for the first n query vectors.
-    Returns (query_id, vec_id, rank)."""
-    import pyarrow.parquet as pq
-
-    qt = pq.read_table(
-        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
-    ).slice(0, n_queries)
-    qids, qm = _to_matrix(qt)
-    queries_ref = ray.put((qids, qm))
-
-    scored = _read_emb(sf_dir).map_batches(
-        BruteForceTopK,
-        fn_constructor_args=(queries_ref, k),
-        batch_format="pyarrow",
-        concurrency=(1, 2),
-    )
-
-    # per-query partial top-k inside each batch would be better at scale;
-    # here the (nq × N) score table reduces per query via groupby
-    def reduce_topk(group: pa.Table) -> pa.Table:
+def _reduce_topk(k: int):
+    def reduce(group: pa.Table) -> pa.Table:
         qid = group.column("query_id")[0].as_py()
         vids = group.column("vec_id").to_numpy(zero_copy_only=False)
         cos = group.column("cos").to_numpy(zero_copy_only=False)
-        mask = vids != qid  # exclude self
-        vids, cos = vids[mask], cos[mask]
         order = np.lexsort((vids, -cos))[:k]
         return pa.table(
             {
@@ -94,7 +104,47 @@ def topk_cosine(sf_dir: str, n_queries: int = 10, k: int = 5):
             }
         )
 
-    return scored.groupby("query_id").map_groups(reduce_topk, batch_format="pyarrow")
+    return reduce
+
+
+def _load_queries(sf_dir: str, n_queries: int):
+    import pyarrow.parquet as pq
+
+    qt = pq.read_table(
+        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
+    ).slice(0, n_queries)
+    return _to_matrix(qt)
+
+
+def topk_cosine(sf_dir: str, n_queries: int = 10, k: int = 5):
+    """Top-k cosine neighbors (excluding self) for the first n query vectors.
+    Returns (query_id, vec_id, rank)."""
+    qids, qm = _load_queries(sf_dir, n_queries)
+    queries_ref = ray.put((qids, qm))
+
+    partials = _read_emb(sf_dir).map_batches(
+        BruteForceTopK,
+        fn_constructor_args=(queries_ref, k),
+        batch_format="pyarrow",
+        concurrency=_pool(),
+    )
+    # tiny final merge: ≤ nq × k × nblocks rows
+    return partials.groupby("query_id").map_groups(
+        _reduce_topk(k), batch_format="pyarrow"
+    )
+
+
+# --------------------------------------------------------------- LSH path
+
+def lsh_planes(dim: int, nbits: int = 8, seed: int = 777) -> np.ndarray:
+    """The fixed random hyperplanes (shared with the SQL oracle generator)."""
+    rng = np.random.RandomState(seed)
+    return rng.randn(nbits, dim)
+
+
+def _signature(emb: np.ndarray, planes: np.ndarray) -> np.ndarray:
+    bits = (emb @ planes.T) > 0
+    return (bits * (1 << np.arange(bits.shape[1]))).sum(axis=1)
 
 
 class LshBucketer:
@@ -102,12 +152,10 @@ class LshBucketer:
     their bucket)."""
 
     def __init__(self, dim: int, nbits: int = 8, seed: int = 777):
-        rng = np.random.RandomState(seed)
-        self.planes = rng.randn(nbits, dim)
+        self.planes = lsh_planes(dim, nbits, seed)
 
     def signature(self, emb: np.ndarray) -> np.ndarray:
-        bits = (emb @ self.planes.T) > 0
-        return (bits * (1 << np.arange(bits.shape[1]))).sum(axis=1)
+        return _signature(emb, self.planes)
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         ids, emb = _to_matrix(batch)
@@ -120,14 +168,78 @@ class LshBucketer:
         )
 
 
-def lsh_buckets(sf_dir: str, nbits: int = 8):
+def _emb_dim(sf_dir: str) -> int:
     import pyarrow.parquet as pq
 
-    dim = len(
+    return len(
         pq.read_table(f"{sf_dir}/embeddings.parquet", columns=["embedding"])
         .column("embedding")[0]
         .as_py()
     )
+
+
+def lsh_buckets(sf_dir: str, nbits: int = 8):
+    dim = _emb_dim(sf_dir)
     return _read_emb(sf_dir).map_batches(
-        LshBucketer, fn_constructor_args=(dim, nbits), batch_format="pyarrow", concurrency=(1, 2)
+        LshBucketer,
+        fn_constructor_args=(dim, nbits),
+        batch_format="pyarrow",
+        concurrency=_pool(),
+    )
+
+
+class LshBucketTopK:
+    """End-to-end bucketed scoring: per batch, each query scores ONLY the
+    vectors sharing its LSH bucket, emitting per-(query, batch) top-k.
+    At scale this replaces the N-wide matmul with |bucket|-wide ones."""
+
+    def __init__(self, queries_ref, k: int, nbits: int, dim: int, seed: int = 777):
+        q = ray.get(queries_ref) if isinstance(queries_ref, ray.ObjectRef) else queries_ref
+        self.qids, qm = q
+        self.planes = lsh_planes(dim, nbits, seed)
+        self.qsig = _signature(np.asarray(qm, dtype=np.float64), self.planes)
+        qn = np.linalg.norm(qm, axis=1, keepdims=True)
+        self.qm = qm / np.maximum(qn, 1e-12)
+        self.k = k
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids, emb = _to_matrix(batch)
+        sig = _signature(emb, self.planes)
+        en = np.linalg.norm(emb, axis=1, keepdims=True)
+        emb = emb / np.maximum(en, 1e-12)
+        out_q: list = []
+        out_v: list = []
+        out_s: list = []
+        for qi, qid in enumerate(self.qids):
+            mask = (sig == self.qsig[qi]) & (ids != qid)
+            if not mask.any():
+                continue
+            cand_ids = ids[mask]
+            sims = (self.qm[qi] @ emb[mask].T)[None, :]
+            _partial_topk([qid], cand_ids, sims, self.k, out_q, out_v, out_s)
+        return pa.table(
+            {
+                "query_id": pa.array(out_q, pa.int64()),
+                "vec_id": pa.array(out_v, pa.int64()),
+                "cos": pa.array(out_s, pa.float64()),
+            }
+        )
+
+
+def lsh_topk(sf_dir: str, n_queries: int = 10, k: int = 5, nbits: int = 8):
+    """Approximate top-k: brute-force cosine *within* each query's LSH
+    bucket. Returns (query_id, vec_id, rank). Recall vs topk_cosine is
+    checked in tests; the SQL oracle reproduces the signatures with
+    inlined hyperplanes."""
+    dim = _emb_dim(sf_dir)
+    qids, qm = _load_queries(sf_dir, n_queries)
+    queries_ref = ray.put((qids, qm))
+    partials = _read_emb(sf_dir).map_batches(
+        LshBucketTopK,
+        fn_constructor_args=(queries_ref, k, nbits, dim),
+        batch_format="pyarrow",
+        concurrency=_pool(),
+    )
+    return partials.groupby("query_id").map_groups(
+        _reduce_topk(k), batch_format="pyarrow"
     )

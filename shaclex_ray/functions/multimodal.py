@@ -13,6 +13,8 @@ from __future__ import annotations
 
 import hashlib
 
+import ray
+
 import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
@@ -87,11 +89,12 @@ class MediaFeaturizer:
         )
 
 
-def media_features(docs_ds, concurrency=(1, 4), batch_size: int = 256):
+def media_features(docs_ds, concurrency=None, batch_size: int = 256):
     media = media_refs_from_documents(docs_ds)
     return media.map_batches(
         MediaFeaturizer,
         batch_format="pyarrow",
-        concurrency=concurrency,
+        concurrency=concurrency
+        or (2, max(2, int(ray.cluster_resources().get("CPU", 4)))),
         batch_size=batch_size,
     )

@@ -1,0 +1,192 @@
+"""DuckDB oracle-SQL generators for the hash-based dedup / ANN operators.
+
+Every operator in functions/dedup.py and functions/ann.py is built from
+md5-derived hashes (``md5_number_lower``: last 8 digest bytes little-endian
+— exactly DuckDB's function of that name) plus arithmetic DuckDB can
+reproduce, so the *entire* pipeline — shingle → minhash → band → bucket
+pairs → jaccard verify, and hyperplane LSH signatures — has an independent
+SQL twin. The only non-trivial piece is splitmix64, whose two wrapping
+64-bit multiplications are emitted as 32-bit-split HUGEINT arithmetic.
+
+The generators inline the SAME seeds / hyperplanes as the Ray operators
+(minhash_seeds / lsh_planes), so the two sides cannot drift.
+"""
+
+from __future__ import annotations
+
+_U32 = 4294967296
+_U64 = 18446744073709551616
+_C1 = 0xBF58476D1CE4E5B9
+_C2 = 0x94D049BB133111EB
+
+
+def _mulmod64(x: str, c: int) -> str:
+    """SQL for (x * c) mod 2**64 over UBIGINT x: 32-bit split so every
+    intermediate fits HUGEINT."""
+    cl, ch = c % _U32, c // _U32
+    xl = f"CAST(({x}) & 4294967295 AS HUGEINT)"
+    xh = f"CAST(({x}) >> 32 AS HUGEINT)"
+    return (
+        f"CAST((({xl} * {cl}) + (((({xl} * {ch}) + ({xh} * {cl})) % {_U32}) * {_U32}))"
+        f" % {_U64} AS UBIGINT)"
+    )
+
+
+def _grams_cte(shingle: int) -> str:
+    return f"""
+toks AS (
+  SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+),
+grams AS (
+  SELECT doc_id,
+         array_to_string(list_slice(toks, u.i + 1, u.i + {shingle}), ' ') AS gram
+  FROM toks,
+       unnest(generate_series(0, greatest(1, len(toks) - {shingle} + 1) - 1)) AS u(i)
+),
+gh AS (
+  SELECT doc_id, md5_number_lower(gram) AS h FROM grams
+)"""
+
+
+def _minhash_ctes(num_perm: int, bands: int, shingle: int) -> str:
+    """CTE chain ending in ``pairs(doc_a, doc_b)`` — the LSH candidate
+    pairs, matching minhash_candidates() exactly."""
+    from shaclex_ray.functions.dedup import minhash_seeds
+
+    seeds = minhash_seeds(num_perm)
+    rpb = num_perm // bands
+    perm_rows = ", ".join(
+        f"({p}, CAST({int(s)} AS UBIGINT))" for p, s in enumerate(seeds)
+    )
+    return (
+        _grams_cte(shingle)
+        + f""",
+perms(p, seed) AS (VALUES {perm_rows}),
+mix0 AS (SELECT doc_id, p, xor(h, seed) AS v FROM gh CROSS JOIN perms),
+mix1 AS (SELECT doc_id, p, xor(v, v >> 30) AS v FROM mix0),
+mix2 AS (SELECT doc_id, p, {_mulmod64('v', _C1)} AS v FROM mix1),
+mix3 AS (SELECT doc_id, p, xor(v, v >> 27) AS v FROM mix2),
+mix4 AS (SELECT doc_id, p, {_mulmod64('v', _C2)} AS v FROM mix3),
+mixed AS (SELECT doc_id, p, xor(v, v >> 31) AS v FROM mix4),
+sig AS (SELECT doc_id, p, min(v) AS minv FROM mixed GROUP BY doc_id, p),
+bandk AS (
+  SELECT doc_id, p // {rpb} AS band,
+         substr(md5(CAST(p // {rpb} AS VARCHAR) || ':' ||
+                    string_agg(CAST(minv AS VARCHAR), ',' ORDER BY p)), 1, 16)
+           AS band_key
+  FROM sig GROUP BY doc_id, p // {rpb}
+),
+pairs AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM bandk a JOIN bandk b
+    ON a.band_key = b.band_key AND a.doc_id < b.doc_id
+)"""
+    )
+
+
+def minhash_candidates_sql(num_perm: int = 64, bands: int = 16, shingle: int = 3) -> str:
+    return (
+        "WITH "
+        + _minhash_ctes(num_perm, bands, shingle)
+        + "\nSELECT doc_a, doc_b FROM pairs"
+    )
+
+
+def ngram_jaccard_sql(
+    shingle: int = 3,
+    threshold: float = 0.8,
+    num_perm: int = 32,
+    bands: int = 8,
+) -> str:
+    return (
+        "WITH "
+        + _minhash_ctes(num_perm, bands, shingle)
+        + f""",
+dgh AS (SELECT DISTINCT doc_id, h FROM gh),
+dsh AS (SELECT doc_id, count(*) AS n FROM dgh GROUP BY doc_id),
+inter AS (
+  SELECT p.doc_a, p.doc_b, count(*) AS icnt
+  FROM pairs p
+  JOIN dgh ga ON ga.doc_id = p.doc_a
+  JOIN dgh gb ON gb.doc_id = p.doc_b AND gb.h = ga.h
+  GROUP BY p.doc_a, p.doc_b
+),
+jacc AS (
+  SELECT p.doc_a, p.doc_b,
+         CAST(COALESCE(i.icnt, 0) AS DOUBLE)
+           / (na.n + nb.n - COALESCE(i.icnt, 0)) AS jaccard
+  FROM pairs p
+  JOIN dsh na ON na.doc_id = p.doc_a
+  JOIN dsh nb ON nb.doc_id = p.doc_b
+  LEFT JOIN inter i ON i.doc_a = p.doc_a AND i.doc_b = p.doc_b
+)
+SELECT doc_a, doc_b, jaccard FROM jacc WHERE jaccard >= {threshold}"""
+    )
+
+
+def simhash_sql() -> str:
+    return """
+WITH t AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents
+),
+th AS (SELECT doc_id, md5_number_lower(tok) AS h FROM t),
+bits AS (
+  SELECT doc_id, b.b AS bit,
+         SUM(CASE WHEN (h >> CAST(b.b AS INTEGER)) & 1 = 1 THEN 1 ELSE -1 END) AS acc
+  FROM th CROSS JOIN (SELECT unnest(range(64)) AS b) b
+  GROUP BY doc_id, b.b
+),
+hv AS (
+  SELECT doc_id,
+         SUM(CASE WHEN acc > 0
+                  THEN CAST(CAST(1 AS UBIGINT) << CAST(bit AS INTEGER) AS HUGEINT)
+                  ELSE 0 END) AS h
+  FROM bits GROUP BY doc_id
+)
+SELECT doc_id, lpad(lower(to_hex(CAST(h AS UBIGINT))), 16, '0') AS simhash FROM hv
+"""
+
+
+def _sig_expr(dim: int, nbits: int, col: str = "embedding") -> str:
+    """SQL expression for the LSH bucket signature with inlined planes."""
+    from shaclex_ray.functions.ann import lsh_planes
+
+    planes = lsh_planes(dim, nbits)
+    terms = []
+    for b in range(nbits):
+        coeffs = ", ".join(repr(float(x)) for x in planes[b])
+        terms.append(
+            f"(CASE WHEN list_inner_product(CAST({col} AS DOUBLE[]), [{coeffs}]) > 0"
+            f" THEN {1 << b} ELSE 0 END)"
+        )
+    return "CAST(" + " + ".join(terms) + " AS BIGINT)"
+
+
+def lsh_buckets_sql(dim: int, nbits: int = 8) -> str:
+    return f"SELECT vec_id, {_sig_expr(dim, nbits)} AS bucket_sig FROM embeddings"
+
+
+def lsh_topk_sql(dim: int, n_queries: int = 10, k: int = 5, nbits: int = 8) -> str:
+    return f"""
+WITH sigs AS (
+  SELECT vec_id, {_sig_expr(dim, nbits)} AS bucket_sig,
+         CAST(embedding AS DOUBLE[]) AS e
+  FROM embeddings
+),
+q AS (
+  SELECT vec_id AS query_id, bucket_sig, e AS qe FROM sigs
+  ORDER BY vec_id LIMIT {n_queries}
+),
+scored AS (
+  SELECT q.query_id, s.vec_id, list_cosine_similarity(q.qe, s.e) AS cos
+  FROM q JOIN sigs s
+    ON s.bucket_sig = q.bucket_sig AND s.vec_id != q.query_id
+),
+ranked AS (
+  SELECT query_id, vec_id,
+         CAST(row_number() OVER (PARTITION BY query_id
+              ORDER BY cos DESC, vec_id) AS BIGINT) AS rank
+  FROM scored
+)
+SELECT query_id, vec_id, rank FROM ranked WHERE rank <= {k}
+"""

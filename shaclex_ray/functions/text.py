@@ -158,6 +158,15 @@ def langid(sf_dir: str, sample_per_lang: int = 50):
     ds = ray.data.read_parquet(
         f"{sf_dir}/documents.parquet", columns=["doc_id", "text", "lang"]
     )
+    import ray as _ray
+
+    try:
+        cpus = max(2, int(_ray.cluster_resources().get("CPU", 4)))
+    except Exception:  # pragma: no cover
+        cpus = 4
     return ds.map_batches(
-        LangID, fn_constructor_args=(profiles,), batch_format="pyarrow", concurrency=(1, 2)
+        LangID,
+        fn_constructor_args=(profiles,),
+        batch_format="pyarrow",
+        concurrency=(2, cpus),
     )

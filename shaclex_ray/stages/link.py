@@ -192,7 +192,8 @@ def canonicalize_triples(triples_ds, link_tbl: pa.Table, concurrency=None):
         Canonicalizer,
         fn_constructor_args=(link_ref,),
         batch_format="pyarrow",
-        concurrency=concurrency or (1, 4),
+        concurrency=concurrency
+        or (2, max(2, int(ray.cluster_resources().get("CPU", 4)))),
     )
     t1, t2 = entity_triples(link_tbl)
     import ray.data as rd

@@ -72,7 +72,12 @@ NAMES = [
     "text_token_stats",
     "text_fingerprints",
     "dedup_exact",
+    "dedup_minhash",
+    "dedup_simhash",
+    "dedup_ngram_jaccard",
     "ann_topk",
+    "ann_lsh_buckets",
+    "ann_lsh_topk",
 ]
 
 
