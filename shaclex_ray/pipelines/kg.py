@@ -131,24 +131,23 @@ def run_kg_pipeline(
     if validate:
 
         def produce_validation(path):
-            import pyarrow.parquet as pq
-
             schema = kg_schema()
             triples_m = triples.materialize()  # one disk scan for both passes
             focus = resolve_shacl_targets(triples_m, schema)
-            typing, report = distributed_validate(
-                triples_m, "shacl", schema, focus, nbuckets=nbuckets
+            # bucket actors write their own typing/report shards — the full
+            # tables never concat on the driver
+            typing_ds, _report_ds = distributed_validate(
+                triples_m, "shacl", schema, focus, nbuckets=nbuckets, output_dir=path
             )
-            pq.write_table(typing, f"{path}/typing.parquet")
-            pq.write_table(report, f"{path}/report.parquet")
-            return typing.num_rows
+            stats = distributed_validate.last_stats
+            return sum(v for k, v in stats.items() if k != "violations")
 
         def read_validation(path):
             import pyarrow.parquet as pq
 
             return (
-                pq.read_table(f"{path}/typing.parquet"),
-                pq.read_table(f"{path}/report.parquet"),
+                pq.read_table(f"{path}/typing"),
+                pq.read_table(f"{path}/report"),
             )
 
         typing, report = runner.run(

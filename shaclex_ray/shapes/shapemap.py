@@ -144,9 +144,12 @@ def parse_shapemap(text: str, prefixes: dict[str, str] | None = None) -> list[di
     return out
 
 
-def fix_shapemap(triples_ds, associations: list[dict]) -> pa.Table:
+def fix_shapemap(triples_ds, associations: list[dict]):
     """Resolve selectors against the data into concrete (node, shape) focus
-    pairs — the reference's fixShapeMap as Dataset semi-joins."""
+    pairs — the reference's fixShapeMap as Dataset semi-joins. Concrete
+    node selectors give a small pa.Table; pattern selectors ({FOCUS p o})
+    yield a *streaming* Dataset unioned with it — the matched focus set
+    never materializes on the driver (bucket actors dedup on submit)."""
     pairs: set[tuple[str, str]] = set()
     pattern_assocs = [a for a in associations if a["kind"] != "node"]
     for a in associations:
@@ -190,8 +193,19 @@ def fix_shapemap(triples_ds, associations: list[dict]) -> pa.Table:
                 {"node": pa.array(nodes, pa.string()), "shape": pa.array(shapes, pa.string())}
             )
 
-        for r in triples_ds.map_batches(find, batch_format="pyarrow").take_all():
-            pairs.add((r["node"], r["shape"]))
+        import ray.data as rd
+
+        sp = sorted(pairs)
+        concrete = pa.table(
+            {
+                "node": pa.array([p[0] for p in sp], pa.string()),
+                "shape": pa.array([p[1] for p in sp], pa.string()),
+            }
+        )
+        matched = triples_ds.map_batches(find, batch_format="pyarrow")
+        if concrete.num_rows:
+            matched = matched.union(rd.from_arrow(concrete))
+        return matched
 
     sp = sorted(pairs)
     return pa.table(

@@ -475,6 +475,9 @@ class BucketWorker:
         self.pending: dict[tuple[str, str], bool] = {}
         self.typing: dict[tuple[str, str], str] = {}
         self.focus_flags: dict[tuple[str, str], bool] = {}
+        # pairs other buckets asked for — ONLY their answers cross the
+        # driver (the focus typing never leaves the actor until collect)
+        self.requested: set[tuple[str, str]] = set()
         self.assumptions: dict[tuple[str, str], bool] = {}
         self.reports: list[dict] = []
         # pair -> unanswered deps it is blocked on (skip re-evaluation until
@@ -492,16 +495,28 @@ class BucketWorker:
         self.graph.finalize()
         return n
 
-    def submit(self, tasks: pa.Table, is_focus: bool) -> int:
+    def submit(self, tasks: pa.Table, is_focus: bool) -> list:
+        """Enqueue (node, shape) pairs; idempotent (already-known pairs are
+        skipped), so upstream dedup of focus pairs is unnecessary — the
+        worklist IS the dedup. Non-focus submissions are *requests* from
+        other buckets: only those pairs' answers ever travel back through
+        the driver. Returns already-decided requested pairs immediately."""
+        already = []
         for nk, sk in zip(
             tasks.column("node").to_pylist(), tasks.column("shape").to_pylist()
         ):
             key = (nk, sk)
+            if not is_focus:
+                self.requested.add(key)
+                val = self.typing.get(key)
+                if val is not None:
+                    already.append((nk, sk, val))
+                    continue
             if key not in self.typing and key not in self.pending:
                 self.pending[key] = True
             if is_focus:
                 self.focus_flags[key] = True
-        return len(self.pending)
+        return already
 
     def add_assumptions(self, asms: list):
         for nk, sk, val in asms:
@@ -589,7 +604,12 @@ class BucketWorker:
         for key in decided:
             self.pending.pop(key, None)
             self.blocked_on.pop(key, None)
-        answered = [(k[0], k[1], self.typing[k]) for k in decided]
+        # only dep-requested answers travel to the driver — the rest of the
+        # typing stays actor-side (driver memory is O(#cross-bucket deps),
+        # not O(#focus pairs))
+        answered = [
+            (k[0], k[1], self.typing[k]) for k in decided if k in self.requested
+        ]
         return len(decided), len(self.pending), sorted(all_deps), answered
 
     def ping(self):
@@ -618,9 +638,9 @@ class BucketWorker:
             if not self.blocked_on[pair]:
                 del self.blocked_on[pair]
 
-    def collect(self):
+    def _typing_table(self) -> pa.Table:
         keys = sorted(self.typing)
-        typing_tbl = pa.table(
+        return pa.table(
             {
                 "node": pa.array([k[0] for k in keys], pa.string()),
                 "shape": pa.array([k[1] for k in keys], pa.string()),
@@ -630,7 +650,48 @@ class BucketWorker:
                 ),
             }
         )
-        return typing_tbl, self.reports
+
+    def _report_table(self) -> pa.Table:
+        return _reports_to_table(self.reports)
+
+    def collect(self):
+        return self._typing_table(), self.reports
+
+    def write_shard(self, out_dir: str) -> dict:
+        """Actor-side result sink: each bucket writes its own typing/report
+        parquet shard — the full tables never concat on the driver
+        (SURVEY.md §4.2 resumable-output layout)."""
+        import os
+
+        import pyarrow.parquet as pq
+
+        os.makedirs(f"{out_dir}/typing", exist_ok=True)
+        os.makedirs(f"{out_dir}/report", exist_ok=True)
+        t = self._typing_table()
+        r = self._report_table()
+        pq.write_table(t, f"{out_dir}/typing/part-{self.bucket_id:05d}.parquet")
+        pq.write_table(r, f"{out_dir}/report/part-{self.bucket_id:05d}.parquet")
+        vals = t.column("val").to_pylist()
+        focus = t.column("is_focus").to_pylist()
+        stats: dict[str, int] = {"violations": r.num_rows}
+        for v, f in zip(vals, focus):
+            if f:
+                stats[v] = stats.get(v, 0) + 1
+        return stats
+
+
+def _reports_to_table(reports: list) -> pa.Table:
+    return pa.table(
+        {
+            "focus_node": pa.array([r["focus"] for r in reports], pa.string()),
+            "path": pa.array([r["path"] or "" for r in reports], pa.string()),
+            "value_lex": pa.array([r["value"] or "" for r in reports], pa.string()),
+            "source_shape": pa.array([r["source"] for r in reports], pa.string()),
+            "component": pa.array([r["component"] for r in reports], pa.string()),
+            "severity": pa.array([r["severity"] for r in reports], pa.string()),
+            "message": pa.array([r["message"] for r in reports], pa.string()),
+        }
+    )
 
 
 def _route_tasks(tasks: pa.Table, nbuckets: int) -> dict[int, pa.Table]:
@@ -650,19 +711,45 @@ def _route_tasks(tasks: pa.Table, nbuckets: int) -> dict[int, pa.Table]:
     return out
 
 
+def _submit_focus_dataset(focus_ds, workers, nbuckets: int) -> None:
+    """Stream a focus Dataset straight into the bucket actors: each read
+    task routes its batch and blocks on acceptance (backpressure). The
+    focus set NEVER materializes on the driver — submit() dedups
+    actor-side, so no global drop_duplicates pass is needed."""
+
+    def route(batch: pa.Table) -> pa.Table:
+        refs = [
+            workers[b].submit.remote(tbl, True)
+            for b, tbl in _route_tasks(batch, nbuckets).items()
+        ]
+        if refs:
+            ray.get(refs)
+        return pa.table({"n": pa.array([batch.num_rows], pa.int64())})
+
+    # consume with a tiny aggregate — only per-batch counts reach the driver
+    focus_ds.map_batches(route, batch_format="pyarrow").sum("n")
+
+
 def distributed_validate(
     triples_ds,
     engine: str,
     schema: dict,
-    focus_tasks: pa.Table,
+    focus_tasks,
     nbuckets: int = 32,
     include_inverse: bool = False,
     max_rounds: int = 12,
+    output_dir: str | None = None,
 ):
     """Run the BSP typing fixpoint.
 
-    ``focus_tasks``: pa.Table(node: term key, shape: shape key).
-    Returns (typing_table, report_table) as pyarrow Tables.
+    ``focus_tasks``: pa.Table(node: term key, shape: shape key) for small
+    shapemaps, or a Ray Dataset of the same schema (streamed task→actor,
+    never driver-materialized).
+    Returns (typing, report) as pyarrow Tables — unless ``output_dir`` is
+    given, in which case each bucket actor writes its own parquet shard
+    under ``{output_dir}/typing`` and ``{output_dir}/report`` and the
+    return value is (typing_ds, report_ds) lazily read back plus the
+    summary stats are attached to ``distributed_validate.last_stats``.
     """
     import os as _os
     import time as _time
@@ -725,12 +812,15 @@ def distributed_validate(
     _mark("load")
 
     # initial focus submission (vectorized routing; worklists live in actors)
-    ray.get(
-        [
-            workers[b].submit.remote(tbl, True)
-            for b, tbl in _route_tasks(focus_tasks, nbuckets).items()
-        ]
-    )
+    if isinstance(focus_tasks, pa.Table):
+        ray.get(
+            [
+                workers[b].submit.remote(tbl, True)
+                for b, tbl in _route_tasks(focus_tasks, nbuckets).items()
+            ]
+        )
+    else:  # Ray Dataset: streamed task→actor, no driver materialization
+        _submit_focus_dataset(focus_tasks, workers, nbuckets)
     _mark("submit")
 
     # ---- driver loop: only dependency traffic crosses the driver
@@ -762,7 +852,8 @@ def distributed_validate(
                     progress = True
                 if child not in answered_vals:
                     new_child_tasks.append(child)
-        # route newly-requested child pairs to their buckets
+        # route newly-requested child pairs to their buckets; a request for
+        # an already-decided pair returns its answer immediately
         if new_child_tasks:
             uniq = sorted(set(new_child_tasks))
             tbl = pa.table(
@@ -771,8 +862,13 @@ def distributed_validate(
                     "shape": pa.array([c[1] for c in uniq], pa.string()),
                 }
             )
-            for b, sub in _route_tasks(tbl, nbuckets).items():
+            sub_refs = [
                 workers[b].submit.remote(sub, False)
+                for b, sub in _route_tasks(tbl, nbuckets).items()
+            ]
+            for already in ray.get(sub_refs):
+                for nk, sk, val in already:
+                    answered_vals[(nk, sk)] = val
         # forward decided answers to the buckets waiting on them
         fwd: dict[int, list] = {}
         for child, buckets in need_by.items():
@@ -808,6 +904,25 @@ def distributed_validate(
     if n_unknown and dbg:
         print(f"[dist] WARNING: {n_unknown} pairs left unknown", flush=True)
 
+    if output_dir is not None:
+        # actor-side sink: each bucket writes its own shard; only per-bucket
+        # summary counts reach the driver
+        stats_list = ray.get([w.write_shard.remote(output_dir) for w in workers])
+        for w in workers:
+            ray.kill(w)
+        stats: dict[str, int] = {}
+        for s in stats_list:
+            for k, v in s.items():
+                stats[k] = stats.get(k, 0) + v
+        distributed_validate.last_stats = stats
+        _mark("write_shards")
+        import ray.data as rd
+
+        return (
+            rd.read_parquet(f"{output_dir}/typing"),
+            rd.read_parquet(f"{output_dir}/report"),
+        )
+
     collected = ray.get([w.collect.remote() for w in workers])
     for w in workers:
         ray.kill(w)
@@ -816,28 +931,19 @@ def distributed_validate(
     reports: list[dict] = []
     for c in collected:
         reports.extend(c[1])
-    report_tbl = pa.table(
-        {
-            "focus_node": pa.array([r["focus"] for r in reports], pa.string()),
-            "path": pa.array([r["path"] or "" for r in reports], pa.string()),
-            "value_lex": pa.array([r["value"] or "" for r in reports], pa.string()),
-            "source_shape": pa.array([r["source"] for r in reports], pa.string()),
-            "component": pa.array([r["component"] for r in reports], pa.string()),
-            "severity": pa.array([r["severity"] for r in reports], pa.string()),
-            "message": pa.array([r["message"] for r in reports], pa.string()),
-        }
-    )
-    return typing_tbl, report_tbl
+    return typing_tbl, _reports_to_table(reports)
 
 
 
 # ---------------------------------------------------------------------------
 # SHACL target resolution over the triples Dataset (SURVEY.md J2)
 
-def resolve_shacl_targets(triples_ds, schema: dict) -> pa.Table:
-    """Compute (node term key, shape key) focus pairs with vectorized
-    Dataset filters; also attaches the data-graph subclass closure to the
-    schema (small side, collected on the driver)."""
+def resolve_shacl_targets(triples_ds, schema: dict):
+    """Resolve SHACL targets into a *streaming* focus Dataset of
+    (node term key, shape key) pairs — the focus set never materializes on
+    the driver (it is submitted task→actor and deduped in the bucket
+    worklists). Only the rdfs:subClassOf rows (class hierarchy — tiny) are
+    collected driver-side to attach the subclass closure to the schema."""
 
     def _sub_filter(batch: pa.Table) -> pa.Table:
         mask = pc.equal(batch.column("pred"), RDFS_SUBCLASS)
@@ -951,21 +1057,18 @@ def resolve_shacl_targets(triples_ds, schema: dict) -> pa.Table:
             out.to_pandas().drop_duplicates(ignore_index=True), preserve_index=False
         ).cast(out.schema)
 
-    batches = list(
-        triples_ds.map_batches(find_targets, batch_format="pyarrow").iter_batches(
-            batch_format="pyarrow", batch_size=None
-        )
-    )
+    import ray.data as rd
+
+    targets_ds = triples_ds.map_batches(find_targets, batch_format="pyarrow")
     extra = pa.table(
         {
             "node": pa.array([p[0] for p in node_pairs], pa.string()),
             "shape": pa.array([p[1] for p in node_pairs], pa.string()),
         }
     )
-    all_tbl = pa.concat_tables(batches + [extra]) if batches else extra
-    df = all_tbl.to_pandas().drop_duplicates(ignore_index=True)
-    df = df.sort_values(["node", "shape"], ignore_index=True)
-    return pa.Table.from_pandas(df, preserve_index=False).cast(all_tbl.schema)
+    if extra.num_rows:
+        targets_ds = targets_ds.union(rd.from_arrow(extra))
+    return targets_ds
 
 
 def _all_class_params(schema: dict) -> set[str]:
