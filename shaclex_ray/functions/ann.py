@@ -29,10 +29,6 @@ def _cpus() -> int:
         return 4
 
 
-def _pool():
-    return (2, _cpus())
-
-
 def _read_emb(sf_dir: str):
     return ray.data.read_parquet(
         f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
@@ -120,13 +116,10 @@ def topk_cosine(sf_dir: str, n_queries: int = 10, k: int = 5):
     """Top-k cosine neighbors (excluding self) for the first n query vectors.
     Returns (query_id, vec_id, rank)."""
     qids, qm = _load_queries(sf_dir, n_queries)
-    queries_ref = ray.put((qids, qm))
-
+    # query matrix is tiny → ship it inside the (once-serialized) task fn;
+    # for big query sets pass a ray.put ref instead (ctor accepts both)
     partials = _read_emb(sf_dir).map_batches(
-        BruteForceTopK,
-        fn_constructor_args=(queries_ref, k),
-        batch_format="pyarrow",
-        concurrency=_pool(),
+        BruteForceTopK((qids, qm), k), batch_format="pyarrow"
     )
     # tiny final merge: ≤ nq × k × nblocks rows
     return partials.groupby("query_id").map_groups(
@@ -181,10 +174,7 @@ def _emb_dim(sf_dir: str) -> int:
 def lsh_buckets(sf_dir: str, nbits: int = 8):
     dim = _emb_dim(sf_dir)
     return _read_emb(sf_dir).map_batches(
-        LshBucketer,
-        fn_constructor_args=(dim, nbits),
-        batch_format="pyarrow",
-        concurrency=_pool(),
+        LshBucketer(dim, nbits), batch_format="pyarrow"
     )
 
 
@@ -233,12 +223,8 @@ def lsh_topk(sf_dir: str, n_queries: int = 10, k: int = 5, nbits: int = 8):
     inlined hyperplanes."""
     dim = _emb_dim(sf_dir)
     qids, qm = _load_queries(sf_dir, n_queries)
-    queries_ref = ray.put((qids, qm))
     partials = _read_emb(sf_dir).map_batches(
-        LshBucketTopK,
-        fn_constructor_args=(queries_ref, k, nbits, dim),
-        batch_format="pyarrow",
-        concurrency=_pool(),
+        LshBucketTopK((qids, qm), k, nbits, dim), batch_format="pyarrow"
     )
     return partials.groupby("query_id").map_groups(
         _reduce_topk(k), batch_format="pyarrow"

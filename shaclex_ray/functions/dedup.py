@@ -40,11 +40,6 @@ def _cpus() -> int:
         return 4
 
 
-def _pool():
-    """Autoscaling actor-pool bounds: scale to the cluster, don't starve it."""
-    return (2, _cpus())
-
-
 def _read_docs(sf_dir: str):
     return ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
 
@@ -111,12 +106,19 @@ def minhash_seeds(num_perm: int) -> np.ndarray:
 
 
 class MinHasher:
-    """Actor-pool stage: permutation seeds built once per actor. Each
+    """Batch-mapping stage: permutation seeds built once per worker process
+    (the state is 64 ints — a task fn with a process-level seed cache beats
+    an actor pool, whose startup dominates at interactive scale). Each
     "permutation" is splitmix64 over (shingle-hash XOR seed) — a well-mixed
     min-wise family, one vectorized numpy expression per doc."""
 
+    _seed_cache: dict[int, np.ndarray] = {}
+
     def __init__(self, num_perm: int = 64, shingle: int = 3):
-        self.seeds = minhash_seeds(num_perm)
+        cached = MinHasher._seed_cache.get(num_perm)
+        if cached is None:
+            cached = MinHasher._seed_cache[num_perm] = minhash_seeds(num_perm)
+        self.seeds = cached
         self.num_perm = num_perm
         self.shingle = shingle
 
@@ -147,24 +149,52 @@ def band_key(band: int, chunk) -> str:
 
 
 def minhash_candidates(sf_dir: str, num_perm: int = 64, bands: int = 16):
-    """LSH candidate pairs (doc_a < doc_b) from banded minhash buckets."""
+    """LSH candidate pairs (doc_a < doc_b) from banded minhash buckets.
+
+    ONE shuffle total: band rows carry the full signature, and a pair is
+    emitted only in its *lowest* colliding band (earlier-band collisions
+    are recomputable bucket-locally from the two signatures) — exact
+    distinct-pair semantics without a second groupby exchange."""
     rows_per_band = num_perm // bands
 
     def band_rows(batch: pa.Table) -> pa.Table:
         ids = batch.column("doc_id").to_pylist()
         sigs = batch.column("sig").to_pylist()
-        out_ids, out_keys = [], []
+        out_ids, out_band, out_keys, out_sig = [], [], [], []
         for did, sig in zip(ids, sigs):
             for b in range(bands):
                 chunk = sig[b * rows_per_band : (b + 1) * rows_per_band]
                 out_ids.append(did)
+                out_band.append(b)
                 out_keys.append(band_key(b, chunk))
+                out_sig.append(sig)
         return pa.table(
-            {"doc_id": pa.array(out_ids, pa.int64()), "band_key": pa.array(out_keys, pa.string())}
+            {
+                "doc_id": pa.array(out_ids, pa.int64()),
+                "band": pa.array(out_band, pa.int32()),
+                "band_key": pa.array(out_keys, pa.string()),
+                "sig": pa.array(out_sig, pa.list_(pa.uint64(), num_perm)),
+            }
         )
 
     def bucket_pairs(group: pa.Table) -> pa.Table:
-        ids = sorted(set(group.column("doc_id").to_pylist()))
+        band = group.column("band")[0].as_py()
+        by_id = {}
+        for did, sig in zip(
+            group.column("doc_id").to_pylist(), group.column("sig").to_pylist()
+        ):
+            by_id[did] = sig
+        ids = sorted(by_id)
+
+        def first_collision(x, y) -> bool:
+            sx, sy = by_id[x], by_id[y]
+            for b2 in range(band):
+                lo, hi = b2 * rows_per_band, (b2 + 1) * rows_per_band
+                if sx[lo:hi] == sy[lo:hi]:
+                    return False  # already emitted by an earlier band
+            return True
+
+        a, b = [], []
         if len(ids) > MAX_BUCKET_PAIRS_DOCS:
             # degenerate bucket: chain consecutive ids — same connected
             # component, O(n) pairs instead of O(n²). Logged, never silent.
@@ -173,42 +203,30 @@ def minhash_candidates(sf_dir: str, num_perm: int = 64, bands: int = 16):
                 f"chaining instead of all-pairs",
                 flush=True,
             )
-            a, b = ids[:-1], ids[1:]
+            for x, y in zip(ids[:-1], ids[1:]):
+                if first_collision(x, y):
+                    a.append(x)
+                    b.append(y)
         else:
-            a, b = [], []
             for i in range(len(ids)):
                 for j in range(i + 1, len(ids)):
-                    a.append(ids[i])
-                    b.append(ids[j])
+                    if first_collision(ids[i], ids[j]):
+                        a.append(ids[i])
+                        b.append(ids[j])
         return pa.table(
             {"doc_a": pa.array(a, pa.int64()), "doc_b": pa.array(b, pa.int64())}
         )
 
-    sigs = _read_docs(sf_dir).map_batches(
-        MinHasher,
-        fn_constructor_args=(num_perm,),
-        batch_format="pyarrow",
-        concurrency=_pool(),
-    )
-    pairs = (
+    # plain task fn (not an actor pool): per-batch work is a vectorized
+    # numpy expression, the "state" is 64 cached ints — task scheduling
+    # parallelizes across the whole cluster with zero pool-startup cost
+    hasher = MinHasher(num_perm)
+    sigs = _read_docs(sf_dir).map_batches(hasher, batch_format="pyarrow")
+    return (
         sigs.map_batches(band_rows, batch_format="pyarrow")
         .groupby("band_key")
         .map_groups(bucket_pairs, batch_format="pyarrow")
     )
-
-    # distinct pairs (a pair can fire in several bands)
-    def distinct(group: pa.Table) -> pa.Table:
-        import polars as pl
-
-        return (
-            pl.from_arrow(group)
-            .unique(subset=["doc_a", "doc_b"], maintain_order=True)
-            .sort(["doc_a", "doc_b"])
-            .to_arrow()
-            .cast(group.schema)
-        )
-
-    return pairs.groupby("doc_a").map_groups(distinct, batch_format="pyarrow")
 
 
 # ---------------------------------------------------------------- simhash
@@ -247,68 +265,97 @@ class SimHasher:
 
 
 def simhashes(sf_dir: str):
-    return _read_docs(sf_dir).map_batches(
-        SimHasher, batch_format="pyarrow", concurrency=_pool()
-    )
+    # task fn: the only state is the per-process token-hash memo
+    return _read_docs(sf_dir).map_batches(SimHasher(), batch_format="pyarrow")
 
 
 # ------------------------------------------------------- ngram jaccard
 
-def shingle_sets(sf_dir: str, shingle: int = 3):
-    """(doc_id, shingles: list<uint64>) — the distinct n-gram hash set per
-    document, computed once and joined onto candidate pairs."""
+def ngram_jaccard_dups(
+    sf_dir: str,
+    shingle: int = 3,
+    threshold: float = 0.8,
+    num_perm: int = 32,
+    bands: int = 8,
+):
+    """Verified near-duplicate pairs: jaccard over distinct token n-gram
+    hashes, verified WHERE the candidates live — the band rows carry each
+    doc's shingle-hash set through the one LSH shuffle, and the bucket
+    task both generates pairs (emit-on-first-collision dedup) and verifies
+    them in place. One shuffle end-to-end, no joins, no driver collect."""
+    rows_per_band = num_perm // bands
+    seeds = minhash_seeds(num_perm)
 
-    def sh(batch: pa.Table) -> pa.Table:
-        # sorted-unique uint64 hashes packed as bytes (Arrow's hash join
-        # cannot carry list payload columns; binary passes through fine)
-        out = [
-            np.unique(_token_hashes(t, shingle)).tobytes()
-            for t in batch.column("text").to_pylist()
-        ]
+    def sig_band_rows(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_pylist()
+        texts = batch.column("text").to_pylist()
+        out_ids, out_band, out_keys, out_sig, out_sh = [], [], [], [], []
+        for did, text in zip(ids, texts):
+            th = _token_hashes(text, shingle)
+            sh_bytes = np.unique(th).tobytes()
+            sig = (
+                _splitmix64(th[None, :] ^ seeds[:, None]).min(axis=1)
+                if len(th)
+                else np.zeros(num_perm, dtype=np.uint64)
+            )
+            sig_l = sig.tolist()
+            for b in range(bands):
+                out_ids.append(did)
+                out_band.append(b)
+                out_keys.append(
+                    band_key(b, sig_l[b * rows_per_band : (b + 1) * rows_per_band])
+                )
+                out_sig.append(sig_l)
+                out_sh.append(sh_bytes)
         return pa.table(
             {
-                "doc_id": batch.column("doc_id"),
-                "shingles": pa.array(out, pa.binary()),
+                "doc_id": pa.array(out_ids, pa.int64()),
+                "band": pa.array(out_band, pa.int32()),
+                "band_key": pa.array(out_keys, pa.string()),
+                "sig": pa.array(out_sig, pa.list_(pa.uint64(), num_perm)),
+                "shingles": pa.array(out_sh, pa.binary()),
             }
         )
 
-    return _read_docs(sf_dir).map_batches(sh, batch_format="pyarrow")
-
-
-def ngram_jaccard_dups(sf_dir: str, shingle: int = 3, threshold: float = 0.8):
-    """Verified near-duplicate pairs: jaccard over distinct token n-gram
-    hashes. Candidates come from minhash LSH buckets; shingle sets are
-    hash-joined onto the pairs and verified inside map_batches — the whole
-    path is distributed (no driver-side collect)."""
-    cands = minhash_candidates(sf_dir, num_perm=32, bands=8)
-    sh = shingle_sets(sf_dir, shingle)
-    nparts = max(2, min(16, _cpus() // 2))
-    joined = cands.join(
-        sh, "inner", num_partitions=nparts, on=("doc_a",), right_on=("doc_id",)
-    ).join(
-        sh,
-        "inner",
-        num_partitions=nparts,
-        on=("doc_b",),
-        right_on=("doc_id",),
-        left_suffix="_a",
-        right_suffix="_b",
-    )
-
-    def verify(batch: pa.Table) -> pa.Table:
+    def bucket_verify(group: pa.Table) -> pa.Table:
+        band = group.column("band")[0].as_py()
+        by_id: dict[int, tuple] = {}
+        for did, sig, shb in zip(
+            group.column("doc_id").to_pylist(),
+            group.column("sig").to_pylist(),
+            group.column("shingles").to_pylist(),
+        ):
+            by_id[did] = (sig, shb)
+        ids = sorted(by_id)
+        if len(ids) > MAX_BUCKET_PAIRS_DOCS:
+            print(
+                f"[dedup_ngram] degenerate LSH bucket: {len(ids)} docs, "
+                f"chaining instead of all-pairs",
+                flush=True,
+            )
+            cand = list(zip(ids[:-1], ids[1:]))
+        else:
+            cand = [
+                (ids[i], ids[j])
+                for i in range(len(ids))
+                for j in range(i + 1, len(ids))
+            ]
         a_out, b_out, j_out = [], [], []
-        da = batch.column("doc_a").to_pylist()
-        db = batch.column("doc_b").to_pylist()
-        sa_l = batch.column("shingles_a").to_pylist()
-        sb_l = batch.column("shingles_b").to_pylist()
-        for x, y, sab, sbb in zip(da, db, sa_l, sb_l):
-            sa = np.frombuffer(sab, dtype=np.uint64)
-            sb = np.frombuffer(sbb, dtype=np.uint64)
+        for x, y in cand:
+            sx, shx = by_id[x]
+            sy, shy = by_id[y]
+            if any(
+                sx[b2 * rows_per_band : (b2 + 1) * rows_per_band]
+                == sy[b2 * rows_per_band : (b2 + 1) * rows_per_band]
+                for b2 in range(band)
+            ):
+                continue  # pair already handled by an earlier band's bucket
+            sa = np.frombuffer(shx, dtype=np.uint64)
+            sb = np.frombuffer(shy, dtype=np.uint64)
             if len(sa) == 0 or len(sb) == 0:
                 continue
             inter = len(np.intersect1d(sa, sb, assume_unique=True))
-            union = len(sa) + len(sb) - inter
-            j = inter / union
+            j = inter / (len(sa) + len(sb) - inter)
             if j >= threshold:
                 a_out.append(x)
                 b_out.append(y)
@@ -321,4 +368,9 @@ def ngram_jaccard_dups(sf_dir: str, shingle: int = 3, threshold: float = 0.8):
             }
         )
 
-    return joined.map_batches(verify, batch_format="pyarrow")
+    return (
+        _read_docs(sf_dir)
+        .map_batches(sig_band_rows, batch_format="pyarrow")
+        .groupby("band_key")
+        .map_groups(bucket_verify, batch_format="pyarrow")
+    )

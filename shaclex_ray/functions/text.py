@@ -158,15 +158,7 @@ def langid(sf_dir: str, sample_per_lang: int = 50):
     ds = ray.data.read_parquet(
         f"{sf_dir}/documents.parquet", columns=["doc_id", "text", "lang"]
     )
-    import ray as _ray
-
-    try:
-        cpus = max(2, int(_ray.cluster_resources().get("CPU", 4)))
-    except Exception:  # pragma: no cover
-        cpus = 4
-    return ds.map_batches(
-        LangID,
-        fn_constructor_args=(profiles,),
-        batch_format="pyarrow",
-        concurrency=(2, cpus),
-    )
+    # profiles are a few KB: ship inside the once-serialized task fn (the
+    # fitted matrix builds once per worker process in __init__); task
+    # scheduling spreads batches cluster-wide with no pool-startup cost
+    return ds.map_batches(LangID(profiles), batch_format="pyarrow")

@@ -78,7 +78,14 @@ def dedup_triples(triples_ds, nbuckets: int = DEFAULT_NBUCKETS):
 # per-partition triple-dedup sort-merge" with rows moving exactly once)
 
 def _dedup_split_impl(nbuckets: int, *tbls: pa.Table):
-    base = pa.concat_tables(list(tbls)).combine_chunks()
+    from shaclex_ray.terms import TRIPLES_SCHEMA
+
+    # zero-row blocks from upstream map_groups can carry an EMPTY schema —
+    # filter them (and synthesize a typed empty table if nothing remains)
+    real = [t for t in tbls if t.num_rows > 0]
+    if not real:
+        real = [TRIPLES_SCHEMA.empty_table()]
+    base = pa.concat_tables(real).combine_chunks()
     df = _dedup_df(base.to_pandas())  # map-side combine
     buckets = (pd.util.hash_array(_key_series(df)) % np.uint64(nbuckets)).astype(
         np.int64

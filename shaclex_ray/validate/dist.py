@@ -288,7 +288,14 @@ def _split_block(nbuckets: int, include_inverse: bool, *tbls: pa.Table):
     bucket. Taking a block *group* keeps the object-count at
     groups × nbuckets instead of blocks × nbuckets."""
     cols = ["subj", "pred", "obj_kind", "obj_lex", "obj_dt", "obj_lang"]
-    base = pa.concat_tables([t.select(cols) for t in tbls]).combine_chunks()
+    # zero-row blocks from upstream map_groups can carry an EMPTY schema
+    # (no columns at all) — filter them before select()
+    real = [t for t in tbls if t.num_rows > 0]
+    if not real:
+        real = [
+            pa.table({c: pa.array([], pa.string()) for c in cols})
+        ]
+    base = pa.concat_tables([t.select(cols) for t in real]).combine_chunks()
     n = base.num_rows
 
     def partition(tbl: pa.Table, buckets: np.ndarray) -> list[pa.Table]:
