@@ -26,11 +26,14 @@ Driver-side state is O(|focus pairs| + |distinct dependencies|); arcs (the
 ``nbuckets`` so a bucket fits a worker's heap; at larger scale the same
 actors would page buckets from the partitioned parquet checkpoints).
 
-Supported distributed: full ShEx semantics (inverse TCs need
-``include_inverse=True``); SHACL core with predicate and inverse paths
-(multi-hop sequence/closure paths are served by the local validator, which
-the conformance suite exercises — the KG pipeline's shapes use predicate
-paths only).
+Supported distributed: full ShEx semantics (reversed arc copies are
+enabled automatically when the schema has inverse constraints); SHACL
+core including multi-hop property paths — sequence / alternative /
+zeroOrMore / oneOrMore / zeroOrOne expand as locality-aware BFS whose
+elementary hops on remote nodes are answered through the dependency
+protocol (one unanswered-hop layer per round). The single remaining
+local-only construct is the inverse of a *complex* path, which needs a
+global node scan (reference evaluates it the same brute-force way).
 """
 
 from __future__ import annotations
@@ -234,16 +237,52 @@ class _DistShEx(ShExValidator):
         return super().satisfies(node, se)
 
 
-class _DistShacl(ShaclValidator):
-    """Bucket-local SHACL evaluator with cross-bucket dependency capture."""
+_REMOTE_NC_COMPONENT = "__remote_nonconform__"
 
-    def __init__(self, schema, graph, assumptions, is_local_key, record_dep):
+
+def _remote_marker(focus_key: str, shape_key: str) -> dict:
+    """Placeholder result for a remote nested property-shape violation:
+    counts toward the parent's non-conformance but is filtered from the
+    report table (the value node's home bucket reports the real rows)."""
+    return {
+        "focus": focus_key,
+        "path": None,
+        "value": None,
+        "component": _REMOTE_NC_COMPONENT,
+        "severity": "",
+        "source": shape_key,
+        "message": "",
+    }
+
+
+class _DistShacl(ShaclValidator):
+    """Bucket-local SHACL evaluator with cross-bucket dependency capture.
+
+    Three dependency kinds travel between buckets:
+      * plain (node, shape)    — conformance probe (sh:node/not/and/...),
+                                 answered with a boolean, never reported
+      * (node, 'vshape:S')     — nested property-shape validation in REPORT
+                                 context: the home bucket validates fully
+                                 and reports its own rows; the answer back
+                                 is just the boolean
+      * (node, 'hop:dir:pred') — one elementary path hop: answered with
+                                 the VALUE-KEY LIST of the node's local
+                                 neighborhood, which lets sequence /
+                                 alternative / closure paths expand as a
+                                 bounded iterative BFS across rounds
+      * (node, 'class:C')      — rdf:type membership probe
+    """
+
+    def __init__(
+        self, schema, graph, assumptions, is_local_key, record_dep, reporting=False
+    ):
         super().__init__(schema, graph)
         self.assumptions = assumptions
         self.is_local_key = is_local_key
         self.record_dep = record_dep
         self.provisional = False
-        self._closure = schema.get("subclass_closure", {})
+        self.reporting = reporting
+        self._subclass_closure = schema.get("subclass_closure", {})
 
     def conforms(self, focus_key, shape_key):
         a = self.assumptions.get((focus_key, shape_key))
@@ -255,8 +294,25 @@ class _DistShacl(ShaclValidator):
             return True
         return super().conforms(focus_key, shape_key)
 
+    def validate_shape(self, focus_key, shape_key):
+        if not self.is_local_key(focus_key):
+            if not self.reporting:
+                # probe context: only the boolean matters
+                ok = self.conforms(focus_key, shape_key)
+                return [] if ok else [_remote_marker(focus_key, shape_key)]
+            pseudo = "vshape:" + shape_key
+            a = self.assumptions.get((focus_key, pseudo))
+            if a is True:
+                return []
+            if a is False:
+                return [_remote_marker(focus_key, shape_key)]
+            self.record_dep(focus_key, pseudo)
+            self.provisional = True
+            return []
+        return super().validate_shape(focus_key, shape_key)
+
     def _subclasses(self, cls_key):
-        return set(self._closure.get(cls_key, [cls_key]))
+        return set(self._subclass_closure.get(cls_key, [cls_key]))
 
     def _is_instance(self, node_key, cls_key):
         pseudo = "class:" + cls_key
@@ -269,12 +325,35 @@ class _DistShacl(ShaclValidator):
             return False
         return super()._is_instance(node_key, cls_key)
 
+    # ---- property paths: elementary hops are locality-aware; the parent
+    # class's seq/alt/zeroOrMore/oneOrMore/zeroOrOne machinery recurses
+    # through self.path_values, so closures expand across buckets as a
+    # bounded iterative BFS (one unanswered-hop layer per fixpoint round)
+    def _hop(self, node_key: str, pred: str, inverse: bool) -> list[str]:
+        if self.is_local_key(node_key):
+            if inverse:
+                return [
+                    term_key(s) for p, s in self.graph.arcs_in(node_key) if p == pred
+                ]
+            return [term_key(o) for p, o in self.graph.arcs_out(node_key) if p == pred]
+        hk = ("hop:inv:" if inverse else "hop:fwd:") + pred
+        a = self.assumptions.get((node_key, hk))
+        if a is not None:
+            return list(a)
+        self.record_dep(node_key, hk)
+        self.provisional = True
+        return []
+
     def path_values(self, focus_key, path):
-        if set(path) <= {"pred"} or ("inverse" in path and "pred" in path["inverse"]):
-            return super().path_values(focus_key, path)
-        raise _NeedRemote(
-            "multi-hop SHACL paths are not supported in distributed mode"
-        )
+        if "pred" in path:
+            return self._hop(focus_key, path["pred"], False)
+        if "inverse" in path and "pred" in path["inverse"]:
+            return self._hop(focus_key, path["inverse"]["pred"], True)
+        if "inverse" in path:
+            raise _NeedRemote(
+                "inverse of a complex path needs a global node scan"
+            )
+        return super().path_values(focus_key, path)
 
 
 # ---------------------------------------------------------------------------
@@ -527,6 +606,10 @@ class BucketWorker:
 
     def add_assumptions(self, asms: list):
         for nk, sk, val in asms:
+            if isinstance(val, str) and val.startswith("vals:"):
+                import json as _json
+
+                val = _json.loads(val[5:])  # hop answer: value-key list
             self.assumptions[(nk, sk)] = val
         answered = {(nk, sk) for nk, sk, _v in asms}
         for pair in list(self.blocked_on):
@@ -587,7 +670,42 @@ class BucketWorker:
                     self.typing[key] = "conforms" if ok else "notConforms"
                     decided.append(key)
                     continue
-                if self.engine == "shex":
+                if shape_key.startswith("hop:"):
+                    # elementary path hop: answer = the node's local values
+                    _tag, direction, pred = shape_key.split(":", 2)
+                    if direction == "fwd":
+                        vals = [
+                            term_key(o)
+                            for p, o in self.graph.arcs_out(nk)
+                            if p == pred
+                        ]
+                    else:
+                        vals = [
+                            term_key(s)
+                            for p, s in self.graph.arcs_in(nk)
+                            if p == pred
+                        ]
+                    import json as _json
+
+                    self.typing[key] = "vals:" + _json.dumps(sorted(set(vals)))
+                    decided.append(key)
+                    continue
+                if shape_key.startswith("vshape:"):
+                    # nested property-shape validation in REPORT context:
+                    # validate fully here, report locally, answer a boolean
+                    real_key = shape_key[len("vshape:") :]
+                    v = _DistShacl(
+                        self.schema, self.graph, assumptions, is_local_key,
+                        record, reporting=True,
+                    )
+                    rres = v.validate_shape(nk, real_key)
+                    if not v.provisional:
+                        self.typing[key] = "conforms" if not rres else "notConforms"
+                        decided.append(key)
+                        self.reports.extend(
+                            r for r in rres if r["component"] != _REMOTE_NC_COMPONENT
+                        )
+                elif self.engine == "shex":
                     v = _DistShEx(self.schema, self.graph, assumptions, is_local_term, record)
                     node = key_to_term(nk)
                     ok = v.validate_node_shape(node, shape_key if shape_key != "START" else None)
@@ -595,12 +713,25 @@ class BucketWorker:
                         self.typing[key] = "conforms" if ok else "notConforms"
                         decided.append(key)
                 else:
-                    v = _DistShacl(self.schema, self.graph, assumptions, is_local_key, record)
+                    # report rows are emitted only for FOCUS validations —
+                    # a conformance probe requested by another bucket must
+                    # not add its inner violations to the report (matches
+                    # the local validator / SHACL sh:node semantics)
+                    is_focus_pair = key in self.focus_flags
+                    v = _DistShacl(
+                        self.schema, self.graph, assumptions, is_local_key,
+                        record, reporting=is_focus_pair,
+                    )
                     rres = v.validate_shape(nk, shape_key)
                     if not v.provisional:
                         self.typing[key] = "conforms" if not rres else "notConforms"
                         decided.append(key)
-                        self.reports.extend(rres)
+                        if is_focus_pair:
+                            self.reports.extend(
+                                r
+                                for r in rres
+                                if r["component"] != _REMOTE_NC_COMPONENT
+                            )
             except _NeedRemote as e:
                 self.typing[key] = f"error:{e}"
                 decided.append(key)
@@ -636,9 +767,11 @@ class BucketWorker:
 
     def assume_deps(self, deps: list):
         """Cycle-breaking: treat listed unanswered deps as conforming
-        (coinductive close, ValidateND.scala:51-54 reading)."""
+        (coinductive close, ValidateND.scala:51-54 reading); unanswered
+        path hops close with an empty value set."""
         for nk, sk in deps:
-            self.assumptions.setdefault((nk, sk), True)
+            default = [] if sk.startswith("hop:") else True
+            self.assumptions.setdefault((nk, sk), default)
         answered = set(map(tuple, deps))
         for pair in list(self.blocked_on):
             self.blocked_on[pair] -= answered
@@ -885,7 +1018,12 @@ def distributed_validate(
             for b in buckets:
                 if (child, b) not in forwarded:
                     forwarded.add((child, b))
-                    fwd.setdefault(b, []).append((child[0], child[1], val == "conforms"))
+                    # hop answers carry their value-list payload verbatim;
+                    # everything else reduces to a conformance boolean
+                    payload = (
+                        val if child[1].startswith("hop:") else (val == "conforms")
+                    )
+                    fwd.setdefault(b, []).append((child[0], child[1], payload))
                     progress = True
         for b, asms in fwd.items():
             workers[b].add_assumptions.remote(asms)

@@ -67,8 +67,8 @@ def test_dist_shacl_matches_local(ray_session):
 
     checked = 0
     for f in load_shacl_cases()[::7][:10]:
-        if "/path/" in f or "complex" in f:
-            continue  # multi-hop paths: local-validator territory (documented)
+        if "complex" in f:
+            continue  # SHACL-validating-SHACL fixtures: driver-side only
         doc_iri = "file://" + f[:-4]
         triples = parse_turtle(open(f, newline="").read(), base=doc_iri)
         spo = _index(triples)
@@ -100,3 +100,77 @@ def test_dist_shacl_matches_local(ray_session):
         assert (lconf, lset) == (rep.num_rows == 0, dset), f
         checked += 1
     assert checked >= 4
+
+
+def test_dist_shacl_multihop_paths(ray_session):
+    """Every core/path suite entry (sequence / alternative / inverse /
+    zeroOrMore / oneOrMore / zeroOrOne) validates identically through the
+    distributed hop-expansion protocol."""
+    import ray.data as rd
+
+    from shaclex_ray.conformance import MF, RDF_TYPE, SHT2, _index, load_shacl_cases
+    from shaclex_ray.rdfio import parse_turtle
+    from shaclex_ray.shapes.shacl import compile_shacl
+    from shaclex_ray.terms import triples_to_table
+    from shaclex_ray.validate.dist import distributed_validate, resolve_shacl_targets
+    from shaclex_ray.validate.local import Graph
+    from shaclex_ray.validate.shacl_local import ShaclValidator
+
+    path_cases = [f for f in load_shacl_cases() if "/path/" in f]
+    assert len(path_cases) >= 15
+    checked = 0
+    for f in path_cases:
+        doc_iri = "file://" + f[:-4]
+        triples = parse_turtle(open(f, newline="").read(), base=doc_iri)
+        spo = _index(triples)
+        has_entry = any(
+            SHT2 + "Validate" in [o[1] for o in po.get(RDF_TYPE, []) if o[0] == "iri"]
+            and po.get(MF + "result")
+            for s, po in spo.items()
+        )
+        if not has_entry:
+            continue
+        lv = ShaclValidator(compile_shacl(triples), Graph(triples))
+        lconf, lres = lv.validate_all()
+        lset = sorted((r["focus"], r["component"]) for r in lres)
+
+        ds = rd.from_arrow(triples_to_table(triples))
+        schema2 = compile_shacl(triples)
+        focus = resolve_shacl_targets(ds, schema2)
+        _typing, rep = distributed_validate(ds, "shacl", schema2, focus, nbuckets=4)
+        dset = sorted(
+            zip(rep.column("focus_node").to_pylist(), rep.column("component").to_pylist())
+        )
+        assert (lconf, lset) == (rep.num_rows == 0, dset), f
+        checked += 1
+    assert checked >= 12
+
+
+def test_dist_shacl_node_probe_not_reported(ray_session):
+    """sh:node inner violations must NOT appear in the distributed report
+    (only the outer NodeConstraintComponent row), matching local/W3C
+    semantics."""
+    import ray.data as rd
+
+    from shaclex_ray.rdfio import parse_turtle
+    from shaclex_ray.shapes.shacl import compile_shacl
+    from shaclex_ray.terms import triples_to_table
+    from shaclex_ray.validate.dist import distributed_validate, resolve_shacl_targets
+
+    ttl = """
+    @prefix sh: <http://www.w3.org/ns/shacl#> .
+    @prefix ex: <http://ex.org/> .
+    ex:S a sh:NodeShape ;
+      sh:targetNode ex:n ;
+      sh:property [ sh:path ex:p ; sh:node ex:Inner ] .
+    ex:Inner a sh:NodeShape ;
+      sh:property [ sh:path ex:q ; sh:minCount 1 ] .
+    ex:n ex:p ex:m .
+    """
+    triples = parse_turtle(ttl)
+    ds = rd.from_arrow(triples_to_table(triples))
+    schema = compile_shacl(triples)
+    focus = resolve_shacl_targets(ds, schema)
+    _typing, rep = distributed_validate(ds, "shacl", schema, focus, nbuckets=4)
+    comps = sorted(c.split("#")[-1] for c in rep.column("component").to_pylist())
+    assert comps == ["NodeConstraintComponent"], comps
