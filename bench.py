@@ -138,7 +138,10 @@ def main():
         # deterministically (distinct doc_ids, identical content) so each
         # parallelism level has real work to chew (BASELINE.md protocol:
         # ≥64 blocks at the higher level)
-        scale_dir = _build_scale_input(sf_dir, factor=int(os.environ.get("GRAFT_SCALE_FACTOR", "100")))
+        # factor 300 puts real per-CPU work behind the per-run fixed costs
+        # (session init, actor spawn, stage scheduling) — the regime the
+        # north rule's 100-TB cluster actually runs in
+        scale_dir = _build_scale_input(sf_dir, factor=int(os.environ.get("GRAFT_SCALE_FACTOR", "300")))
         results = {}
         for n in (32, 8):
             p = subprocess.run(

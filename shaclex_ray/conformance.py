@@ -27,9 +27,6 @@ SHEX_VALIDATION_DIR = "/root/reference/src/test/resources/shexTest/validation"
 SKIP_TRAITS = {
     SHT + "SemanticAction",
     SHT + "ExternalShape",
-    SHT + "ShapeMap",
-    SHT + "Import",
-    SHT + "relativeIRI",
     # Greedy-trait entries pin the *greedy* matching strategy; we (like the
     # spec and the reference's exhaustive validator) use exhaustive matching,
     # whose expected results are the sht:Exhaustive twins of these entries.
@@ -71,6 +68,7 @@ def load_shex_manifest(path: str = None):
         maps = apo.get(SHT + "map", [None])[0]
         traits = {o[1] for o in po.get(SHT + "trait", []) if o[0] == "iri"}
         name = po.get(MF + "name", [("lit", s, "", "")])[0][1]
+        result = po.get(MF + "result", [None])[0]
         cases.append(
             {
                 "id": s,
@@ -81,6 +79,7 @@ def load_shex_manifest(path: str = None):
                 "focus": focus,
                 "shape": shape,
                 "map": maps,
+                "result": result,
                 "traits": traits,
             }
         )
@@ -102,13 +101,48 @@ def _iri_to_path(term) -> str | None:
     return None
 
 
+def _run_shex_map_case(case: dict, schema, graph):
+    """Shapemap-style entry (sht:map + mf:result): validate every
+    association in the query map and compare the per-(node, shape) results
+    against the expected results JSON (the reference runs these through
+    fixShapeMap + validateShapeMap, ShExTestRunner.scala:16-34)."""
+    import json as _json
+
+    mpath = _iri_to_path(case["map"])
+    if mpath is None or not os.path.exists(mpath):
+        return "skip", "no map file"
+    assocs = _json.loads(open(mpath).read())
+    v = ShExValidator(schema, graph)
+    got: dict[str, list] = {}
+    for a in assocs:
+        node_iri = a["node"]
+        shape = a["shape"]
+        res = v.validate_node_shape(("iri", node_iri), shape)
+        got.setdefault(node_iri, []).append({"shape": shape, "result": res})
+    rpath = _iri_to_path(case["result"])
+    if rpath is not None and os.path.exists(rpath):
+        expected = _json.loads(open(rpath).read())
+        norm = lambda m: {  # noqa: E731
+            n: sorted((e["shape"], bool(e["result"])) for e in entries)
+            for n, entries in m.items()
+        }
+        if norm(got) == norm(expected):
+            return "pass", ""
+        return "fail", f"map results differ: got {got} expected {expected}"
+    # no result file: the entry type pins overall conformance
+    all_ok = all(e["result"] for entries in got.values() for e in entries)
+    if all_ok == case["expected"]:
+        return "pass", ""
+    return "fail", f"overall {all_ok}, expected {case['expected']}"
+
+
 def run_shex_case(case: dict):
     """Run one shexTest case. Returns (status, detail) where status is
     'pass' | 'fail' | 'skip' | 'error'."""
     if case["traits"] & SKIP_TRAITS:
         return "skip", "trait"
-    if case["map"] is not None or case["focus"] is None:
-        return "skip", "shapemap-style"
+    if case["map"] is None and case["focus"] is None:
+        return "skip", "no focus"
     spath = _iri_to_path(case["schema"])
     dpath = _iri_to_path(case["data"])
     if spath is None or dpath is None:
@@ -117,11 +151,15 @@ def run_shex_case(case: dict):
     if not os.path.exists(jpath):
         return "skip", "no shexj"
     try:
-        schema = load_shexj_file(jpath)
+        # base = the schema's canonical IRI: relative IRIs in the schema
+        # resolve against it (sht:relativeIRI entries; no-op for the rest)
+        schema = load_shexj_file(jpath, base=case["schema"][1])
         # parse data against its canonical (manifest-relative) IRI so that
         # relative focus nodes in the manifest land on the same IRIs
         data_triples = parse_turtle(open(dpath, newline="").read(), base=case["data"][1])
         graph = Graph(data_triples)
+        if case["map"] is not None:
+            return _run_shex_map_case(case, schema, graph)
         v = ShExValidator(schema, graph)
         focus = case["focus"]
         shape = None

@@ -148,10 +148,20 @@ def read_documents(sf_dir: str, parallelism: int = 32) -> "ray.data.Dataset":
     everything downstream runs wide. (A real multi-file corpus already
     reads as many blocks; pass parallelism=0 to skip.)
     """
+    path = f"{sf_dir}/documents.parquet"
     ds = ray.data.read_parquet(
-        f"{sf_dir}/documents.parquet",
+        path,
         columns=["doc_id", "text", "lang", "source"],
     )
     if parallelism:
-        ds = ds.repartition(parallelism)
+        # skip the repartition when the file's row groups already give
+        # enough read splits (a cheap metadata peek, no data read)
+        try:
+            import pyarrow.parquet as pq
+
+            ngroups = pq.ParquetFile(path).metadata.num_row_groups
+        except Exception:
+            ngroups = 1
+        if ngroups < parallelism:
+            ds = ds.repartition(parallelism)
     return ds.map_batches(build_spans_batch, batch_format="pyarrow")

@@ -55,6 +55,39 @@ def read_turtle_files(paths, **kwargs) -> "ray.data.Dataset":
     return ds.flat_map(parse_file)
 
 
+def read_rdfxml_files(paths, **kwargs) -> "ray.data.Dataset":
+    """RDF/XML reader: one parse task per file (document-scoped syntax,
+    like Turtle — files are the parallelism unit; DataFormats parity with
+    the reference, DataFormats.scala:8-29)."""
+    from shaclex_ray.rdfio.rdfxml import parse_rdfxml
+
+    ds = ray.data.read_binary_files(paths, include_paths=True, **kwargs)
+
+    def parse_file(row):
+        triples = parse_rdfxml(
+            row["bytes"].decode("utf-8"),
+            base="file://" + row["path"],
+            bnode_prefix=row["path"] + "#",
+        )
+        tbl = triples_to_table(triples, doc_id=row["path"])
+        return tbl.to_pylist()
+
+    return ds.flat_map(parse_file)
+
+
+def parse_rdf_text(text: str, fmt: str | None = None, base: str = "", bnode_prefix: str = ""):
+    """Driver-side any-format parse (format sniffed when not given):
+    'turtle' (⊇ N-Triples) or 'rdfxml'."""
+    if fmt is None:
+        stripped = text.lstrip()
+        fmt = "rdfxml" if stripped.startswith("<?xml") or stripped.startswith("<rdf:") else "turtle"
+    if fmt in ("rdfxml", "rdf/xml", "xml"):
+        from shaclex_ray.rdfio.rdfxml import parse_rdfxml
+
+        return parse_rdfxml(text, base=base, bnode_prefix=bnode_prefix)
+    return parse_turtle(text, base=base, bnode_prefix=bnode_prefix)
+
+
 def write_triples(triples_ds, path: str) -> str:
     """North-star triple sink (SURVEY.md S13): Lance when the package is
     available, else partitioned parquet with the identical Arrow schema."""

@@ -5,16 +5,18 @@ Stages:
      (bucketed dedup — no full-table shuffle of non-mention triples)
   2. blocking: normalize(surface) is the blocking key; within each block a
      groupby-aggregate emits union edges (mention_iri, canonical_iri)
-  3. union-find merge on the driver (edge list ~ |distinct mentions|, the
-     designed small side; multi-key blocking would add more edge sources —
-     the merge is the same)
+  3. component merge: DISTRIBUTED min-label propagation over the union
+     edges (groupby-min + edge joins per round; the driver never holds the
+     edge list — at web scale distinct surface forms are billions). The
+     driver union-find remains as the semantics oracle
+     (``distributed=False``); both produce identical rows.
   4. canonicalization: the mention→canonical map is broadcast once via
      ``ray.put`` and each triple batch rewrites subj/obj IRIs with a
      vectorized index_in/take substitution (no per-batch re-shipping)
 
 Determinism: canonical IRI is a pure function of the normalized surface;
-union-find uses lexicographic minimum as representative, so retried tasks
-produce identical rows.
+the component representative is the lexicographic minimum (same rule in
+both merge implementations), so retried tasks produce identical rows.
 """
 
 from __future__ import annotations
@@ -92,12 +94,12 @@ def harvest_mentions(triples_ds):
     )
 
 
-def build_entity_links(triples_ds) -> pa.Table:
-    """mention_iri -> canonical_iri table (driver-materialized small side)."""
+def _edges_ds(triples_ds):
+    """Per-block union edges: every mention in a block links to the block's
+    canonical entity IRI (distinct mentions only — the blocking groupby is
+    the dedup)."""
     mentions = harvest_mentions(triples_ds)
-    # per-block union edges: every mention in a block links to the block's
-    # canonical entity IRI
-    edges = mentions.map_batches(
+    return mentions.map_batches(
         lambda b: pa.table(
             {
                 "a": b.column("mention_iri"),
@@ -107,21 +109,145 @@ def build_entity_links(triples_ds) -> pa.Table:
             }
         ),
         batch_format="pyarrow",
-    ).take_all()  # small side by design (distinct mentions only)
+    )
 
-    uf = UnionFind()
-    for row in edges:
-        uf.union(row["a"], row["b"])
-    mapping: dict[str, str] = {}
-    for row in edges:
-        mapping[row["a"]] = uf.find(row["a"])
-    return pa.table(
-        {
-            "mention": pa.array(sorted(mapping), pa.string()),
-            "canonical_iri": pa.array(
-                [mapping[k] for k in sorted(mapping)], pa.string()
+
+def connected_components(edges_ds, max_iters: int = 12):
+    """Distributed connected components by min-label propagation: each node
+    repeatedly adopts the smallest label among itself and its neighbors
+    (groupby-min per round; deterministic — the representative is the
+    lexicographic minimum of the component, exactly the driver union-find's
+    rule). Converges in O(component diameter) rounds; the blocking graph is
+    a forest of stars, so 2 rounds close it. Returns a Dataset
+    (node, label)."""
+
+    def seed(batch: pa.Table) -> pa.Table:
+        a = batch.column("a").combine_chunks()
+        b = batch.column("b").combine_chunks()
+        lab = pc.min_element_wise(a, b)
+        return pa.table(
+            {
+                "node": pa.concat_arrays([a, b]),
+                "label": pa.concat_arrays([lab, lab]),
+            }
+        )
+
+    def min_label(group: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "node": group.column("node").slice(0, 1),
+                "label": pa.array(
+                    [pc.min(group.column("label")).as_py()], pa.string()
+                ),
+            }
+        )
+
+    labels = edges_ds.map_batches(seed, batch_format="pyarrow")
+    edges = edges_ds
+    for _ in range(max_iters):
+        labels = (
+            labels.groupby("node").map_groups(min_label, batch_format="pyarrow")
+        ).materialize()
+        # propagate: each edge forwards min(label_a, label_b) to both ends
+        joined = edges.join(
+            labels, "inner", num_partitions=8, on=("a",), right_on=("node",)
+        ).join(
+            labels,
+            "inner",
+            num_partitions=8,
+            on=("b",),
+            right_on=("node",),
+            left_suffix="_a",
+            right_suffix="_b",
+        )
+
+        def fwd(batch: pa.Table) -> pa.Table:
+            la = batch.column("label_a").combine_chunks()
+            lb = batch.column("label_b").combine_chunks()
+            m = pc.min_element_wise(la, lb)
+            return pa.table(
+                {
+                    "node": pa.concat_arrays(
+                        [
+                            batch.column("a").combine_chunks(),
+                            batch.column("b").combine_chunks(),
+                        ]
+                    ),
+                    "label": pa.concat_arrays([m, m]),
+                    "changed": pa.concat_arrays(
+                        [
+                            pc.not_equal(la, m),
+                            pc.not_equal(lb, m),
+                        ]
+                    ),
+                }
+            )
+
+        prop = joined.map_batches(fwd, batch_format="pyarrow").materialize()
+        n_changed = prop.map_batches(
+            lambda b: pa.table(
+                {"n": pa.array([pc.sum(b.column("changed")).as_py() or 0], pa.int64())}
             ),
-        }
+            batch_format="pyarrow",
+        ).sum("n")
+        labels = prop.select_columns(["node", "label"])
+        if not n_changed:
+            break
+    return labels.groupby("node").map_groups(min_label, batch_format="pyarrow")
+
+
+def build_entity_links(triples_ds, distributed: bool | None = None) -> pa.Table:
+    """mention_iri -> canonical_iri table.
+
+    The component merge runs as DISTRIBUTED min-label propagation (the
+    driver never sees the full edge list — at web scale distinct surface
+    forms are billions); the final mention→canonical table is returned as
+    an Arrow table for the broadcast canonicalizer. ``distributed=False``
+    selects the driver union-find (kept as the semantics oracle; both
+    produce identical rows — tests pin this)."""
+    if distributed is None:
+        distributed = True
+    if not distributed:
+        edges = _edges_ds(triples_ds).take_all()
+        uf = UnionFind()
+        for row in edges:
+            uf.union(row["a"], row["b"])
+        mapping: dict[str, str] = {}
+        for row in edges:
+            mapping[row["a"]] = uf.find(row["a"])
+        return pa.table(
+            {
+                "mention": pa.array(sorted(mapping), pa.string()),
+                "canonical_iri": pa.array(
+                    [mapping[k] for k in sorted(mapping)], pa.string()
+                ),
+            }
+        )
+    edges = _edges_ds(triples_ds)
+    labels = connected_components(edges)
+
+    def mentions_only(batch: pa.Table) -> pa.Table:
+        mask = pc.starts_with(batch.column("node"), MENTION_NS)
+        sub = batch.filter(mask)
+        return pa.table(
+            {"mention": sub.column("node"), "canonical_iri": sub.column("label")}
+        )
+
+    out = labels.map_batches(mentions_only, batch_format="pyarrow")
+    tbl = pa.concat_tables(
+        list(out.iter_batches(batch_format="pyarrow", batch_size=None))
+        or [
+            pa.table(
+                {
+                    "mention": pa.array([], pa.string()),
+                    "canonical_iri": pa.array([], pa.string()),
+                }
+            )
+        ]
+    ).combine_chunks()
+    order = pc.sort_indices(tbl.column("mention"))
+    return tbl.take(order).cast(
+        pa.schema([("mention", pa.string()), ("canonical_iri", pa.string())])
     )
 
 

@@ -943,15 +943,14 @@ def distributed_validate(
     _mark("split")
     ray.get(warmups)
     _mark("warmup")
-    ray.get(
-        [
-            workers[b].load.remote(*[blk[b] for blk in split_refs])
-            for b in range(nbuckets)
-        ]
-    )
-    _mark("load")
+    load_refs = [
+        workers[b].load.remote(*[blk[b] for blk in split_refs])
+        for b in range(nbuckets)
+    ]
 
-    # initial focus submission (vectorized routing; worklists live in actors)
+    # initial focus submission (vectorized routing; worklists live in
+    # actors). Submit calls queue behind load in each actor's mailbox, so
+    # the focus-resolution scan OVERLAPS the bucket index builds.
     if isinstance(focus_tasks, pa.Table):
         ray.get(
             [
@@ -961,7 +960,8 @@ def distributed_validate(
         )
     else:  # Ray Dataset: streamed task→actor, no driver materialization
         _submit_focus_dataset(focus_tasks, workers, nbuckets)
-    _mark("submit")
+    ray.get(load_refs)
+    _mark("load+submit")
 
     # ---- driver loop: only dependency traffic crosses the driver
     need_by: dict[tuple[str, str], set[int]] = {}

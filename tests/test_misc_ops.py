@@ -100,3 +100,17 @@ def test_trigger_modes(ray_session):
         prefixes={"": "http://e/"}, nbuckets=2,
     )
     assert summary["conformant"] == 1
+
+
+def test_entity_links_distributed_equals_unionfind(ray_session):
+    """The distributed min-label component merge produces exactly the
+    driver union-find's rows (same lexicographic-min representative)."""
+    from shaclex_ray.sources.documents import read_documents
+    from shaclex_ray.stages.extract import extract_triples
+    from shaclex_ray.stages.link import build_entity_links
+
+    raw = extract_triples(read_documents("/root/testdata/sf0.001")).materialize()
+    dist = build_entity_links(raw, distributed=True)
+    uf = build_entity_links(raw, distributed=False)
+    assert dist.to_pylist() == uf.to_pylist()
+    assert dist.num_rows > 0
