@@ -55,9 +55,16 @@ def infer_schema(
     max_preds: int = 64,
 ):
     """Infer a shape for instances of ``focus_class`` (or all subjects when
-    None). Returns (schema_ir, stats_table)."""
-    # focus set (small side, broadcast; reference guards with a visited set,
-    # InferState.scala:7-46 — here the set is explicit)
+    None). Returns (schema_ir, stats_table).
+
+    The focus set is handled as a *semi-join* (hash-partitioned
+    Dataset.join on subj), never a driver-collected broadcast set — the
+    instance set of a class at web scale is huge (reference guards with a
+    visited set, InferState.scala:7-46; ours is the join key)."""
+    import ray as _ray
+
+    arcs = triples_ds
+    n_focus_holder = None
     if focus_class is not None:
 
         def find_focus(batch: pa.Table) -> pa.Table:
@@ -67,39 +74,43 @@ def infer_schema(
             )
             return pa.table({"subj": pc.filter(batch.column("subj"), mask)})
 
-        focus = {
-            r["subj"]
-            for r in triples_ds.map_batches(find_focus, batch_format="pyarrow").take_all()
-        }
-    else:
-        focus = None
-    focus_ref = ray.put(focus)
-    n_focus_holder = len(focus) if focus is not None else None
+        from ray.data.aggregate import Count
+
+        focus_ds = (
+            triples_ds.map_batches(find_focus, batch_format="pyarrow")
+            .groupby("subj")
+            .aggregate(Count(alias_name="_n"))  # distinct subjects
+        ).materialize()
+        n_focus_holder = focus_ds.count()
+        nparts = max(2, min(16, int(_ray.cluster_resources().get("CPU", 4)) // 2))
+        arcs = triples_ds.join(
+            focus_ds.drop_columns(["_n"]),
+            "inner",
+            num_partitions=nparts,
+            on=("subj",),
+        )
 
     def project(batch: pa.Table) -> pa.Table:
-        f = ray.get(focus_ref)
-        if f is not None:
-            mask = pc.is_in(batch.column("subj"), value_set=pa.array(sorted(f)))
-            batch = batch.filter(mask)
-        kind = []
-        for k, dt, lg in zip(
-            batch.column("obj_kind").to_pylist(),
-            batch.column("obj_dt").to_pylist(),
-            batch.column("obj_lang").to_pylist(),
-        ):
-            if k == "iri":
-                kind.append("iri")
-            elif k == "bnode":
-                kind.append("bnode")
-            elif lg:
-                kind.append("lang:" + lg)
-            else:
-                kind.append("lit:" + (dt or XSD_STRING))
+        # vectorized lattice-element classification (no per-row loop)
+        okind = batch.column("obj_kind").combine_chunks()
+        odt = batch.column("obj_dt").combine_chunks()
+        olang = batch.column("obj_lang").combine_chunks()
+        dt_or_string = pc.if_else(pc.equal(odt, ""), XSD_STRING, odt)
+        lit_kind = pc.if_else(
+            pc.not_equal(olang, ""),
+            pc.binary_join_element_wise("lang:", olang, ""),
+            pc.binary_join_element_wise("lit:", dt_or_string, ""),
+        )
+        kind = pc.if_else(
+            pc.equal(okind, "iri"),
+            pa.scalar("iri"),
+            pc.if_else(pc.equal(okind, "bnode"), pa.scalar("bnode"), lit_kind),
+        )
         return pa.table(
             {
                 "pred": batch.column("pred"),
                 "subj": batch.column("subj"),
-                "kind": pa.array(kind, pa.string()),
+                "kind": kind,
             }
         )
 
@@ -125,7 +136,7 @@ def infer_schema(
         )
 
     stats = (
-        triples_ds.map_batches(project, batch_format="pyarrow")
+        arcs.map_batches(project, batch_format="pyarrow")
         .groupby("pred")
         .map_groups(finalize, batch_format="pyarrow")
     )

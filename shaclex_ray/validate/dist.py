@@ -422,18 +422,64 @@ def _split_block(nbuckets: int, include_inverse: bool, *tbls: pa.Table):
     )
 
 
+class _ArcIndex:
+    """Arrow-native per-node arc index: rows stay COLUMNAR (sorted by a
+    dictionary-encoded node key; group boundaries from one int argsort);
+    Python tuples materialize only for the slice of an evaluated node.
+    Buckets above ``spill_rows`` spill to an Arrow IPC file and reopen
+    memory-mapped, so an oversized bucket pages through the OS cache
+    instead of dying on worker heap (SURVEY.md dist docstring: "page
+    buckets from the partitioned checkpoints")."""
+
+    def __init__(self, tbl: pa.Table, keys: pa.Array, spill_path: str | None, spill_rows: int):
+        dic = pc.dictionary_encode(keys)
+        codes = dic.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        order = np.argsort(codes, kind="stable")
+        self._tbl = tbl.take(pa.array(order)).combine_chunks()
+        sorted_codes = codes[order]
+        nkeys = len(dic.dictionary)
+        self._starts = np.searchsorted(sorted_codes, np.arange(nkeys + 1))
+        # node-key → code lookup (one Python string per DISTINCT node, not
+        # per arc — the only eager Python materialization)
+        self._code = {k: i for i, k in enumerate(dic.dictionary.to_pylist())}
+        if spill_path is not None and self._tbl.num_rows > spill_rows:
+            import pyarrow.feather as _feather
+
+            _feather.write_feather(self._tbl, spill_path, compression="uncompressed")
+            mm = pa.memory_map(spill_path)
+            self._tbl = pa.ipc.open_file(mm).read_all()  # zero-copy mmap view
+
+    def keys(self):
+        return self._code.keys()
+
+    def slice_of(self, key: str) -> pa.Table | None:
+        i = self._code.get(key)
+        if i is None:
+            return None
+        s, e = int(self._starts[i]), int(self._starts[i + 1])
+        return self._tbl.slice(s, e - s)
+
+
 class LazyBucketGraph:
-    """Bucket-local neighborhood index with vectorized construction.
+    """Bucket-local neighborhood index, Arrow-native end-to-end.
 
-    The per-subject row index is built with one pandas groupby (C path)
-    over Arrow columns; Python term tuples materialize lazily, only for
-    subjects actually evaluated, and are cached. Replaces the eager
-    per-row dict-append build (9.2M-row buckets spent more time building
-    tuples than validating)."""
+    Construction: one dictionary-encode + int argsort per direction (C
+    kernels); no up-front to_pylist of the arc columns. Python term
+    tuples build lazily per evaluated node from a zero-copy table slice
+    and are cached with a size cap (the 9.2M-row eager build was a 5-10×
+    memory blowup)."""
 
-    def __init__(self):
+    CACHE_CAP = 500_000  # cached nodes per direction before a coarse reset
+
+    def __init__(self, spill_dir: str | None = None, spill_rows: int | None = None):
         self._parts: list[pa.Table] = []
         self._finalized = False
+        self._spill_dir = spill_dir
+        import os as _os
+
+        self._spill_rows = spill_rows or int(
+            _os.environ.get("SHACLEX_BUCKET_SPILL_ROWS", "4000000")
+        )
 
     def add_part(self, tbl: pa.Table):
         self._parts.append(tbl)
@@ -464,16 +510,29 @@ class LazyBucketGraph:
             )
         self._parts = None
         rev_mask = t.column("rev").combine_chunks()
-        fwd = t.filter(pc.invert(rev_mask))
-        rev = t.filter(rev_mask)
+        n_rev = pc.sum(rev_mask).as_py() or 0
+        if n_rev == 0:
+            fwd, rev = t, t.slice(0, 0)
+        else:
+            fwd = t.filter(pc.invert(rev_mask))
+            rev = t.filter(rev_mask)
 
-        self._f = {c: fwd.column(c).to_pylist() for c in ("pred", "obj_kind", "obj_lex", "obj_dt", "obj_lang")}
+        import os as _os
+
+        def spath(tag):
+            if self._spill_dir is None:
+                return None
+            _os.makedirs(self._spill_dir, exist_ok=True)
+            return _os.path.join(self._spill_dir, f"{tag}.arrow")
+
         fkeys = self._key_col(fwd.column("subj").combine_chunks())
-        self._fwd_idx = pd.Series(range(len(fkeys))).groupby(fkeys.to_pandas().values).indices
+        self._fwd = _ArcIndex(
+            fwd.select(["pred", "obj_kind", "obj_lex", "obj_dt", "obj_lang"]),
+            fkeys,
+            spath("fwd"),
+            self._spill_rows,
+        )
 
-        self._r = {
-            c: rev.column(c).to_pylist() for c in ("subj", "pred", "obj_kind", "obj_lex")
-        }
         okind = rev.column("obj_kind").combine_chunks()
         olex = rev.column("obj_lex").combine_chunks()
         odt = rev.column("obj_dt").combine_chunks()
@@ -492,7 +551,9 @@ class LazyBucketGraph:
                 pc.binary_join_element_wise("I", olex, ""),
             ),
         )
-        self._rev_idx = pd.Series(range(len(rkeys))).groupby(rkeys.to_pandas().values).indices
+        self._rev = _ArcIndex(
+            rev.select(["subj", "pred"]), rkeys, spath("rev"), self._spill_rows
+        )
 
         self._out_cache: dict[str, list] = {}
         self._in_cache: dict[str, list] = {}
@@ -500,48 +561,52 @@ class LazyBucketGraph:
     def arcs_out(self, key: str) -> list:
         got = self._out_cache.get(key)
         if got is None:
-            idx = self._fwd_idx.get(key)
-            if idx is None:
+            sub = self._fwd.slice_of(key)
+            if sub is None:
                 got = []
             else:
-                f = self._f
+                d = sub.to_pydict()
                 got = []
-                for i in idx:
-                    k = f["obj_kind"][i]
+                for p, k, lx, dt, lg in zip(
+                    d["pred"], d["obj_kind"], d["obj_lex"], d["obj_dt"], d["obj_lang"]
+                ):
                     if k == "iri":
-                        o = ("iri", f["obj_lex"][i])
+                        o = ("iri", lx)
                     elif k == "bnode":
-                        o = ("bnode", f["obj_lex"][i])
+                        o = ("bnode", lx)
                     else:
-                        o = ("lit", f["obj_lex"][i], f["obj_dt"][i], f["obj_lang"][i])
-                    got.append((f["pred"][i], o))
+                        o = ("lit", lx, dt, lg)
+                    got.append((p, o))
+            if len(self._out_cache) >= self.CACHE_CAP:
+                self._out_cache.clear()  # coarse reset keeps memory bounded
             self._out_cache[key] = got
         return got
 
     def arcs_in(self, key: str) -> list:
         got = self._in_cache.get(key)
         if got is None:
-            idx = self._rev_idx.get(key)
-            if idx is None:
+            sub = self._rev.slice_of(key)
+            if sub is None:
                 got = []
             else:
-                r = self._r
+                d = sub.to_pydict()
                 got = []
-                for i in idx:
-                    s = r["subj"][i]
+                for s, p in zip(d["subj"], d["pred"]):
                     sterm = ("bnode", s[2:]) if s.startswith("_:") else ("iri", s)
-                    got.append((r["pred"][i], sterm))
+                    got.append((p, sterm))
+            if len(self._in_cache) >= self.CACHE_CAP:
+                self._in_cache.clear()
             self._in_cache[key] = got
         return got
 
     # attribute views used by the in-memory validators' helper paths
     @property
     def by_subj(self):
-        return {k: self.arcs_out(k) for k in self._fwd_idx}
+        return {k: self.arcs_out(k) for k in self._fwd.keys()}
 
     @property
     def by_obj(self):
-        return {k: self.arcs_in(k) for k in self._rev_idx}
+        return {k: self.arcs_in(k) for k in self._rev.keys()}
 
 
 @ray.remote
@@ -557,7 +622,12 @@ class BucketWorker:
         self.engine = engine
         self.nbuckets = nbuckets
         self.bucket_id = bucket_id
-        self.graph = LazyBucketGraph()
+        import tempfile
+
+        # oversized buckets spill their sorted arc table here and reopen
+        # memory-mapped (degrade to OS paging instead of dying on heap)
+        self._spill_dir = tempfile.mkdtemp(prefix=f"shaclex-b{bucket_id}-")
+        self.graph = LazyBucketGraph(spill_dir=self._spill_dir)
         self.pending: dict[tuple[str, str], bool] = {}
         self.typing: dict[tuple[str, str], str] = {}
         self.focus_flags: dict[tuple[str, str], bool] = {}

@@ -208,3 +208,39 @@ def test_rdfs_range_entailment_bnode_subject(ray_session):
     ]
     assert typed, "range entailment missing"
     assert all(r["subj"].startswith("_:") for r in typed), typed
+
+
+def test_bucket_graph_arrow_index_and_spill(tmp_path):
+    """LazyBucketGraph: Arrow-native index correctness + oversized buckets
+    spill to a memory-mapped IPC file."""
+    import os
+
+    import pyarrow as pa
+
+    from shaclex_ray.validate.dist import LazyBucketGraph
+
+    n = 100
+    tbl = pa.table(
+        {
+            "subj": pa.array([f"http://e/s{i % 10}" for i in range(n)]),
+            "pred": pa.array(["http://e/p"] * n),
+            "obj_kind": pa.array(["iri"] * n),
+            "obj_lex": pa.array([f"http://e/o{i}" for i in range(n)]),
+            "obj_dt": pa.array([""] * n),
+            "obj_lang": pa.array([""] * n),
+            "rev": pa.array([False] * n),
+        }
+    )
+    g = LazyBucketGraph(spill_dir=str(tmp_path), spill_rows=10)
+    g.add_part(tbl)
+    g.finalize()
+    assert os.path.exists(os.path.join(str(tmp_path), "fwd.arrow"))
+    arcs = g.arcs_out("Ihttp://e/s3")
+    assert len(arcs) == 10
+    assert all(p == "http://e/p" and o[0] == "iri" for p, o in arcs)
+    assert g.arcs_out("Ihttp://e/missing") == []
+    # in-memory variant (no spill) gives identical answers
+    g2 = LazyBucketGraph()
+    g2.add_part(tbl)
+    g2.finalize()
+    assert sorted(g2.arcs_out("Ihttp://e/s3")) == sorted(arcs)
