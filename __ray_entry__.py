@@ -9,7 +9,7 @@ canonicalization in SQL over the ``documents`` view, so the value-hash
 comparison covers the whole pipeline, not just a projection.
 
 Shape-validation semantics are additionally pinned by the vendored W3C
-conformance suites in tests/ (1038 shexTest + 98 SHACL core entries) —
+conformance suites in tests/ (1061 shexTest + 98 SHACL core entries) —
 those are not SQL-expressible and run under pytest.
 
 Ray is initialised by the driver BEFORE this module is imported: nothing
@@ -296,6 +296,18 @@ def _q_dedup_simhash(sf_dir: str):
     return simhashes(sf_dir)
 
 
+def _q_dedup_simhash_groups(sf_dir: str):
+    from shaclex_ray.functions.dedup import simhash_groups
+
+    return simhash_groups(sf_dir)
+
+
+def _q_text_quality(sf_dir: str):
+    from shaclex_ray.functions.text import quality
+
+    return quality(sf_dir)
+
+
 def _q_dedup_ngram_jaccard(sf_dir: str):
     from shaclex_ray.functions.dedup import ngram_jaccard_dups
 
@@ -399,10 +411,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_typing_counts": _q_kg_typing_counts,
         "text_token_stats": _q_text_token_stats,
         "text_fingerprints": _q_text_fingerprints,
+        "text_quality": _q_text_quality,
         "text_langid": _q_text_langid,
         "dedup_exact": _q_dedup_exact,
         "dedup_minhash": _q_dedup_minhash,
         "dedup_simhash": _q_dedup_simhash,
+        "dedup_simhash_groups": _q_dedup_simhash_groups,
         "dedup_ngram_jaccard": _q_dedup_ngram_jaccard,
         "kg_infer_doc_shape": _q_kg_infer_doc_shape,
         "kg_shex_doc_conformance": _q_kg_shex_doc_conformance,
@@ -520,6 +534,8 @@ def oracle_sql() -> dict[str, str]:
         # splitmix64 as 32-bit-split HUGEINT arithmetic — full SQL twins)
         "dedup_minhash": _sql_oracles.minhash_candidates_sql(),
         "dedup_simhash": _sql_oracles.simhash_sql(),
+        "dedup_simhash_groups": _sql_oracles.simhash_groups_sql(),
+        "text_quality": _sql_oracles.quality_sql(),
         "dedup_ngram_jaccard": _sql_oracles.ngram_jaccard_sql(),
         "ann_lsh_buckets": _sql_oracles.lsh_buckets_sql(dim=64),
         "ann_lsh_topk": _sql_oracles.lsh_topk_sql(dim=64),

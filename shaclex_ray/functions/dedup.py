@@ -269,6 +269,36 @@ def simhashes(sf_dir: str):
     return _read_docs(sf_dir).map_batches(SimHasher(), batch_format="pyarrow")
 
 
+def simhash_groups(sf_dir: str):
+    """SimHash duplicate groups: docs sharing a 64-bit simhash key
+    (the dup-pair reduction over the signatures — hash-partition groupby,
+    map-side nothing needed; groups of size 1 are dropped)."""
+
+    def combine(group: pa.Table) -> pa.Table:
+        if group.num_rows < 2:
+            return pa.table(
+                {
+                    "simhash": pa.array([], pa.string()),
+                    "canonical_doc_id": pa.array([], pa.int64()),
+                    "n_dups": pa.array([], pa.int64()),
+                }
+            )
+        ids = group.column("doc_id")
+        return pa.table(
+            {
+                "simhash": group.column("simhash").slice(0, 1),
+                "canonical_doc_id": pa.array([pc.min(ids).as_py()], pa.int64()),
+                "n_dups": pa.array([group.num_rows], pa.int64()),
+            }
+        )
+
+    return (
+        simhashes(sf_dir)
+        .groupby("simhash")
+        .map_groups(combine, batch_format="pyarrow")
+    )
+
+
 # ------------------------------------------------------- ngram jaccard
 
 def ngram_jaccard_dups(

@@ -147,6 +147,39 @@ SELECT doc_id, lpad(lower(to_hex(CAST(h AS UBIGINT))), 16, '0') AS simhash FROM 
 """
 
 
+def simhash_groups_sql() -> str:
+    return (
+        "WITH sh AS ("
+        + simhash_sql()
+        + """)
+SELECT simhash,
+       CAST(min(doc_id) AS BIGINT) AS canonical_doc_id,
+       CAST(count(*) AS BIGINT) AS n_dups
+FROM sh GROUP BY simhash HAVING count(*) >= 2
+"""
+    )
+
+
+def quality_sql() -> str:
+    """Twin of functions/text.py quality_batch (same float64 ops)."""
+    return """
+WITH t AS (
+  SELECT doc_id,
+         CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+         CAST(length(text) AS BIGINT) AS n_chars,
+         CAST((SELECT count(*) FROM unnest(string_split(text, ' ')) AS u(tok)
+               WHERE u.tok IN ('the', 'a')) AS BIGINT) AS n_stopwords
+  FROM documents
+)
+SELECT doc_id, n_tokens,
+       (CAST(n_chars AS DOUBLE) - (CAST(n_tokens AS DOUBLE) + (-1.0)))
+         / greatest(CAST(n_tokens AS DOUBLE), 1.0) AS avg_token_len,
+       CAST(n_stopwords AS DOUBLE)
+         / greatest(CAST(n_tokens AS DOUBLE), 1.0) AS stopword_ratio
+FROM t
+"""
+
+
 def _sig_expr(dim: int, nbits: int, col: str = "embedding") -> str:
     """SQL expression for the LSH bucket signature with inlined planes."""
     from shaclex_ray.functions.ann import lsh_planes

@@ -5,11 +5,11 @@ Stages:
      (bucketed dedup — no full-table shuffle of non-mention triples)
   2. blocking: normalize(surface) is the blocking key; within each block a
      groupby-aggregate emits union edges (mention_iri, canonical_iri)
-  3. component merge: DISTRIBUTED min-label propagation over the union
-     edges (groupby-min + edge joins per round; the driver never holds the
-     edge list — at web scale distinct surface forms are billions). The
-     driver union-find remains as the semantics oracle
-     (``distributed=False``); both produce identical rows.
+  3. component merge, size-adaptive: small edge lists use the driver
+     union-find (broadcast regime); large ones run DISTRIBUTED min-label
+     propagation (groupby-min + edge joins per round — the driver never
+     holds the edge list; at web scale distinct surface forms are
+     billions). Both produce identical rows (tests pin the equality).
   4. canonicalization: the mention→canonical map is broadcast once via
      ``ray.put`` and each triple batch rewrites subj/obj IRIs with a
      vectorized index_in/take substitution (no per-batch re-shipping)
@@ -199,16 +199,21 @@ def connected_components(edges_ds, max_iters: int = 12):
 def build_entity_links(triples_ds, distributed: bool | None = None) -> pa.Table:
     """mention_iri -> canonical_iri table.
 
-    The component merge runs as DISTRIBUTED min-label propagation (the
-    driver never sees the full edge list — at web scale distinct surface
-    forms are billions); the final mention→canonical table is returned as
-    an Arrow table for the broadcast canonicalizer. ``distributed=False``
-    selects the driver union-find (kept as the semantics oracle; both
-    produce identical rows — tests pin this)."""
+    The component merge is size-adaptive (the broadcast-vs-shuffle switch):
+    small edge lists merge with the driver union-find; above
+    ``SHACLEX_LINK_DIST_THRESHOLD`` rows (default 1M — at web scale
+    distinct surface forms are billions) the merge runs as DISTRIBUTED
+    min-label propagation and the driver never sees the full edge list.
+    Both produce identical rows (lexicographic-min representative — tests
+    pin the equality), so the switch is purely physical."""
+    import os as _os
+
+    edges_m = _edges_ds(triples_ds).materialize()
     if distributed is None:
-        distributed = True
+        threshold = int(_os.environ.get("SHACLEX_LINK_DIST_THRESHOLD", "1000000"))
+        distributed = edges_m.count() >= threshold
     if not distributed:
-        edges = _edges_ds(triples_ds).take_all()
+        edges = edges_m.take_all()
         uf = UnionFind()
         for row in edges:
             uf.union(row["a"], row["b"])
@@ -223,8 +228,7 @@ def build_entity_links(triples_ds, distributed: bool | None = None) -> pa.Table:
                 ),
             }
         )
-    edges = _edges_ds(triples_ds)
-    labels = connected_components(edges)
+    labels = connected_components(edges_m)
 
     def mentions_only(batch: pa.Table) -> pa.Table:
         mask = pc.starts_with(batch.column("node"), MENTION_NS)

@@ -73,6 +73,8 @@ NAMES = [
     "text_fingerprints",
     "dedup_exact",
     "dedup_minhash",
+    "dedup_simhash_groups",
+    "text_quality",
     "dedup_simhash",
     "dedup_ngram_jaccard",
     "ann_topk",
