@@ -27,6 +27,16 @@ def _load_triples_ds(path: str):
         return read_ntriples(path)
     if path.endswith(".parquet") or path.rstrip("/").endswith("triples_canonical"):
         return rd.read_parquet(path)
+    if path.endswith((".jsonld", ".json")):
+        from shaclex_ray.rdfio import parse_jsonld
+
+        return rd.from_arrow(
+            triples_to_table(
+                parse_jsonld(
+                    open(path).read(), base="file://" + path, bnode_prefix=path + "#"
+                )
+            )
+        )
     if path.endswith((".rdf", ".xml", ".owl")):
         from shaclex_ray.rdfio import parse_rdfxml
 

@@ -1,4 +1,12 @@
 from shaclex_ray.rdfio.turtle import parse_turtle, TurtleError
 from shaclex_ray.rdfio.rdfxml import parse_rdfxml, RdfXmlError
+from shaclex_ray.rdfio.jsonld import parse_jsonld, JsonLdError
 
-__all__ = ["parse_turtle", "TurtleError", "parse_rdfxml", "RdfXmlError"]
+__all__ = [
+    "parse_turtle",
+    "TurtleError",
+    "parse_rdfxml",
+    "RdfXmlError",
+    "parse_jsonld",
+    "JsonLdError",
+]

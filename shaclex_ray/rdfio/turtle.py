@@ -70,7 +70,7 @@ _TOKEN_RE = re.compile(
   | (?P<double>[+-]?(?:\d+\.\d*[eE][+-]?\d+|\.?\d+[eE][+-]?\d+))
   | (?P<decimal>[+-]?\d*\.\d+)
   | (?P<integer>[+-]?\d+)
-  | (?P<punct>\^\^|[;,.\[\]()])
+  | (?P<punct>\^\^|[;,.\[\](){}])
   | (?P<pname>(?:[^\s'"<>;,()\[\]#^@]|\\[~.\-!$&'()*+,;=/?\#@%_])*:(?:(?:[^\s'"<>;,()\[\]#^]|\\[~.\-!$&'()*+,;=/?\#@%_]|%[0-9A-Fa-f]{2})*)?)
   | (?P<keyword>[a-zA-Z][a-zA-Z0-9_]*)
     """,
@@ -205,6 +205,15 @@ class TurtleParser:
             elif kind == "sparql_base":
                 self.toks.next()
                 self._base_body(dotted=False)
+            elif kind == "keyword" and v.upper() == "GRAPH":
+                # TriG: GRAPH <label> { ... } — graphs flatten into the
+                # one triple set (union-graph reading; the validators see
+                # a single RDF graph, like the reference's merged model)
+                self.toks.next()
+                self._subject()  # graph label (iri/bnode) — discarded
+                self._graph_block()
+            elif v == "{":
+                self._graph_block()  # TriG default-graph block
             else:
                 self._triples_block()
         return self.triples
@@ -238,8 +247,28 @@ class TurtleParser:
                 self._predicate_object_list(subj)
         else:
             subj = self._subject()
+            if self.toks.peek()[1] == "{":  # TriG: <label> { ... }
+                self._graph_block()
+                return
             self._predicate_object_list(subj)
         self.toks.expect(".")
+
+    def _graph_block(self):
+        """TriG graph content: Turtle triple statements inside { } with an
+        optional trailing dot on the last one."""
+        self.toks.expect("{")
+        while self.toks.peek()[1] != "}":
+            kind, v = self.toks.peek()
+            if v == "[":
+                subj = self._bnode_property_list()
+                if self.toks.peek()[1] not in (".", "}"):
+                    self._predicate_object_list(subj)
+            else:
+                subj = self._subject()
+                self._predicate_object_list(subj)
+            if self.toks.peek()[1] == ".":
+                self.toks.next()
+        self.toks.expect("}")
 
     def _subject(self) -> tuple:
         kind, v = self.toks.next()

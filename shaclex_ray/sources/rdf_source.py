@@ -77,15 +77,42 @@ def read_rdfxml_files(paths, **kwargs) -> "ray.data.Dataset":
 
 def parse_rdf_text(text: str, fmt: str | None = None, base: str = "", bnode_prefix: str = ""):
     """Driver-side any-format parse (format sniffed when not given):
-    'turtle' (⊇ N-Triples) or 'rdfxml'."""
+    'turtle' (⊇ N-Triples, ⊆ TriG), 'rdfxml' or 'jsonld'."""
     if fmt is None:
         stripped = text.lstrip()
-        fmt = "rdfxml" if stripped.startswith("<?xml") or stripped.startswith("<rdf:") else "turtle"
+        if stripped.startswith("<?xml") or stripped.startswith("<rdf:"):
+            fmt = "rdfxml"
+        elif stripped.startswith(("{", "[")):
+            fmt = "jsonld"
+        else:
+            fmt = "turtle"
     if fmt in ("rdfxml", "rdf/xml", "xml"):
         from shaclex_ray.rdfio.rdfxml import parse_rdfxml
 
         return parse_rdfxml(text, base=base, bnode_prefix=bnode_prefix)
+    if fmt in ("jsonld", "json-ld", "json"):
+        from shaclex_ray.rdfio.jsonld import parse_jsonld
+
+        return parse_jsonld(text, base=base, bnode_prefix=bnode_prefix)
     return parse_turtle(text, base=base, bnode_prefix=bnode_prefix)
+
+
+def read_jsonld_files(paths, **kwargs) -> "ray.data.Dataset":
+    """JSON-LD reader: one parse task per file (document-scoped contexts)."""
+    from shaclex_ray.rdfio.jsonld import parse_jsonld
+
+    ds = ray.data.read_binary_files(paths, include_paths=True, **kwargs)
+
+    def parse_file(row):
+        triples = parse_jsonld(
+            row["bytes"].decode("utf-8"),
+            base="file://" + row["path"],
+            bnode_prefix=row["path"] + "#",
+        )
+        tbl = triples_to_table(triples, doc_id=row["path"])
+        return tbl.to_pylist()
+
+    return ds.flat_map(parse_file)
 
 
 def write_triples(triples_ds, path: str) -> str:
