@@ -47,7 +47,11 @@ import ray
 
 from shaclex_ray.terms import RDF_TYPE, key_to_term, obj_key, subj_to_key, term_key
 from shaclex_ray.validate.local import Graph, ShExValidator
-from shaclex_ray.validate.shacl_local import RDFS_SUBCLASS, ShaclValidator
+from shaclex_ray.validate.shacl_local import (
+    RDFS_SUBCLASS,
+    ShaclValidator,
+    _component as _component_iri,
+)
 
 # ---------------------------------------------------------------------------
 # stable bucketing (pandas fixed-key siphash: deterministic across processes)
@@ -609,6 +613,102 @@ class LazyBucketGraph:
         return {k: self.arcs_in(k) for k in self._rev.keys()}
 
 
+# ---------------------------------------------------------------------------
+# vectorized flat-SHACL fast path (SURVEY.md M8 at bucket granularity):
+# shapes whose property shapes are pred-path + scalar components evaluate
+# for ALL pending focus nodes at once with Arrow/numpy kernels — the
+# per-focus Python walk remains the semantics oracle and the fallback.
+
+from shaclex_ray.terms import SEP as _TSEP
+from shaclex_ray.terms import SH as _SH
+from shaclex_ray.terms import XSD as _XSD
+
+# datatypes whose lexical validity is vectorizable (regex / trivially true)
+_VEC_DATATYPE_RE = {
+    _XSD + "string": None,
+    _XSD + "integer": r"^[+-]?[0-9]+$",
+    _XSD + "boolean": r"^(true|false|0|1)$",
+}
+
+_NODEKIND_ALLOWED = {
+    _SH + "IRI": ("iri",),
+    _SH + "BlankNode": ("bnode",),
+    _SH + "Literal": ("literal",),
+    _SH + "BlankNodeOrIRI": ("bnode", "iri"),
+    _SH + "BlankNodeOrLiteral": ("bnode", "literal"),
+    _SH + "IRIOrLiteral": ("iri", "literal"),
+}
+
+
+def flat_shacl_profile(schema: dict) -> dict[str, list]:
+    """shape_key -> list of vectorizable property profiles (absent = use
+    the per-focus Python path)."""
+    out: dict[str, list] = {}
+    for skey, sh in schema.get("shapes", {}).items():
+        if not sh or sh.get("path") is not None:
+            continue
+        if sh.get("deactivated") or sh.get("closed") or sh.get("components"):
+            continue
+        props = []
+        ok = True
+        for pk in sh.get("properties", []):
+            psh = schema["shapes"].get(pk)
+            if (
+                not psh
+                or psh.get("deactivated")
+                or psh.get("closed")
+                or psh.get("properties")
+                or not (psh.get("path") and set(psh["path"]) == {"pred"})
+            ):
+                ok = False
+                break
+            prof = {
+                "pred": psh["path"]["pred"],
+                "key": pk,
+                "severity": psh["severity"],
+                "message": psh["messages"][0] if psh["messages"] else "",
+                "checks": [],
+            }
+            for kind, params in psh["components"]:
+                if kind in ("minCount", "maxCount"):
+                    prof["checks"].append((kind, params["n"]))
+                elif kind == "datatype" and params["iri"] in _VEC_DATATYPE_RE:
+                    prof["checks"].append((kind, params["iri"]))
+                elif kind == "nodeKind" and params["iri"] in _NODEKIND_ALLOWED:
+                    prof["checks"].append((kind, params["iri"]))
+                elif kind == "class":
+                    prof["checks"].append((kind, params["cls"]))
+                else:
+                    ok = False
+                    break
+            if not ok:
+                break
+            props.append(prof)
+        if ok:
+            out[skey] = props
+    return out
+
+
+def _obj_key_col(sub: pa.Table) -> pa.Array:
+    """Vectorized object term-key column ('I…'/'B…'/'L…')."""
+    okind = sub.column("obj_kind").combine_chunks()
+    olex = sub.column("obj_lex").combine_chunks()
+    odt = sub.column("obj_dt").combine_chunks()
+    olang = sub.column("obj_lang").combine_chunks()
+    lit = pc.binary_join_element_wise(
+        pc.binary_join_element_wise("L", olex, ""), odt, olang, _TSEP
+    )
+    return pc.if_else(
+        pc.equal(okind, "literal"),
+        lit,
+        pc.if_else(
+            pc.equal(okind, "bnode"),
+            pc.binary_join_element_wise("B", olex, ""),
+            pc.binary_join_element_wise("I", olex, ""),
+        ),
+    )
+
+
 @ray.remote
 class BucketWorker:
     """Persistent per-bucket evaluator: the neighborhood index AND the
@@ -642,6 +742,8 @@ class BucketWorker:
         # node-key -> is-local memo (the scalar stable-hash is ~50µs; value
         # nodes repeat heavily across focus pairs)
         self._local_cache: dict[str, bool] = {}
+        # vectorizable-shape profiles (computed lazily once per actor)
+        self._flat_profiles: dict[str, list] | None = None
 
     def load(self, *parts: pa.Table) -> int:
         n = 0
@@ -682,10 +784,190 @@ class BucketWorker:
                 val = _json.loads(val[5:])  # hop answer: value-key list
             self.assumptions[(nk, sk)] = val
         answered = {(nk, sk) for nk, sk, _v in asms}
+        # non-mutating subtraction: dep sets may be shared across pairs
         for pair in list(self.blocked_on):
-            self.blocked_on[pair] -= answered
-            if not self.blocked_on[pair]:
+            remaining = self.blocked_on[pair] - answered
+            if remaining:
+                self.blocked_on[pair] = remaining
+            else:
                 del self.blocked_on[pair]
+
+    def _flat_eval(self, shape_key, node_keys, is_local_key, decided, all_deps):
+        """Vectorized evaluation of one flat shape for MANY focus nodes:
+        Arrow/numpy kernels over the bucket's columnar arc table instead of
+        a per-focus Python walk. Produces identical verdicts and report
+        rows (multiset) to ShaclValidator.validate_shape — pinned by
+        tests/test_dist_validate.py comparing against the local path."""
+        profile = self._flat_profiles[shape_key]
+        g = self.graph
+        idx = g._fwd
+        n = len(node_keys)
+
+        # gather each focus node's arc-row range from the sorted index
+        row_parts, subj_parts = [], []
+        for i, nk in enumerate(node_keys):
+            c = idx._code.get(nk)
+            if c is None:
+                continue
+            s, e = int(idx._starts[c]), int(idx._starts[c + 1])
+            row_parts.append(np.arange(s, e, dtype=np.int64))
+            subj_parts.append(np.full(e - s, i, dtype=np.int64))
+        if row_parts:
+            rows = np.concatenate(row_parts)
+            subj_of_row = np.concatenate(subj_parts)
+            sub = idx._tbl.take(pa.array(rows))
+            pred_np = sub.column("pred").combine_chunks()
+            okind_np = sub.column("obj_kind").combine_chunks().to_numpy(zero_copy_only=False)
+            vkeys = None  # built lazily (only class/value-level checks need it)
+        else:
+            rows = np.zeros(0, dtype=np.int64)
+            subj_of_row = rows
+            sub = None
+            pred_np = None
+            okind_np = np.zeros(0, dtype=object)
+            vkeys = None
+
+        viol = np.zeros(n, dtype=bool)
+        blocked: dict[int, set] = {}  # node position -> unresolved deps
+        reports: list[list] = [[] for _ in range(n)]
+        focus_flags = self.focus_flags
+        assumptions = self.assumptions
+        inst_memo: dict[tuple[str, str], object] = {}
+
+        def vkey_col():
+            nonlocal vkeys
+            if vkeys is None and sub is not None:
+                vkeys = _obj_key_col(sub).to_numpy(zero_copy_only=False)
+            return vkeys
+
+        for prof in profile:
+            pred = prof["pred"]
+            if pred_np is not None:
+                pmask = pc.equal(pred_np, pred).to_numpy(zero_copy_only=False)
+            else:
+                pmask = np.zeros(0, dtype=bool)
+            counts = np.zeros(n, dtype=np.int64)
+            np.add.at(counts, subj_of_row[pmask], 1)
+
+            def emit_rows(node_positions, component, values=None):
+                for j, pos in enumerate(node_positions):
+                    reports[pos].append(
+                        {
+                            "focus": node_keys[pos],
+                            "path": pred,
+                            "value": values[j] if values is not None else None,
+                            "component": _component_iri(component),
+                            "severity": prof["severity"],
+                            "source": prof["key"],
+                            "message": prof["message"],
+                        }
+                    )
+
+            for kind, param in prof["checks"]:
+                if kind == "minCount":
+                    bad = np.flatnonzero(counts < param)
+                    viol[bad] = True
+                    emit_rows(bad, "MinCount")
+                elif kind == "maxCount":
+                    bad = np.flatnonzero(counts > param)
+                    viol[bad] = True
+                    emit_rows(bad, "MaxCount")
+                elif kind == "datatype":
+                    rx = _VEC_DATATYPE_RE[param]
+                    is_lit = okind_np == "literal"
+                    dt_np = (
+                        sub.column("obj_dt").combine_chunks().to_numpy(zero_copy_only=False)
+                        if sub is not None
+                        else np.zeros(0, dtype=object)
+                    )
+                    good = is_lit & (dt_np == param)
+                    if rx is not None and sub is not None:
+                        lex_ok = pc.match_substring_regex(
+                            sub.column("obj_lex").combine_chunks(), rx
+                        ).to_numpy(zero_copy_only=False)
+                        good = good & lex_ok
+                    bad_rows = np.flatnonzero(pmask & ~good)
+                    if len(bad_rows):
+                        viol[subj_of_row[bad_rows]] = True
+                        emit_rows(
+                            subj_of_row[bad_rows],
+                            "Datatype",
+                            values=[vkey_col()[r] for r in bad_rows],
+                        )
+                elif kind == "nodeKind":
+                    allowed = _NODEKIND_ALLOWED[param]
+                    good = np.isin(okind_np, allowed)
+                    bad_rows = np.flatnonzero(pmask & ~good)
+                    if len(bad_rows):
+                        viol[subj_of_row[bad_rows]] = True
+                        emit_rows(
+                            subj_of_row[bad_rows],
+                            "NodeKind",
+                            values=[vkey_col()[r] for r in bad_rows],
+                        )
+                elif kind == "class":
+                    crow = np.flatnonzero(pmask)
+                    if not len(crow):
+                        continue
+                    vk = vkey_col()
+                    # literal values violate outright; iri/bnode values need
+                    # an instance check (local lookup / cross-bucket dep),
+                    # resolved once per DISTINCT value
+                    for r in crow:
+                        v = vk[r]
+                        pos = subj_of_row[r]
+                        if okind_np[r] == "literal":
+                            viol[pos] = True
+                            emit_rows([pos], "Class", values=[v])
+                            continue
+                        memo_key = (v, param)
+                        st = inst_memo.get(memo_key)
+                        if st is None:
+                            a = assumptions.get((v, "class:" + param))
+                            if a is not None:
+                                st = bool(a)
+                            elif is_local_key(v):
+                                st = self._local_is_instance(v, param)
+                            else:
+                                st = "dep"
+                            inst_memo[memo_key] = st
+                        if st == "dep":
+                            blocked.setdefault(pos, set()).add(
+                                (v, "class:" + param)
+                            )
+                        elif st is False:
+                            viol[pos] = True
+                            emit_rows([pos], "Class", values=[v])
+
+        # decide the unblocked; register deps for the blocked (identical
+        # dep combinations share ONE set object — millions of pairs block
+        # on a handful of hub values)
+        interned: dict[tuple, set] = {}
+        for pos, nk in enumerate(node_keys):
+            key = (nk, shape_key)
+            if pos in blocked:
+                sig = tuple(sorted(blocked[pos]))
+                shared = interned.get(sig)
+                if shared is None:
+                    shared = interned[sig] = set(sig)
+                    all_deps |= {d for d in shared if d not in assumptions}
+                self.blocked_on[key] = shared
+                continue
+            self.typing[key] = "notConforms" if viol[pos] else "conforms"
+            decided.append(key)
+            if key in focus_flags:
+                self.reports.extend(reports[pos])
+
+    def _local_is_instance(self, node_key: str, cls_key: str) -> bool:
+        closure = set(
+            self.schema.get("subclass_closure", {}).get(cls_key, [cls_key])
+        )
+        from shaclex_ray.terms import term_key as _tk
+
+        for p, o in self.graph.arcs_out(node_key):
+            if p == RDF_TYPE and _tk(o) in closure:
+                return True
+        return False
 
     def run_round(self):
         """Evaluate every pending pair against local arcs + assumptions.
@@ -721,7 +1003,28 @@ class BucketWorker:
 
         decided = []
         all_deps: set = set()
+
+        # vectorized flat-SHACL pass: pending pairs of vectorizable shapes
+        # evaluate in bulk with Arrow/numpy kernels (per-focus Python walk
+        # only for the rest)
+        flat_handled: set = set()
+        if self.engine == "shacl" and not self.schema.get("_no_flat"):
+            if self._flat_profiles is None:
+                self._flat_profiles = flat_shacl_profile(self.schema)
+            by_shape: dict[str, list] = {}
+            for key in self.pending:
+                if key in self.blocked_on:
+                    continue
+                nk_, sk_ = key
+                if sk_ in self._flat_profiles:
+                    by_shape.setdefault(sk_, []).append(nk_)
+                    flat_handled.add(key)
+            for sk_, nks_ in sorted(by_shape.items()):
+                self._flat_eval(sk_, nks_, is_local_key, decided, all_deps)
+
         for key in list(self.pending):
+            if key in flat_handled:
+                continue
             if key in self.blocked_on:
                 all_deps |= self.blocked_on[key]
                 continue  # still waiting on the same unanswered children
@@ -844,8 +1147,10 @@ class BucketWorker:
             self.assumptions.setdefault((nk, sk), default)
         answered = set(map(tuple, deps))
         for pair in list(self.blocked_on):
-            self.blocked_on[pair] -= answered
-            if not self.blocked_on[pair]:
+            remaining = self.blocked_on[pair] - answered
+            if remaining:
+                self.blocked_on[pair] = remaining
+            else:
                 del self.blocked_on[pair]
 
     def _typing_table(self) -> pa.Table:

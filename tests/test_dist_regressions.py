@@ -244,3 +244,51 @@ def test_bucket_graph_arrow_index_and_spill(tmp_path):
     g2.add_part(tbl)
     g2.finalize()
     assert sorted(g2.arcs_out("Ihttp://e/s3")) == sorted(arcs)
+
+
+def test_flat_shacl_vectorized_parity(ray_session):
+    """The vectorized flat-SHACL bucket pass produces the exact typing AND
+    report rows of the per-focus Python path (schema flag '_no_flat'
+    forces the fallback)."""
+    import ray.data as rd
+
+    from shaclex_ray.pipelines.kg import build_triples, kg_schema
+    from shaclex_ray.validate.dist import distributed_validate, resolve_shacl_targets
+
+    triples, _links = build_triples("/root/testdata/sf0.001")
+    tm = triples.materialize()
+
+    def run(no_flat):
+        schema = kg_schema()
+        if no_flat:
+            schema["_no_flat"] = True
+        focus = resolve_shacl_targets(tm, schema)
+        return distributed_validate(tm, "shacl", schema, focus, nbuckets=4)
+
+    t1, r1 = run(False)
+    t2, r2 = run(True)
+
+    def nt(t):
+        return sorted(
+            zip(
+                t.column("node").to_pylist(),
+                t.column("shape").to_pylist(),
+                t.column("val").to_pylist(),
+                t.column("is_focus").to_pylist(),
+            )
+        )
+
+    def nr(r):
+        return sorted(
+            zip(
+                r.column("focus_node").to_pylist(),
+                r.column("path").to_pylist(),
+                r.column("value_lex").to_pylist(),
+                r.column("source_shape").to_pylist(),
+                r.column("component").to_pylist(),
+            )
+        )
+
+    assert nt(t1) == nt(t2)
+    assert nr(r1) == nr(r2)
+    assert r1.num_rows >= 1  # the corpus has at least one violation
