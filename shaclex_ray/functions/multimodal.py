@@ -98,3 +98,111 @@ def media_features(docs_ds, concurrency=None, batch_size: int = 256):
         or (2, max(2, int(ray.cluster_resources().get("CPU", 4)))),
         batch_size=batch_size,
     )
+
+
+class MediaResizer:
+    """Actor-pool resize stage: payload -> resized payload + dimensions.
+    Decode/encode is the stubbed kernel (swap for PIL / libvips); the
+    plumbing — binary in, binary + typed metadata out, small batches,
+    per-actor codec init — is the production layout."""
+
+    def __init__(self, width: int = 64, height: int = 64, decode_real: bool = False):
+        self.width = width
+        self.height = height
+        self.decode_real = decode_real
+
+    def _fake_resize(self, payload: bytes) -> bytes:
+        # deterministic stand-in: real impl = decode → resize → re-encode
+        seed = hashlib.blake2b(
+            payload + f"{self.width}x{self.height}".encode(), digest_size=8
+        ).digest()
+        n = self.width * self.height // 16
+        out = bytearray()
+        cur = seed
+        while len(out) < n:
+            cur = hashlib.blake2b(cur, digest_size=32).digest()
+            out.extend(cur)
+        return bytes(out[:n])
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        payloads = []
+        for payload in batch.column("payload").to_pylist():
+            if self.decode_real:
+                raise NotImplementedError(
+                    "image resize requires a codec library not present in "
+                    "this container; wire e.g. PIL.Image.resize here"
+                )
+            payloads.append(self._fake_resize(payload))
+        n = batch.num_rows
+        return pa.table(
+            {
+                "media_ref": batch.column("media_ref"),
+                "doc_id": batch.column("doc_id"),
+                "payload": pa.array(payloads, pa.binary()),
+                "width": pa.array([self.width] * n, pa.int32()),
+                "height": pa.array([self.height] * n, pa.int32()),
+            }
+        )
+
+
+def media_resize(docs_ds, width: int = 64, height: int = 64, batch_size: int = 128):
+    """Resize every media payload (actor pool; small batches for binaries)."""
+    media = media_refs_from_documents(docs_ds)
+    return media.map_batches(
+        MediaResizer,
+        fn_constructor_args=(width, height),
+        batch_format="pyarrow",
+        concurrency=(2, max(2, int(ray.cluster_resources().get("CPU", 4)))),
+        batch_size=batch_size,
+    )
+
+
+class FrameSampler:
+    """Actor-pool video frame-sampling stage: one input payload explodes to
+    ``n_frames`` frame rows (flat_map-shaped output — the row-count change
+    is the real plumbing being exercised; the frame extraction kernel is
+    the stub to swap for pyav/ffmpeg)."""
+
+    def __init__(self, n_frames: int = 4, decode_real: bool = False):
+        self.n_frames = n_frames
+        self.decode_real = decode_real
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        refs, dids, fidx, frames = [], [], [], []
+        for ref, did, payload in zip(
+            batch.column("media_ref").to_pylist(),
+            batch.column("doc_id").to_pylist(),
+            batch.column("payload").to_pylist(),
+        ):
+            if self.decode_real:
+                raise NotImplementedError(
+                    "frame sampling requires a video codec not present in "
+                    "this container; wire e.g. av.open here"
+                )
+            for i in range(self.n_frames):
+                refs.append(ref)
+                dids.append(did)
+                fidx.append(i)
+                frames.append(
+                    hashlib.blake2b(payload + bytes([i]), digest_size=32).digest()
+                )
+        return pa.table(
+            {
+                "media_ref": pa.array(refs, pa.string()),
+                "doc_id": pa.array(dids, pa.string()),
+                "frame_idx": pa.array(fidx, pa.int32()),
+                "frame": pa.array(frames, pa.binary()),
+            }
+        )
+
+
+def media_frame_samples(docs_ds, n_frames: int = 4, batch_size: int = 64):
+    """Sample ``n_frames`` frames per media payload (1→N row explosion)."""
+    media = media_refs_from_documents(docs_ds)
+    return media.map_batches(
+        FrameSampler,
+        fn_constructor_args=(n_frames,),
+        batch_format="pyarrow",
+        concurrency=(2, max(2, int(ray.cluster_resources().get("CPU", 4)))),
+        batch_size=batch_size,
+    )

@@ -314,9 +314,74 @@ def entity_triples(link_tbl: pa.Table) -> pa.Table:
     )
 
 
+def canonicalize_triples_join(triples_ds, links_ds, num_partitions: int | None = None):
+    """Scale-path canonicalization: hash-JOIN the link table onto the
+    triples (subj side, then iri-object side) instead of broadcasting it —
+    for link tables too big to ship to every task (billions of distinct
+    mentions). Same rewrite semantics as the broadcast ``Canonicalizer``
+    (tests pin the equality)."""
+    import ray.data as rd
+
+    if isinstance(links_ds, pa.Table):
+        links_ds = rd.from_arrow(links_ds)
+    if num_partitions is None:
+        num_partitions = max(2, min(16, int(ray.cluster_resources().get("CPU", 4)) // 2))
+
+    j1 = triples_ds.join(
+        links_ds,
+        "left_outer",
+        num_partitions=num_partitions,
+        on=("subj",),
+        right_on=("mention",),
+    )
+
+    def apply_subj(batch: pa.Table) -> pa.Table:
+        canon = batch.column("canonical_iri").combine_chunks()
+        subj = batch.column("subj").combine_chunks()
+        new_subj = pc.if_else(pc.is_valid(canon), canon, subj)
+        batch = batch.set_column(
+            batch.schema.get_field_index("subj"), "subj", new_subj
+        )
+        return batch.drop_columns(["canonical_iri"])
+
+    j1 = j1.map_batches(apply_subj, batch_format="pyarrow")
+
+    j2 = j1.join(
+        links_ds,
+        "left_outer",
+        num_partitions=num_partitions,
+        on=("obj_lex",),
+        right_on=("mention",),
+    )
+
+    def apply_obj(batch: pa.Table) -> pa.Table:
+        canon = batch.column("canonical_iri").combine_chunks()
+        obj_lex = batch.column("obj_lex").combine_chunks()
+        is_iri = pc.equal(batch.column("obj_kind").combine_chunks(), "iri")
+        new_obj = pc.if_else(pc.and_(pc.is_valid(canon), is_iri), canon, obj_lex)
+        batch = batch.set_column(
+            batch.schema.get_field_index("obj_lex"), "obj_lex", new_obj
+        )
+        return batch.drop_columns(["canonical_iri"])
+
+    return j2.map_batches(apply_obj, batch_format="pyarrow")
+
+
 def canonicalize_triples(triples_ds, link_tbl: pa.Table, concurrency=None):
     """Rewrite mention IRIs to canonical entity IRIs and append entity
-    metadata triples."""
+    metadata triples. Size-adaptive: link tables too big to broadcast
+    (over SHACLEX_LINK_BCAST_THRESHOLD rows, default 5M) rewrite via the
+    hash-join path instead."""
+    import os as _os
+
+    if link_tbl.num_rows >= int(
+        _os.environ.get("SHACLEX_LINK_BCAST_THRESHOLD", "5000000")
+    ):
+        import ray.data as _rd
+
+        rewritten = canonicalize_triples_join(triples_ds, link_tbl)
+        t1, t2 = entity_triples(link_tbl)
+        return rewritten.union(_rd.from_arrow(pa.concat_tables([t1, t2])))
     link_ref = ray.put(link_tbl)
     rewritten = triples_ds.map_batches(
         Canonicalizer,

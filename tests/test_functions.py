@@ -105,3 +105,33 @@ def test_langid_runs(ray_session):
     rows = langid(SF).take_all()
     assert len(rows) == 500
     assert all(r["lang_pred"] in ("en", "fr", "es", "zh", "de") for r in rows)
+
+
+def test_media_resize_and_frame_samples(ray_session):
+    """Multimodal plumbing: resize keeps row count + adds typed dims;
+    frame sampling explodes 1 -> n_frames rows; both deterministic."""
+    from shaclex_ray.functions.multimodal import (
+        media_frame_samples,
+        media_refs_from_documents,
+        media_resize,
+    )
+    from shaclex_ray.sources.documents import read_documents
+
+    docs = read_documents("/root/testdata/sf0.001")
+    n_media = media_refs_from_documents(docs).count()
+    assert n_media > 0
+
+    resized = media_resize(docs, width=32, height=32)
+    rows = resized.take_all()
+    assert len(rows) == n_media
+    assert all(r["width"] == 32 and r["height"] == 32 for r in rows[:5])
+    assert all(len(r["payload"]) == 32 * 32 // 16 for r in rows[:5])
+
+    frames = media_frame_samples(docs, n_frames=3)
+    fr = frames.take_all()
+    assert len(fr) == n_media * 3
+    assert sorted({r["frame_idx"] for r in fr}) == [0, 1, 2]
+    # determinism: same ref+idx -> same frame bytes across runs
+    fr2 = media_frame_samples(docs, n_frames=3).take_all()
+    key = lambda r: (r["media_ref"], r["frame_idx"])  # noqa: E731
+    assert {key(r): r["frame"] for r in fr} == {key(r): r["frame"] for r in fr2}

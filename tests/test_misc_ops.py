@@ -114,3 +114,40 @@ def test_entity_links_distributed_equals_unionfind(ray_session):
     uf = build_entity_links(raw, distributed=False)
     assert dist.to_pylist() == uf.to_pylist()
     assert dist.num_rows > 0
+
+
+def test_canonicalize_join_equals_broadcast(ray_session):
+    """The join-based canonicalizer (scale path) rewrites exactly like the
+    broadcast Canonicalizer actor pool."""
+    from shaclex_ray.sources.documents import read_documents
+    from shaclex_ray.stages.extract import extract_triples
+    from shaclex_ray.stages.link import (
+        build_entity_links,
+        canonicalize_triples,
+        canonicalize_triples_join,
+    )
+    from shaclex_ray.terms import TRIPLE_ID_COLS
+
+    raw = extract_triples(read_documents("/root/testdata/sf0.001")).materialize()
+    links = build_entity_links(raw)
+
+    def norm(ds):
+        import pandas as pd
+
+        df = ds.to_pandas()[TRIPLE_ID_COLS]
+        return df.sort_values(TRIPLE_ID_COLS, ignore_index=True)
+
+    bc = norm(canonicalize_triples(raw, links))
+    jn = norm(canonicalize_triples_join(raw, links))
+    # broadcast path also appends entity metadata triples; join path only
+    # rewrites — compare on the rewritten subset
+    import pandas as pd
+
+    merged = bc.merge(jn, how="outer", indicator=True)
+    only_bc = merged[merged["_merge"] == "left_only"]
+    only_jn = merged[merged["_merge"] == "right_only"]
+    assert len(only_jn) == 0, only_jn.head()
+    # the broadcast-only rows are exactly the appended entity metadata
+    assert (only_bc["pred"].isin(
+        ["http://www.w3.org/1999/02/22-rdf-syntax-ns#type", "http://ex.org/surface"]
+    )).all()
