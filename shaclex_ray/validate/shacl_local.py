@@ -418,11 +418,30 @@ def _dedup(keys: list[str]) -> list[str]:
 
 
 def _path_str(path) -> str | None:
+    """SPARQL-property-path rendering of a SHACL path for report rows."""
     if path is None:
         return None
     if "pred" in path:
         return path["pred"]
-    return repr(path)
+
+    def render(p) -> str:
+        if "pred" in p:
+            return f"<{p['pred']}>"
+        if "inverse" in p:
+            return "^" + render(p["inverse"])
+        if "seq" in p:
+            return "(" + "/".join(render(s) for s in p["seq"]) + ")"
+        if "alt" in p:
+            return "(" + "|".join(render(s) for s in p["alt"]) + ")"
+        if "zeroOrMore" in p:
+            return render(p["zeroOrMore"]) + "*"
+        if "oneOrMore" in p:
+            return render(p["oneOrMore"]) + "+"
+        if "zeroOrOne" in p:
+            return render(p["zeroOrOne"]) + "?"
+        return repr(p)
+
+    return render(path)
 
 
 def _cmp_terms(a: tuple, b: tuple):
