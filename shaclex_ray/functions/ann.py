@@ -22,13 +22,6 @@ import ray
 import ray.data
 
 
-def _cpus() -> int:
-    try:
-        return max(2, int(ray.cluster_resources().get("CPU", 4)))
-    except Exception:  # pragma: no cover
-        return 4
-
-
 def _read_emb(sf_dir: str):
     return ray.data.read_parquet(
         f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]

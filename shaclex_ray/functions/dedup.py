@@ -33,13 +33,6 @@ import ray.data
 MAX_BUCKET_PAIRS_DOCS = 4096
 
 
-def _cpus() -> int:
-    try:
-        return max(2, int(ray.cluster_resources().get("CPU", 4)))
-    except Exception:  # pragma: no cover - ray not initialised
-        return 4
-
-
 def _read_docs(sf_dir: str):
     return ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
 

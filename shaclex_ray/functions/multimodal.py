@@ -95,7 +95,7 @@ def media_features(docs_ds, concurrency=None, batch_size: int = 256):
         MediaFeaturizer,
         batch_format="pyarrow",
         concurrency=concurrency
-        or (2, max(2, int(ray.cluster_resources().get("CPU", 4)))),
+        or (1, max(2, int(ray.cluster_resources().get("CPU", 4)))),
         batch_size=batch_size,
     )
 
@@ -152,7 +152,7 @@ def media_resize(docs_ds, width: int = 64, height: int = 64, batch_size: int = 1
         MediaResizer,
         fn_constructor_args=(width, height),
         batch_format="pyarrow",
-        concurrency=(2, max(2, int(ray.cluster_resources().get("CPU", 4)))),
+        concurrency=(1, max(2, int(ray.cluster_resources().get("CPU", 4)))),
         batch_size=batch_size,
     )
 
@@ -203,6 +203,6 @@ def media_frame_samples(docs_ds, n_frames: int = 4, batch_size: int = 64):
         FrameSampler,
         fn_constructor_args=(n_frames,),
         batch_format="pyarrow",
-        concurrency=(2, max(2, int(ray.cluster_resources().get("CPU", 4)))),
+        concurrency=(1, max(2, int(ray.cluster_resources().get("CPU", 4)))),
         batch_size=batch_size,
     )

@@ -85,10 +85,13 @@ class _Context:
         return out
 
     def expand_iri(self, value: str, vocab_pos: bool = False) -> str | None:
-        """Expand a term / compact IRI / relative IRI."""
+        """Expand a term / compact IRI / relative IRI. Term definitions
+        apply only in vocab position (predicates, @type) — an @id value
+        that happens to collide with a term resolves document-relatively,
+        per the JSON-LD IRI-expansion algorithm."""
         if value.startswith("_:"):
             return value
-        if value in self.terms:
+        if vocab_pos and value in self.terms:
             tid = self.terms[value].get("@id")
             if tid is None:
                 return None

@@ -66,7 +66,6 @@ class _Parser:
         self.bnode_prefix = bnode_prefix
         self.triples: list[tuple] = []
         self._bn = 0
-        self._li: dict = {}  # per-subject rdf:li counters
 
     def fresh_bnode(self) -> tuple:
         self._bn += 1
@@ -111,20 +110,22 @@ class _Parser:
             else:
                 self.emit(subj, iri, _lit(v, lang))
 
+        li_counter = [0]  # rdf:li numbering restarts per node element
         for prop in el:
-            self.property_element(subj, prop, base, lang)
+            self.property_element(subj, prop, base, lang, li_counter)
         return subj
 
     # ---- property elements ----------------------------------------------
-    def property_element(self, subj, el, base: str, lang: str):
+    def property_element(self, subj, el, base: str, lang: str, li_counter=None):
         base = el.get(_clark("base"), base)
         lang = el.get(f"{{{_XML_NS}}}lang", lang)
         pred = _clark_to_iri(el.tag)
         if pred == RDF + "li":
-            # per-subject rdf:li counter (value-keyed: term tuples hash)
-            n = self._li.get(subj, 0) + 1
-            self._li[subj] = n
-            pred = RDF + f"_{n}"
+            # element-scoped rdf:li counter (RDF/XML spec liCounter)
+            if li_counter is None:
+                li_counter = [0]
+            li_counter[0] += 1
+            pred = RDF + f"_{li_counter[0]}"
 
         parse_type = _rdfa(el, "parseType")
         resource = _rdfa(el, "resource")
@@ -135,8 +136,9 @@ class _Parser:
         if parse_type == "Resource":
             inner = self.fresh_bnode()
             self.emit(subj, pred, inner)
+            inner_li = [0]  # fresh element scope for rdf:li numbering
             for sub in children:
-                self.property_element(inner, sub, base, lang)
+                self.property_element(inner, sub, base, lang, inner_li)
             return
         if parse_type == "Literal":
             xml_text = (el.text or "") + "".join(

@@ -28,7 +28,12 @@ def result_json(typing: pa.Table, report: pa.Table | None = None) -> str:
             "status": (
                 "conformant"
                 if v == "conforms"
-                else ("unknown" if v == "unknown" else "nonconformant")
+                else (
+                    "nonconformant"
+                    if v == "notConforms"
+                    # undecided (unknown / error:*) pairs are NOT a verdict
+                    else "unknown"
+                )
             ),
         }
         for n, s, v in zip(
@@ -70,7 +75,12 @@ def result_text(typing: pa.Table, report: pa.Table | None = None) -> str:
         focus.column("shape").to_pylist(),
         focus.column("val").to_pylist(),
     ):
-        status = "OK" if v == "conforms" else "FAIL"
+        if v == "conforms":
+            status = "OK"
+        elif v == "notConforms":
+            status = "FAIL"
+        else:
+            status = "UNKNOWN"  # undecided (unknown / error:*), not a verdict
         if v != "conforms":
             valid = False
         lines.append(f"{status} {_node_str(n)} @ {s}")

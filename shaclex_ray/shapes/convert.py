@@ -18,6 +18,19 @@ class ConversionError(ValueError):
     pass
 
 
+def _parse_bound(lex: str):
+    """Numeric facet bound from its lexical form (exponent/INF forms
+    included); unparseable bounds raise ConversionError, never bare
+    ValueError."""
+    try:
+        return int(lex)
+    except ValueError:
+        try:
+            return float(lex)
+        except ValueError:
+            raise ConversionError(f"non-numeric facet bound {lex!r}") from None
+
+
 # ---------------------------------------------------------------------------
 # ShEx -> SHACL (C1)
 
@@ -243,9 +256,7 @@ def shacl_to_shex(schema: dict) -> tuple[dict, list[str]]:
             elif kind == "maxLength":
                 nc["maxlength"] = params["n"]
             elif kind in ("minInclusive", "minExclusive", "maxInclusive", "maxExclusive"):
-                lex, _dt = params["value"]
-                num = int(lex) if "." not in lex else float(lex)
-                nc[kind.lower()] = num
+                nc[kind.lower()] = _parse_bound(params["value"][0])
             elif kind == "in":
                 values = []
                 for vk in params["values"]:
@@ -329,8 +340,7 @@ def shacl_to_shex(schema: dict) -> tuple[dict, list[str]]:
                     "maxInclusive",
                     "maxExclusive",
                 ):
-                    lex, _dt = params["value"]
-                    pnc[kind.lower()] = int(lex) if "." not in lex else float(lex)
+                    pnc[kind.lower()] = _parse_bound(params["value"][0])
                 elif kind == "in":
                     values = []
                     for vk in params["values"]:

@@ -83,7 +83,15 @@ def parse_rdf_text(text: str, fmt: str | None = None, base: str = "", bnode_pref
         if stripped.startswith("<?xml") or stripped.startswith("<rdf:"):
             fmt = "rdfxml"
         elif stripped.startswith(("{", "[")):
-            fmt = "jsonld"
+            # '[' and '{' also start valid Turtle/TriG (bnode property
+            # list / default-graph block) — only actual JSON is JSON-LD
+            import json as _json
+
+            try:
+                _json.loads(text)
+                fmt = "jsonld"
+            except ValueError:
+                fmt = "turtle"
         else:
             fmt = "turtle"
     if fmt in ("rdfxml", "rdf/xml", "xml"):

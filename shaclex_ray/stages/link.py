@@ -193,6 +193,11 @@ def connected_components(edges_ds, max_iters: int = 12):
         labels = prop.select_columns(["node", "label"])
         if not n_changed:
             break
+    else:
+        raise ValueError(
+            f"connected_components did not converge in {max_iters} rounds "
+            "(component diameter exceeds max_iters) — raise max_iters"
+        )
     return labels.groupby("node").map_groups(min_label, batch_format="pyarrow")
 
 
@@ -388,7 +393,7 @@ def canonicalize_triples(triples_ds, link_tbl: pa.Table, concurrency=None):
         fn_constructor_args=(link_ref,),
         batch_format="pyarrow",
         concurrency=concurrency
-        or (2, max(2, int(ray.cluster_resources().get("CPU", 4)))),
+        or (1, max(2, int(ray.cluster_resources().get("CPU", 4)))),
     )
     t1, t2 = entity_triples(link_tbl)
     import ray.data as rd

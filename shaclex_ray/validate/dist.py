@@ -623,11 +623,13 @@ from shaclex_ray.terms import SEP as _TSEP
 from shaclex_ray.terms import SH as _SH
 from shaclex_ray.terms import XSD as _XSD
 
-# datatypes whose lexical validity is vectorizable (regex / trivially true)
+# datatypes whose lexical validity is vectorizable. ONLY xsd:string (any
+# lexical form is valid) — numeric/boolean regexes differ subtly between
+# Python re (unicode digits, '$' matches before a trailing newline) and
+# Arrow's RE2, so those shapes take the per-focus Python path instead of
+# risking a verdict divergence.
 _VEC_DATATYPE_RE = {
     _XSD + "string": None,
-    _XSD + "integer": r"^[+-]?[0-9]+$",
-    _XSD + "boolean": r"^(true|false|0|1)$",
 }
 
 _NODEKIND_ALLOWED = {
@@ -1126,6 +1128,13 @@ class BucketWorker:
     def ping(self):
         return self.bucket_id
 
+    def cleanup(self) -> None:
+        """Remove the spill directory (called by the driver before kill —
+        ray.kill skips destructors)."""
+        import shutil
+
+        shutil.rmtree(self._spill_dir, ignore_errors=True)
+
     def mark_pending_unknown(self) -> int:
         """Loop-exit fallback: pairs the fixpoint could not decide become
         val='unknown' (result_json/_summary treat them as not valid)."""
@@ -1428,6 +1437,7 @@ def distributed_validate(
         # actor-side sink: each bucket writes its own shard; only per-bucket
         # summary counts reach the driver
         stats_list = ray.get([w.write_shard.remote(output_dir) for w in workers])
+        ray.get([w.cleanup.remote() for w in workers])
         for w in workers:
             ray.kill(w)
         stats: dict[str, int] = {}
@@ -1444,6 +1454,7 @@ def distributed_validate(
         )
 
     collected = ray.get([w.collect.remote() for w in workers])
+    ray.get([w.cleanup.remote() for w in workers])
     for w in workers:
         ray.kill(w)
 
