@@ -72,3 +72,20 @@ def test_linter_counts_and_inline():
     g = Graph(data)
     assert ShExValidator(schema, g).satisfies_label(("iri", "http://e/x"), "http://e/A")
     assert ShExValidator(linted, g).satisfies_label(("iri", "http://e/x"), "http://e/A")
+
+
+def test_facet_bound_exponent_and_garbage():
+    from shaclex_ray.rdfio import parse_turtle
+    from shaclex_ray.shapes.convert import ConversionError, shacl_to_shex
+    from shaclex_ray.shapes.shacl import compile_shacl
+
+    ttl = """
+    @prefix sh: <http://www.w3.org/ns/shacl#> .
+    @prefix ex: <http://ex.org/> .
+    @prefix xsd: <http://www.w3.org/2001/XMLSchema#> .
+    ex:S a sh:NodeShape ;
+      sh:property [ sh:path ex:p ; sh:minInclusive "1e2"^^xsd:double ] .
+    """
+    shex, _sel = shacl_to_shex(compile_shacl(parse_turtle(ttl)))
+    tc = shex["shapes"]["http://ex.org/S"]["expression"]
+    assert tc["valueExpr"]["mininclusive"] == 100.0

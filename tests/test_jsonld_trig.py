@@ -74,3 +74,29 @@ def test_trig_flattens_to_union_graph():
     ex:s3 ex:p ex:o3 . ex:s4 ex:p ex:o4 .
     """
     assert sorted(parse_turtle(trig)) == sorted(parse_turtle(ttl))
+
+
+def test_jsonld_id_does_not_use_term_definitions():
+    """@id values resolve document-relatively even when they collide with
+    a defined term (terms apply only in vocab position)."""
+    doc = (
+        '{"@context": {"label": "http://ex/label", "@base": "http://doc/"},'
+        ' "@id": "label", "label": "x"}'
+    )
+    from shaclex_ray.rdfio import parse_jsonld
+
+    ts = parse_jsonld(doc)
+    assert ts[0][0] == ("iri", "http://doc/label")
+    assert ts[0][1] == "http://ex/label"
+
+
+def test_format_sniffing_keeps_turtle_bracket_starts():
+    """parse_rdf_text: '[' / '{' that are not JSON stay Turtle/TriG."""
+    from shaclex_ray.sources.rdf_source import parse_rdf_text
+
+    ts = parse_rdf_text("[ <http://e/p> <http://e/o> ] .")
+    assert len(ts) == 1 and ts[0][1] == "http://e/p"
+    ts2 = parse_rdf_text("{ <http://e/s> <http://e/p> <http://e/o> . }")
+    assert len(ts2) == 1
+    ts3 = parse_rdf_text('{"@id": "http://e/s", "http://e/p": {"@id": "http://e/o"}}')
+    assert ts3 == [(("iri", "http://e/s"), "http://e/p", ("iri", "http://e/o"))]

@@ -94,3 +94,16 @@ def test_rdfxml_via_engine_validation(ray_session):
     typing, report, summary = validate_shacl(ds, shapes_ttl, nbuckets=2)
     assert summary["conforms"] is True
     assert summary["focus_pairs"] == 1
+
+
+def test_rdfli_counter_restarts_per_node_element():
+    """Two node elements about the same subject each restart rdf:li at _1
+    (RDF/XML liCounter is element-scoped)."""
+    xml = """<?xml version="1.0"?>
+<rdf:RDF xmlns:rdf="http://www.w3.org/1999/02/22-rdf-syntax-ns#">
+ <rdf:Description rdf:about="http://e/bag"><rdf:li>a</rdf:li><rdf:li>b</rdf:li></rdf:Description>
+ <rdf:Description rdf:about="http://e/bag"><rdf:li>c</rdf:li></rdf:Description>
+</rdf:RDF>"""
+    preds = sorted(p for _s, p, _o in parse_rdfxml(xml))
+    RDF = "http://www.w3.org/1999/02/22-rdf-syntax-ns#"
+    assert preds == [RDF + "_1", RDF + "_1", RDF + "_2"]
