@@ -29,7 +29,7 @@ def test_dist_shex_matches_expected(ray_session):
     from shaclex_ray.validate.dist import distributed_validate
 
     checked = 0
-    for c in _shex_cases(12, 97):
+    for c in _shex_cases(30, 37):
         sp = _iri_to_path(c["schema"])
         dp = _iri_to_path(c["data"])
         jp = os.path.splitext(sp)[0] + ".json"
@@ -51,7 +51,7 @@ def test_dist_shex_matches_expected(ray_session):
                 got = typing.column("val")[i].as_py() == "conforms"
         assert got == c["expected"], c["name"]
         checked += 1
-    assert checked >= 8
+    assert checked >= 18
 
 
 def test_dist_shacl_matches_local(ray_session):
@@ -66,7 +66,7 @@ def test_dist_shacl_matches_local(ray_session):
     from shaclex_ray.validate.shacl_local import ShaclValidator
 
     checked = 0
-    for f in load_shacl_cases()[::7][:10]:
+    for f in load_shacl_cases()[::4][:22]:
         if "complex" in f:
             continue  # SHACL-validating-SHACL fixtures: driver-side only
         doc_iri = "file://" + f[:-4]
@@ -99,7 +99,7 @@ def test_dist_shacl_matches_local(ray_session):
         )
         assert (lconf, lset) == (rep.num_rows == 0, dset), f
         checked += 1
-    assert checked >= 4
+    assert checked >= 8
 
 
 def test_dist_shacl_multihop_paths(ray_session):
