@@ -173,6 +173,42 @@ def infer_schema(
             tc["min"], tc["max"] = mn, mx
         exprs.append(tc)
 
+    # J6: annotate inferred properties with rdfs:label from the data graph
+    # (reference InferredShape.scala:104-125) — broadcast-small-side lookup
+    # of the schema-sized predicate set against label triples
+    RDFS_LABEL = "http://www.w3.org/2000/01/rdf-schema#label"
+    pred_set = {tc["predicate"] for tc in exprs}
+    if pred_set:
+
+        def find_labels(batch: pa.Table) -> pa.Table:
+            mask = pc.and_(
+                pc.equal(batch.column("pred"), RDFS_LABEL),
+                pc.is_in(
+                    batch.column("subj"), value_set=pa.array(sorted(pred_set))
+                ),
+            )
+            sub = batch.filter(mask)
+            return pa.table(
+                {"subj": sub.column("subj"), "label": sub.column("obj_lex")}
+            )
+
+        labels = {
+            r["subj"]: r["label"]
+            for r in triples_ds.map_batches(
+                find_labels, batch_format="pyarrow"
+            ).take_all()
+        }
+        for tc in exprs:
+            lbl = labels.get(tc["predicate"])
+            if lbl:
+                tc["annotations"] = [
+                    {
+                        "type": "Annotation",
+                        "predicate": RDFS_LABEL,
+                        "object": {"value": lbl},
+                    }
+                ]
+
     shape = {"type": "Shape"}
     if len(exprs) == 1:
         shape["expression"] = exprs[0]

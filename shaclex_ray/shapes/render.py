@@ -106,7 +106,12 @@ def _triple_expr(te, indent: str) -> str:
         inv = "^" if te.get("inverse") else ""
         v = te.get("valueExpr")
         vs = _shape_expr(v, indent) if v is not None else "."
-        return f"{inv}{_iri(te['predicate'])} {vs}{_card(te)}"
+        ann = ""
+        for a in te.get("annotations", []) or []:
+            obj = a.get("object")
+            lit = obj.get("value", "") if isinstance(obj, dict) else str(obj)
+            ann += f" // {_iri(a['predicate'])} {json.dumps(lit)}"
+        return f"{inv}{_iri(te['predicate'])} {vs}{_card(te)}{ann}"
     if t == "EachOf":
         body = (" ;\n" + indent).join(_triple_expr(e, indent) for e in te["expressions"])
         if te.get("min", 1) != 1 or te.get("max", 1) != 1:

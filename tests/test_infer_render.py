@@ -50,3 +50,34 @@ def test_render_existing_schema_roundtrip():
     text = render_shexc(ir)
     ir2 = parse_shexc(text)
     assert sorted(ir2["shapes"]) == sorted(ir["shapes"])
+
+
+def test_inferred_shape_rdfs_label_annotation(ray_session):
+    """J6: inferred properties carry rdfs:label annotations from the data
+    graph, rendered as ShExC '// rdfs:label "..."' (reference
+    InferredShape.scala:104-125)."""
+    import ray.data as rd
+
+    from shaclex_ray.pipelines.infer import infer_schema
+    from shaclex_ray.rdfio import parse_turtle
+    from shaclex_ray.shapes.render import render_shexc
+    from shaclex_ray.shapes.shexc import parse_shexc
+    from shaclex_ray.terms import triples_to_table
+
+    ttl = """
+    @prefix ex: <http://ex.org/> .
+    @prefix rdfs: <http://www.w3.org/2000/01/rdf-schema#> .
+    ex:n1 a ex:T ; ex:p "v" .
+    ex:p rdfs:label "my property" .
+    """
+    ds = rd.from_arrow(triples_to_table(parse_turtle(ttl)))
+    schema, _stats = infer_schema(ds, focus_class="http://ex.org/T")
+    tcs = schema["shapes"]["http://example.org/InferredShape"]["expression"][
+        "expressions"
+    ]
+    labeled = [t for t in tcs if t["predicate"] == "http://ex.org/p"]
+    assert labeled and labeled[0]["annotations"][0]["object"]["value"] == "my property"
+    text = render_shexc(schema)
+    assert '// <http://www.w3.org/2000/01/rdf-schema#label> "my property"' in text
+    # annotations are consumed (not kept) on re-parse — text still parses
+    parse_shexc(text)
