@@ -719,7 +719,10 @@ class BucketWorker:
     cross-bucket dependency traffic, so its per-round work is
     O(#dependencies + #buckets), independent of focus-pair count."""
 
-    def __init__(self, schema_ref, engine: str, nbuckets: int, bucket_id: int):
+    def __init__(
+        self, schema_ref, engine: str, nbuckets: int, bucket_id: int,
+        spill_rows: int | None = None,
+    ):
         self.schema = ray.get(schema_ref) if isinstance(schema_ref, ray.ObjectRef) else schema_ref
         self.engine = engine
         self.nbuckets = nbuckets
@@ -729,7 +732,9 @@ class BucketWorker:
         # oversized buckets spill their sorted arc table here and reopen
         # memory-mapped (degrade to OS paging instead of dying on heap)
         self._spill_dir = tempfile.mkdtemp(prefix=f"shaclex-b{bucket_id}-")
-        self.graph = LazyBucketGraph(spill_dir=self._spill_dir)
+        self.graph = LazyBucketGraph(
+            spill_dir=self._spill_dir, spill_rows=spill_rows
+        )
         self.pending: dict[tuple[str, str], bool] = {}
         self.typing: dict[tuple[str, str], str] = {}
         self.focus_flags: dict[tuple[str, str], bool] = {}
@@ -1263,6 +1268,7 @@ def distributed_validate(
     include_inverse: bool = False,
     max_rounds: int = 12,
     output_dir: str | None = None,
+    spill_rows: int | None = None,
 ):
     """Run the BSP typing fixpoint.
 
@@ -1301,7 +1307,8 @@ def distributed_validate(
     # default actor semantics: num_cpus=1 for placement, 0 reserved while
     # alive — a large fleet never deadlocks a small cluster
     workers = [
-        BucketWorker.remote(schema_ref, engine, nbuckets, b) for b in range(nbuckets)
+        BucketWorker.remote(schema_ref, engine, nbuckets, b, spill_rows)
+        for b in range(nbuckets)
     ]
     warmups = [w.ping.remote() for w in workers]
 
