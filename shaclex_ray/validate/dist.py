@@ -711,6 +711,157 @@ def _obj_key_col(sub: pa.Table) -> pa.Array:
     )
 
 
+def flat_eval_kernel(
+    profile: list,
+    node_keys: list[str],
+    graph: "LazyBucketGraph",
+    assumptions: dict,
+    is_local_key,
+    is_instance_fn,
+):
+    """Vectorized flat-SHACL evaluation of MANY focus nodes over the
+    bucket's columnar arc table: Arrow/numpy kernels instead of a
+    per-focus Python walk. Returns (viol: bool[n], blocked: {pos: deps},
+    reports: list-of-row-lists per node). Semantics are pinned to
+    ShaclValidator.validate_shape (fuzzed in tests/test_property.py)."""
+    idx = graph._fwd
+    n = len(node_keys)
+
+    # gather each focus node's arc-row range from the sorted index
+    row_parts, subj_parts = [], []
+    for i, nk in enumerate(node_keys):
+        c = idx._code.get(nk)
+        if c is None:
+            continue
+        s, e = int(idx._starts[c]), int(idx._starts[c + 1])
+        row_parts.append(np.arange(s, e, dtype=np.int64))
+        subj_parts.append(np.full(e - s, i, dtype=np.int64))
+    if row_parts:
+        rows = np.concatenate(row_parts)
+        subj_of_row = np.concatenate(subj_parts)
+        sub = idx._tbl.take(pa.array(rows))
+        pred_np = sub.column("pred").combine_chunks()
+        okind_np = sub.column("obj_kind").combine_chunks().to_numpy(zero_copy_only=False)
+        vkeys = None  # built lazily (only class/value-level checks need it)
+    else:
+        rows = np.zeros(0, dtype=np.int64)
+        subj_of_row = rows
+        sub = None
+        pred_np = None
+        okind_np = np.zeros(0, dtype=object)
+        vkeys = None
+
+    viol = np.zeros(n, dtype=bool)
+    blocked: dict[int, set] = {}  # node position -> unresolved deps
+    reports: list[list] = [[] for _ in range(n)]
+    inst_memo: dict[tuple[str, str], object] = {}
+
+    def vkey_col():
+        nonlocal vkeys
+        if vkeys is None and sub is not None:
+            vkeys = _obj_key_col(sub).to_numpy(zero_copy_only=False)
+        return vkeys
+
+    for prof in profile:
+        pred = prof["pred"]
+        if pred_np is not None:
+            pmask = pc.equal(pred_np, pred).to_numpy(zero_copy_only=False)
+        else:
+            pmask = np.zeros(0, dtype=bool)
+        counts = np.zeros(n, dtype=np.int64)
+        np.add.at(counts, subj_of_row[pmask], 1)
+
+        def emit_rows(node_positions, component, values=None):
+            for j, pos in enumerate(node_positions):
+                reports[pos].append(
+                    {
+                        "focus": node_keys[pos],
+                        "path": pred,
+                        "value": values[j] if values is not None else None,
+                        "component": _component_iri(component),
+                        "severity": prof["severity"],
+                        "source": prof["key"],
+                        "message": prof["message"],
+                    }
+                )
+
+        for kind, param in prof["checks"]:
+            if kind == "minCount":
+                bad = np.flatnonzero(counts < param)
+                viol[bad] = True
+                emit_rows(bad, "MinCount")
+            elif kind == "maxCount":
+                bad = np.flatnonzero(counts > param)
+                viol[bad] = True
+                emit_rows(bad, "MaxCount")
+            elif kind == "datatype":
+                rx = _VEC_DATATYPE_RE[param]
+                is_lit = okind_np == "literal"
+                dt_np = (
+                    sub.column("obj_dt").combine_chunks().to_numpy(zero_copy_only=False)
+                    if sub is not None
+                    else np.zeros(0, dtype=object)
+                )
+                good = is_lit & (dt_np == param)
+                if rx is not None and sub is not None:
+                    lex_ok = pc.match_substring_regex(
+                        sub.column("obj_lex").combine_chunks(), rx
+                    ).to_numpy(zero_copy_only=False)
+                    good = good & lex_ok
+                bad_rows = np.flatnonzero(pmask & ~good)
+                if len(bad_rows):
+                    viol[subj_of_row[bad_rows]] = True
+                    emit_rows(
+                        subj_of_row[bad_rows],
+                        "Datatype",
+                        values=[vkey_col()[r] for r in bad_rows],
+                    )
+            elif kind == "nodeKind":
+                allowed = _NODEKIND_ALLOWED[param]
+                good = np.isin(okind_np, allowed)
+                bad_rows = np.flatnonzero(pmask & ~good)
+                if len(bad_rows):
+                    viol[subj_of_row[bad_rows]] = True
+                    emit_rows(
+                        subj_of_row[bad_rows],
+                        "NodeKind",
+                        values=[vkey_col()[r] for r in bad_rows],
+                    )
+            elif kind == "class":
+                crow = np.flatnonzero(pmask)
+                if not len(crow):
+                    continue
+                vk = vkey_col()
+                # literal values violate outright; iri/bnode values need
+                # an instance check (local lookup / cross-bucket dep),
+                # resolved once per DISTINCT value
+                for r in crow:
+                    v = vk[r]
+                    pos = subj_of_row[r]
+                    if okind_np[r] == "literal":
+                        viol[pos] = True
+                        emit_rows([pos], "Class", values=[v])
+                        continue
+                    memo_key = (v, param)
+                    st = inst_memo.get(memo_key)
+                    if st is None:
+                        a = assumptions.get((v, "class:" + param))
+                        if a is not None:
+                            st = bool(a)
+                        elif is_local_key(v):
+                            st = is_instance_fn(v, param)
+                        else:
+                            st = "dep"
+                        inst_memo[memo_key] = st
+                    if st == "dep":
+                        blocked.setdefault(pos, set()).add((v, "class:" + param))
+                    elif st is False:
+                        viol[pos] = True
+                        emit_rows([pos], "Class", values=[v])
+
+    return viol, blocked, reports
+
+
 @ray.remote
 class BucketWorker:
     """Persistent per-bucket evaluator: the neighborhood index AND the
@@ -800,152 +951,19 @@ class BucketWorker:
                 del self.blocked_on[pair]
 
     def _flat_eval(self, shape_key, node_keys, is_local_key, decided, all_deps):
-        """Vectorized evaluation of one flat shape for MANY focus nodes:
-        Arrow/numpy kernels over the bucket's columnar arc table instead of
-        a per-focus Python walk. Produces identical verdicts and report
-        rows (multiset) to ShaclValidator.validate_shape — pinned by
-        tests/test_dist_validate.py comparing against the local path."""
-        profile = self._flat_profiles[shape_key]
-        g = self.graph
-        idx = g._fwd
-        n = len(node_keys)
-
-        # gather each focus node's arc-row range from the sorted index
-        row_parts, subj_parts = [], []
-        for i, nk in enumerate(node_keys):
-            c = idx._code.get(nk)
-            if c is None:
-                continue
-            s, e = int(idx._starts[c]), int(idx._starts[c + 1])
-            row_parts.append(np.arange(s, e, dtype=np.int64))
-            subj_parts.append(np.full(e - s, i, dtype=np.int64))
-        if row_parts:
-            rows = np.concatenate(row_parts)
-            subj_of_row = np.concatenate(subj_parts)
-            sub = idx._tbl.take(pa.array(rows))
-            pred_np = sub.column("pred").combine_chunks()
-            okind_np = sub.column("obj_kind").combine_chunks().to_numpy(zero_copy_only=False)
-            vkeys = None  # built lazily (only class/value-level checks need it)
-        else:
-            rows = np.zeros(0, dtype=np.int64)
-            subj_of_row = rows
-            sub = None
-            pred_np = None
-            okind_np = np.zeros(0, dtype=object)
-            vkeys = None
-
-        viol = np.zeros(n, dtype=bool)
-        blocked: dict[int, set] = {}  # node position -> unresolved deps
-        reports: list[list] = [[] for _ in range(n)]
-        focus_flags = self.focus_flags
-        assumptions = self.assumptions
-        inst_memo: dict[tuple[str, str], object] = {}
-
-        def vkey_col():
-            nonlocal vkeys
-            if vkeys is None and sub is not None:
-                vkeys = _obj_key_col(sub).to_numpy(zero_copy_only=False)
-            return vkeys
-
-        for prof in profile:
-            pred = prof["pred"]
-            if pred_np is not None:
-                pmask = pc.equal(pred_np, pred).to_numpy(zero_copy_only=False)
-            else:
-                pmask = np.zeros(0, dtype=bool)
-            counts = np.zeros(n, dtype=np.int64)
-            np.add.at(counts, subj_of_row[pmask], 1)
-
-            def emit_rows(node_positions, component, values=None):
-                for j, pos in enumerate(node_positions):
-                    reports[pos].append(
-                        {
-                            "focus": node_keys[pos],
-                            "path": pred,
-                            "value": values[j] if values is not None else None,
-                            "component": _component_iri(component),
-                            "severity": prof["severity"],
-                            "source": prof["key"],
-                            "message": prof["message"],
-                        }
-                    )
-
-            for kind, param in prof["checks"]:
-                if kind == "minCount":
-                    bad = np.flatnonzero(counts < param)
-                    viol[bad] = True
-                    emit_rows(bad, "MinCount")
-                elif kind == "maxCount":
-                    bad = np.flatnonzero(counts > param)
-                    viol[bad] = True
-                    emit_rows(bad, "MaxCount")
-                elif kind == "datatype":
-                    rx = _VEC_DATATYPE_RE[param]
-                    is_lit = okind_np == "literal"
-                    dt_np = (
-                        sub.column("obj_dt").combine_chunks().to_numpy(zero_copy_only=False)
-                        if sub is not None
-                        else np.zeros(0, dtype=object)
-                    )
-                    good = is_lit & (dt_np == param)
-                    if rx is not None and sub is not None:
-                        lex_ok = pc.match_substring_regex(
-                            sub.column("obj_lex").combine_chunks(), rx
-                        ).to_numpy(zero_copy_only=False)
-                        good = good & lex_ok
-                    bad_rows = np.flatnonzero(pmask & ~good)
-                    if len(bad_rows):
-                        viol[subj_of_row[bad_rows]] = True
-                        emit_rows(
-                            subj_of_row[bad_rows],
-                            "Datatype",
-                            values=[vkey_col()[r] for r in bad_rows],
-                        )
-                elif kind == "nodeKind":
-                    allowed = _NODEKIND_ALLOWED[param]
-                    good = np.isin(okind_np, allowed)
-                    bad_rows = np.flatnonzero(pmask & ~good)
-                    if len(bad_rows):
-                        viol[subj_of_row[bad_rows]] = True
-                        emit_rows(
-                            subj_of_row[bad_rows],
-                            "NodeKind",
-                            values=[vkey_col()[r] for r in bad_rows],
-                        )
-                elif kind == "class":
-                    crow = np.flatnonzero(pmask)
-                    if not len(crow):
-                        continue
-                    vk = vkey_col()
-                    # literal values violate outright; iri/bnode values need
-                    # an instance check (local lookup / cross-bucket dep),
-                    # resolved once per DISTINCT value
-                    for r in crow:
-                        v = vk[r]
-                        pos = subj_of_row[r]
-                        if okind_np[r] == "literal":
-                            viol[pos] = True
-                            emit_rows([pos], "Class", values=[v])
-                            continue
-                        memo_key = (v, param)
-                        st = inst_memo.get(memo_key)
-                        if st is None:
-                            a = assumptions.get((v, "class:" + param))
-                            if a is not None:
-                                st = bool(a)
-                            elif is_local_key(v):
-                                st = self._local_is_instance(v, param)
-                            else:
-                                st = "dep"
-                            inst_memo[memo_key] = st
-                        if st == "dep":
-                            blocked.setdefault(pos, set()).add(
-                                (v, "class:" + param)
-                            )
-                        elif st is False:
-                            viol[pos] = True
-                            emit_rows([pos], "Class", values=[v])
-
+        """Vectorized evaluation of one flat shape for MANY focus nodes
+        (module-level kernel; this wrapper merges results into worker
+        state). Produces identical verdicts and report rows (multiset) to
+        ShaclValidator.validate_shape — pinned by tests comparing against
+        the local path and fuzzed in tests/test_property.py."""
+        viol, blocked, reports = flat_eval_kernel(
+            self._flat_profiles[shape_key],
+            node_keys,
+            self.graph,
+            self.assumptions,
+            is_local_key,
+            self._local_is_instance,
+        )
         # decide the unblocked; register deps for the blocked (identical
         # dep combinations share ONE set object — millions of pairs block
         # on a handful of hub values)
@@ -957,12 +975,12 @@ class BucketWorker:
                 shared = interned.get(sig)
                 if shared is None:
                     shared = interned[sig] = set(sig)
-                    all_deps |= {d for d in shared if d not in assumptions}
+                    all_deps |= {d for d in shared if d not in self.assumptions}
                 self.blocked_on[key] = shared
                 continue
             self.typing[key] = "notConforms" if viol[pos] else "conforms"
             decided.append(key)
-            if key in focus_flags:
+            if key in self.focus_flags:
                 self.reports.extend(reports[pos])
 
     def _local_is_instance(self, node_key: str, cls_key: str) -> bool:

@@ -125,3 +125,153 @@ def test_flat_counting_equals_bitmask_matcher(tcs, arcs, extra):
     got_slow = slow.validate_node_shape(focus, "http://e/S")
 
     assert got_fast == got_slow, (tcs, arcs, extra)
+
+
+# ---------------------------------------------------------------------------
+# vectorized flat-SHACL kernel ≡ ShaclValidator (per-focus reference path)
+
+from shaclex_ray.terms import SH as _SH
+
+_SHACL_CHECKS = st.lists(
+    st.one_of(
+        st.tuples(st.just("minCount"), st.integers(0, 2)),
+        st.tuples(st.just("maxCount"), st.integers(0, 2)),
+        st.tuples(
+            st.just("datatype"), st.just("http://www.w3.org/2001/XMLSchema#string")
+        ),
+        st.tuples(
+            st.just("nodeKind"),
+            st.sampled_from([_SH + "IRI", _SH + "Literal", _SH + "BlankNodeOrIRI"]),
+        ),
+        st.tuples(st.just("class"), st.just("Ihttp://e/Cls")),
+    ),
+    min_size=1,
+    max_size=3,
+    unique_by=lambda c: c[0],
+)
+
+_SHACL_ARCS = st.lists(
+    st.tuples(
+        st.sampled_from(_PREDS + ["http://www.w3.org/1999/02/22-rdf-syntax-ns#type"]),
+        st.sampled_from(range(len(_OBJS) + 1)),  # last index = the class IRI
+    ),
+    max_size=8,
+)
+
+
+@settings(max_examples=150, deadline=None)
+@given(
+    props=st.lists(
+        st.tuples(st.sampled_from(_PREDS), _SHACL_CHECKS),
+        min_size=1,
+        max_size=2,
+        unique_by=lambda p: p[0],
+    ),
+    arcs=_SHACL_ARCS,
+    typed=st.booleans(),
+)
+def test_flat_shacl_kernel_matches_validator(props, arcs, typed):
+    import pyarrow as pa
+
+    from shaclex_ray.terms import iri, term_key, triples_to_table
+    from shaclex_ray.validate.dist import (
+        LazyBucketGraph,
+        flat_eval_kernel,
+        flat_shacl_profile,
+    )
+    from shaclex_ray.validate.shacl_local import ShaclValidator
+
+    objs = _OBJS + [("iri", "http://e/Cls")]
+    focus = iri("http://e/focus")
+    triples = [(focus, p, objs[oi]) for p, oi in arcs]
+    # optionally type one object as the class instance (exercises 'class')
+    if typed:
+        triples.append(
+            (
+                iri("http://e/o1"),
+                "http://www.w3.org/1999/02/22-rdf-syntax-ns#type",
+                iri("http://e/Cls"),
+            )
+        )
+
+    shapes = {
+        "Ihttp://e/S": {
+            "id": "Ihttp://e/S",
+            "targets": [],
+            "implicit_class": False,
+            "path": None,
+            "components": [],
+            "properties": [],
+            "closed": False,
+            "ignored": [],
+            "deactivated": False,
+            "severity": _SH + "Violation",
+            "messages": [],
+        }
+    }
+    for i, (pred, checks) in enumerate(props):
+        pk = f"Ihttp://e/S/p{i}"
+        shapes[pk] = {
+            "id": pk,
+            "targets": [],
+            "implicit_class": False,
+            "path": {"pred": pred},
+            "components": [
+                (k, {"n": v} if k in ("minCount", "maxCount") else
+                 ({"iri": v} if k in ("datatype", "nodeKind") else {"cls": v}))
+                for k, v in checks
+            ],
+            "properties": [],
+            "closed": False,
+            "ignored": [],
+            "deactivated": False,
+            "severity": _SH + "Violation",
+            "messages": [],
+        }
+        shapes["Ihttp://e/S"]["properties"].append(pk)
+    schema = {"shapes": shapes, "with_targets": [], "subclass_closure": {}}
+
+    profiles = flat_shacl_profile(schema)
+    assert "Ihttp://e/S" in profiles  # every generated shape is vectorizable
+
+    # reference path
+    from shaclex_ray.validate.local import Graph
+
+    v = ShaclValidator(schema, Graph(triples))
+    ref_rows = v.validate_shape(term_key(focus), "Ihttp://e/S")
+    def _norm(rows):
+        return sorted(
+            (r["focus"], r["path"], r["value"] or "", r["component"], r["source"])
+            for r in rows
+        )
+
+    ref_rows_n = _norm(ref_rows)
+
+    # vectorized kernel over a single-bucket graph (everything local)
+    tbl = triples_to_table(triples).select(
+        ["subj", "pred", "obj_kind", "obj_lex", "obj_dt", "obj_lang"]
+    )
+    g = LazyBucketGraph()
+    g.add_part(tbl.append_column("rev", pa.array([False] * tbl.num_rows)))
+    g.finalize()
+
+    def is_instance(nk, cls_key):
+        from shaclex_ray.terms import term_key as tk
+
+        for p, o in g.arcs_out(nk):
+            if p == "http://www.w3.org/1999/02/22-rdf-syntax-ns#type" and tk(o) == "I" + cls_key[1:]:
+                return True
+        return False
+
+    viol, blocked, reports = flat_eval_kernel(
+        profiles["Ihttp://e/S"],
+        [term_key(focus)],
+        g,
+        {},
+        lambda nk: True,
+        is_instance,
+    )
+    assert not blocked  # single bucket: everything resolves locally
+    got_rows_n = _norm(reports[0])
+    assert bool(viol[0]) == bool(ref_rows), (props, arcs, typed)
+    assert got_rows_n == ref_rows_n, (props, arcs, typed)
