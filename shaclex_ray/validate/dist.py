@@ -711,6 +711,184 @@ def _obj_key_col(sub: pa.Table) -> pa.Array:
     )
 
 
+def flat_shex_profile(schema: dict) -> dict[str, list]:
+    """ShEx label -> list of vectorizable TC profiles, for shapes that are
+    a plain (optionally EXTRA) flat EachOf of forward TripleConstraints
+    with pairwise-distinct predicates — the counting decomposition
+    (SURVEY.md C4) evaluated with Arrow kernels. valueExprs restricted to:
+    None / plain shape refs (probe protocol) / NodeConstraints using only
+    nodeKind, datatype=xsd:string and all-IRI value sets (the facet
+    families whose regex/number semantics could diverge from the Python
+    oracle path stay on the fallback)."""
+    out: dict[str, list] = {}
+    for lbl, se in schema.get("shapes", {}).items():
+        if not isinstance(se, dict) or se.get("type") != "Shape":
+            continue
+        if se.get("closed"):
+            continue
+        expr = se.get("expression")
+        if expr is None or isinstance(expr, str):
+            continue
+        if expr.get("type") == "TripleConstraint":
+            tcs = [expr]
+        elif expr.get("type") == "EachOf" and (
+            expr.get("min", 1) == 1 and expr.get("max", 1) == 1
+        ):
+            tcs = expr.get("expressions", [])
+            if not all(
+                isinstance(t, dict) and t.get("type") == "TripleConstraint"
+                for t in tcs
+            ):
+                continue
+        else:
+            continue
+        preds = [t["predicate"] for t in tcs]
+        if len(set(preds)) != len(preds):
+            continue
+        extra = set(se.get("extra", []) or [])
+        profs = []
+        ok = True
+        for tc in tcs:
+            if tc.get("inverse") or "id" in tc:
+                ok = False
+                break
+            prof = {
+                "pred": tc["predicate"],
+                "min": tc.get("min", 1),
+                "max": tc.get("max", 1),
+                "extra": tc["predicate"] in extra,
+                "check": None,  # None | ("nc", nc-dict masks) | ("ref", label)
+            }
+            ve = tc.get("valueExpr")
+            if ve is None:
+                pass
+            elif isinstance(ve, str):
+                prof["check"] = ("ref", ve)
+            elif isinstance(ve, dict) and ve.get("type") == "NodeConstraint":
+                allowed = {"type", "nodeKind", "datatype", "values"}
+                if set(ve) - allowed:
+                    ok = False
+                    break
+                if "datatype" in ve and ve["datatype"] != _XSD + "string":
+                    ok = False
+                    break
+                if "values" in ve and not all(
+                    isinstance(v, str) for v in ve["values"]
+                ):
+                    ok = False
+                    break
+                prof["check"] = ("nc", ve)
+            else:
+                ok = False
+                break
+            profs.append(prof)
+        if ok:
+            out[lbl] = profs
+    return out
+
+
+def flat_shex_eval_kernel(
+    profile: list,
+    node_keys: list[str],
+    graph: "LazyBucketGraph",
+    ref_probe,
+):
+    """Vectorized flat-ShEx counting evaluation (C4 decomposition at
+    bucket granularity): per TC, count matching arcs and arcs whose value
+    satisfies the valueExpr; non-EXTRA predicates need every arc to match
+    AND the total in [min,max]; EXTRA predicates bound only the satisfying
+    count (exactly ShExValidator._match_flat, fuzzed in
+    tests/test_property.py). ``ref_probe(value_key, label)`` returns
+    True / False / "dep". Returns (conforms: bool[n] , blocked: {pos: deps})."""
+    idx = graph._fwd
+    n = len(node_keys)
+    row_parts, subj_parts = [], []
+    for i, nk in enumerate(node_keys):
+        c = idx._code.get(nk)
+        if c is None:
+            continue
+        s, e = int(idx._starts[c]), int(idx._starts[c + 1])
+        row_parts.append(np.arange(s, e, dtype=np.int64))
+        subj_parts.append(np.full(e - s, i, dtype=np.int64))
+    if row_parts:
+        rows = np.concatenate(row_parts)
+        subj_of_row = np.concatenate(subj_parts)
+        sub = idx._tbl.take(pa.array(rows))
+        pred_np = sub.column("pred").combine_chunks()
+        okind_np = sub.column("obj_kind").combine_chunks().to_numpy(zero_copy_only=False)
+        vkeys = _obj_key_col(sub).to_numpy(zero_copy_only=False)
+        dt_np = sub.column("obj_dt").combine_chunks().to_numpy(zero_copy_only=False)
+    else:
+        subj_of_row = np.zeros(0, dtype=np.int64)
+        sub = None
+        pred_np = None
+        okind_np = np.zeros(0, dtype=object)
+        vkeys = np.zeros(0, dtype=object)
+        dt_np = np.zeros(0, dtype=object)
+
+    ok_nodes = np.ones(n, dtype=bool)
+    blocked: dict[int, set] = {}
+    probe_memo: dict[tuple[str, str], object] = {}
+
+    for prof in profile:
+        if pred_np is not None:
+            pmask = pc.equal(pred_np, prof["pred"]).to_numpy(zero_copy_only=False)
+        else:
+            pmask = np.zeros(0, dtype=bool)
+        c_tot = np.zeros(n, dtype=np.int64)
+        np.add.at(c_tot, subj_of_row[pmask], 1)
+
+        check = prof["check"]
+        if check is None:
+            sat_mask = pmask
+        elif check[0] == "nc":
+            nc = check[1]
+            m = pmask.copy()
+            nk_kind = nc.get("nodeKind")
+            if nk_kind == "iri":
+                m &= okind_np == "iri"
+            elif nk_kind == "bnode":
+                m &= okind_np == "bnode"
+            elif nk_kind == "literal":
+                m &= okind_np == "literal"
+            elif nk_kind == "nonliteral":
+                m &= okind_np != "literal"
+            if "datatype" in nc:  # xsd:string only (profile-enforced)
+                m &= (okind_np == "literal") & (dt_np == nc["datatype"])
+            if "values" in nc:
+                allowed = {"I" + v for v in nc["values"]}
+                m &= np.isin(vkeys, list(allowed))
+            sat_mask = m
+        else:  # ("ref", label): resolve per DISTINCT value via the probe
+            label = check[1]
+            sat_mask = pmask.copy()
+            for r in np.flatnonzero(pmask):
+                v = vkeys[r]
+                st = probe_memo.get((v, label))
+                if st is None:
+                    st = ref_probe(v, label)
+                    probe_memo[(v, label)] = st
+                if st == "dep":
+                    blocked.setdefault(int(subj_of_row[r]), set()).add((v, label))
+                elif st is False:
+                    sat_mask[r] = False
+
+        c_sat = np.zeros(n, dtype=np.int64)
+        np.add.at(c_sat, subj_of_row[sat_mask], 1)
+        mn, mx = prof["min"], prof["max"]
+        if prof["extra"]:
+            tc_ok = c_sat >= mn
+            if mx != -1:
+                tc_ok &= c_sat <= mx
+        else:
+            tc_ok = (c_sat == c_tot) & (c_tot >= mn)
+            if mx != -1:
+                tc_ok &= c_tot <= mx
+        ok_nodes &= tc_ok
+
+    return ok_nodes, blocked
+
+
 def flat_eval_kernel(
     profile: list,
     node_keys: list[str],
@@ -902,6 +1080,7 @@ class BucketWorker:
         self._local_cache: dict[str, bool] = {}
         # vectorizable-shape profiles (computed lazily once per actor)
         self._flat_profiles: dict[str, list] | None = None
+        self._flat_shex_profiles: dict[str, list] | None = None
 
     def load(self, *parts: pa.Table) -> int:
         n = 0
@@ -983,6 +1162,41 @@ class BucketWorker:
             if key in self.focus_flags:
                 self.reports.extend(reports[pos])
 
+    def _shex_ref_probe(self, vkey: str, label: str, is_local_key):
+        """Resolve a flat-ShEx ref valueExpr for one distinct value:
+        assumption → term-local inline evaluation → dependency (the pair
+        is routed to the value's home bucket as normal pending work)."""
+        a = self.assumptions.get((vkey, label))
+        if a is not None:
+            return a
+        se = self.schema["shapes"].get(label)
+        if se is not None and not _needs_neighborhood(se, self.schema):
+            v = ShExValidator(self.schema, self.graph)
+            return v.satisfies(key_to_term(vkey), se)
+        return "dep"
+
+    def _flat_shex_eval(self, shape_key, node_keys, is_local_key, decided, all_deps):
+        """Vectorized flat-ShEx evaluation (no reports in ShEx mode)."""
+        ok_nodes, blocked = flat_shex_eval_kernel(
+            self._flat_shex_profiles[shape_key],
+            node_keys,
+            self.graph,
+            lambda v, lbl: self._shex_ref_probe(v, lbl, is_local_key),
+        )
+        interned: dict[tuple, set] = {}
+        for pos, nk in enumerate(node_keys):
+            key = (nk, shape_key)
+            if pos in blocked:
+                sig = tuple(sorted(blocked[pos]))
+                shared = interned.get(sig)
+                if shared is None:
+                    shared = interned[sig] = set(sig)
+                    all_deps |= {d for d in shared if d not in self.assumptions}
+                self.blocked_on[key] = shared
+                continue
+            self.typing[key] = "conforms" if ok_nodes[pos] else "notConforms"
+            decided.append(key)
+
     def _local_is_instance(self, node_key: str, cls_key: str) -> bool:
         closure = set(
             self.schema.get("subclass_closure", {}).get(cls_key, [cls_key])
@@ -1033,19 +1247,27 @@ class BucketWorker:
         # evaluate in bulk with Arrow/numpy kernels (per-focus Python walk
         # only for the rest)
         flat_handled: set = set()
-        if self.engine == "shacl" and not self.schema.get("_no_flat"):
-            if self._flat_profiles is None:
-                self._flat_profiles = flat_shacl_profile(self.schema)
+        if not self.schema.get("_no_flat"):
+            if self.engine == "shacl":
+                if self._flat_profiles is None:
+                    self._flat_profiles = flat_shacl_profile(self.schema)
+                profiles = self._flat_profiles
+                evaluator = self._flat_eval
+            else:
+                if self._flat_shex_profiles is None:
+                    self._flat_shex_profiles = flat_shex_profile(self.schema)
+                profiles = self._flat_shex_profiles
+                evaluator = self._flat_shex_eval
             by_shape: dict[str, list] = {}
             for key in self.pending:
                 if key in self.blocked_on:
                     continue
                 nk_, sk_ = key
-                if sk_ in self._flat_profiles:
+                if sk_ in profiles:
                     by_shape.setdefault(sk_, []).append(nk_)
                     flat_handled.add(key)
             for sk_, nks_ in sorted(by_shape.items()):
-                self._flat_eval(sk_, nks_, is_local_key, decided, all_deps)
+                evaluator(sk_, nks_, is_local_key, decided, all_deps)
 
         for key in list(self.pending):
             if key in flat_handled:
@@ -1106,7 +1328,21 @@ class BucketWorker:
                 elif self.engine == "shex":
                     v = _DistShEx(self.schema, self.graph, assumptions, is_local_term, record)
                     node = key_to_term(nk)
-                    ok = v.validate_node_shape(node, shape_key if shape_key != "START" else None)
+                    # The pair's OWN coinductive assumption (set by a
+                    # cycle-break) must not decide the pair vacuously —
+                    # hide it during its top-level evaluation so local
+                    # constraint failures still surface. Direct
+                    # self-reference inside the evaluation still closes
+                    # coinductively via the in-progress guard
+                    # (ValidateND.scala:51-54 semantics).
+                    self_assumption = assumptions.pop(key, None)
+                    try:
+                        ok = v.validate_node_shape(
+                            node, shape_key if shape_key != "START" else None
+                        )
+                    finally:
+                        if self_assumption is not None:
+                            assumptions[key] = self_assumption
                     if not v.provisional:
                         self.typing[key] = "conforms" if ok else "notConforms"
                         decided.append(key)
@@ -1384,7 +1620,7 @@ def distributed_validate(
     # must not read as a clean pass).
     rounds = 0
     stalls = 0
-    cycle_broken = False
+    just_broke = False
     while rounds < 100_000:  # safety valve; real exits are below
         rounds += 1
         results = ray.get([w.run_round.remote() for w in workers])
@@ -1442,15 +1678,18 @@ def distributed_validate(
             break
         if progress:
             stalls = 0
+            just_broke = False
             continue
         stalls += 1
-        if not cycle_broken:
-            # cross-bucket cycle: close coinductively (assume conforms)
-            unresolved = sorted(c for c in need_by if c not in answered_vals)
+        unresolved = sorted(c for c in need_by if c not in answered_vals)
+        if unresolved and not just_broke:
+            # cross-bucket cycle: close coinductively (assume conforms).
+            # Repeated breaks are allowed as long as each one unblocks
+            # progress — a break that moves nothing ends the loop.
             ray.get([w.assume_deps.remote(unresolved) for w in workers])
-            cycle_broken = True
+            just_broke = True
             continue
-        if stalls >= max(2, max_rounds):
+        if just_broke or not unresolved or stalls >= max(2, max_rounds):
             break
 
     # anything still pending is UNDECIDED — surface it, don't drop it

@@ -60,8 +60,10 @@ prefix dct: <http://purl.org/dc/terms/>
 prefix xsd: <http://www.w3.org/2001/XMLSchema#>
 
 :spain rdfs:label "Spain" ; wf:iso2 "ES" .
-:indicator1 a cex:Indicator ; rdfs:label "An indicator" .
-:org1 a <http://www.w3.org/ns/org#Organization> ; rdfs:label "WF" .
+:indicator1 a wf:PrimaryIndicator ; rdfs:label "An indicator" ;
+     wf:provider :org1 .
+:org1 a <http://www.w3.org/ns/org#Organization> ; rdfs:label "WF" ;
+     <http://xmlns.com/foaf/0.1/homepage> <http://webfoundation.org/> .
 :ds1 a qb:DataSet ; qb:structure wf:DSD ; rdfs:label "ds1" ;
      qb:slice :slice1 ; dct:publisher :org1 .
 :slice1 a qb:Slice ; qb:sliceStructure wf:sliceByYear ;
@@ -79,26 +81,58 @@ prefix xsd: <http://www.w3.org/2001/XMLSchema#>
 def test_webindex_recursive_shex(rd):
     """The mutually recursive webindex schema (examples/webindex/
     webindex.shex): DataSet ↔ Slice ↔ Observation cycle through the
-    distributed fixpoint."""
+    distributed fixpoint. The data genuinely conforms (verified against
+    the suite-pinned local validator below), and breaking one leaf
+    (org1's homepage) cascades notConforms through the whole cycle —
+    the coinductive close must NOT mask real failures."""
     from shaclex_ray.engine import validate_shex
     from shaclex_ray.rdfio import parse_turtle
-    from shaclex_ray.terms import triples_to_table
+    from shaclex_ray.shapes.shexc import parse_shexc
+    from shaclex_ray.terms import iri, triples_to_table
+    from shaclex_ray.validate.local import Graph, ShExValidator
 
     schema = open(f"{EX}/webindex/webindex.shex").read()
-    ds = rd.from_arrow(triples_to_table(parse_turtle(WEBINDEX_DATA)))
-    typing, summary = validate_shex(
-        ds,
-        schema,
-        ":ds1@:DataSet, :slice1@:Slice, :obs1@:Observation, :spain@:Country",
-        prefixes={"": "http://example.org/"},
+    focus_names = ["ds1", "slice1", "obs1", "spain"]
+    shapes = ["DataSet", "Slice", "Observation", "Country"]
+
+    def local_verdicts(data_ttl):
+        v = ShExValidator(parse_shexc(schema), Graph(parse_turtle(data_ttl)))
+        return {
+            f"Ihttp://example.org/{n}": (
+                "conforms"
+                if v.validate_node_shape(
+                    iri(f"http://example.org/{n}"), f"http://example.org/{s}"
+                )
+                else "notConforms"
+            )
+            for n, s in zip(focus_names, shapes)
+        }
+
+    def dist_verdicts(data_ttl):
+        ds = rd.from_arrow(triples_to_table(parse_turtle(data_ttl)))
+        typing, _summary = validate_shex(
+            ds,
+            schema,
+            ":ds1@:DataSet, :slice1@:Slice, :obs1@:Observation, :spain@:Country",
+            prefixes={"": "http://example.org/"},
+        )
+        return {r["node"]: r["val"] for r in typing.to_pylist() if r["is_focus"]}
+
+    good = dist_verdicts(WEBINDEX_DATA)
+    assert good == local_verdicts(WEBINDEX_DATA)
+    assert set(good.values()) == {"conforms"}
+
+    broken = WEBINDEX_DATA.replace(
+        "<http://xmlns.com/foaf/0.1/homepage> <http://webfoundation.org/> .",
+        ".",
+    ).replace(
+        ":org1 a <http://www.w3.org/ns/org#Organization> ; rdfs:label \"WF\" ;\n     .",
+        ":org1 a <http://www.w3.org/ns/org#Organization> ; rdfs:label \"WF\" .",
     )
-    res = {r["node"]: r["val"] for r in typing.to_pylist() if r["is_focus"]}
-    assert res == {
-        "Ihttp://example.org/ds1": "conforms",
-        "Ihttp://example.org/slice1": "conforms",
-        "Ihttp://example.org/obs1": "conforms",
-        "Ihttp://example.org/spain": "conforms",
-    }
+    bad = dist_verdicts(broken)
+    assert bad == local_verdicts(broken)
+    assert bad["Ihttp://example.org/ds1"] == "notConforms"  # cascades
+    assert bad["Ihttp://example.org/spain"] == "conforms"
 
 
 def test_shacl_facade_good1(rd):
