@@ -275,3 +275,93 @@ def test_flat_shacl_kernel_matches_validator(props, arcs, typed):
     got_rows_n = _norm(reports[0])
     assert bool(viol[0]) == bool(ref_rows), (props, arcs, typed)
     assert got_rows_n == ref_rows_n, (props, arcs, typed)
+
+
+# ---------------------------------------------------------------------------
+# vectorized flat-ShEx kernel ≡ ShExValidator
+
+_REF_SHAPE = {"type": "NodeConstraint", "nodeKind": "iri"}  # term-local ref
+
+_SHEX_VE = st.one_of(
+    st.none(),
+    st.just({"type": "NodeConstraint", "nodeKind": "literal"}),
+    st.just(
+        {"type": "NodeConstraint", "datatype": "http://www.w3.org/2001/XMLSchema#string"}
+    ),
+    st.just({"type": "NodeConstraint", "values": ["http://e/o1", "http://e/o2"]}),
+    st.just("http://e/Ref"),
+)
+
+_SHEX_TC = st.builds(
+    lambda pred, mn, mx, ve: {
+        "type": "TripleConstraint",
+        "predicate": pred,
+        "min": mn,
+        "max": mx if mx is not None else -1,
+        **({"valueExpr": ve} if ve is not None else {}),
+    },
+    pred=st.sampled_from(_PREDS),
+    mn=st.integers(0, 2),
+    mx=st.one_of(st.none(), st.integers(1, 3)),
+    ve=_SHEX_VE,
+)
+
+
+@settings(max_examples=150, deadline=None)
+@given(
+    tcs=st.lists(_SHEX_TC, min_size=1, max_size=3, unique_by=lambda t: t["predicate"]),
+    arcs=_arcs,
+    extra=st.sets(st.sampled_from(_PREDS), max_size=2),
+)
+def test_flat_shex_kernel_matches_validator(tcs, arcs, extra):
+    import pyarrow as pa
+
+    from shaclex_ray.terms import iri, term_key, triples_to_table
+    from shaclex_ray.validate.dist import (
+        LazyBucketGraph,
+        flat_shex_eval_kernel,
+        flat_shex_profile,
+    )
+
+    focus = iri("http://e/focus")
+    triples = [(focus, p, _OBJS[oi]) for p, oi in arcs]
+    shape = {
+        "type": "Shape",
+        "id": "http://e/S",
+        "expression": (
+            tcs[0] if len(tcs) == 1 else {"type": "EachOf", "expressions": tcs}
+        ),
+        "extra": sorted(extra),
+    }
+    schema = {
+        "start": None,
+        "shapes": {"http://e/S": shape, "http://e/Ref": _REF_SHAPE},
+        "te_refs": {},
+        "imports": [],
+    }
+
+    profiles = flat_shex_profile(schema)
+    assert "http://e/S" in profiles
+
+    ref = ShExValidator(schema, Graph(triples))
+    expected = ref.validate_node_shape(focus, "http://e/S")
+
+    tbl = triples_to_table(triples).select(
+        ["subj", "pred", "obj_kind", "obj_lex", "obj_dt", "obj_lang"]
+    )
+    g = LazyBucketGraph()
+    g.add_part(tbl.append_column("rev", pa.array([False] * tbl.num_rows)))
+    g.finalize()
+
+    probe_v = ShExValidator(schema, Graph(triples))
+
+    def probe(vkey, label):
+        from shaclex_ray.terms import key_to_term
+
+        return probe_v.satisfies_label(key_to_term(vkey), label)
+
+    ok, blocked = flat_shex_eval_kernel(
+        profiles["http://e/S"], [term_key(focus)], g, probe
+    )
+    assert not blocked
+    assert bool(ok[0]) == expected, (tcs, arcs, extra)
