@@ -306,10 +306,11 @@ class _DistShacl(ShaclValidator):
                 return [] if ok else [_remote_marker(focus_key, shape_key)]
             pseudo = "vshape:" + shape_key
             a = self.assumptions.get((focus_key, pseudo))
-            if a is True:
+            if isinstance(a, list):
+                # the child's report rows, one copy per requesting parent
+                return [dict(r) for r in a]
+            if a is True:  # cycle-break default: assumed conforming
                 return []
-            if a is False:
-                return [_remote_marker(focus_key, shape_key)]
             self.record_dep(focus_key, pseudo)
             self.provisional = True
             return []
@@ -1119,6 +1120,10 @@ class BucketWorker:
                 import json as _json
 
                 val = _json.loads(val[5:])  # hop answer: value-key list
+            elif isinstance(val, str) and val.startswith("rows:"):
+                import json as _json
+
+                val = _json.loads(val[5:])  # vshape answer: report rows
             self.assumptions[(nk, sk)] = val
         answered = {(nk, sk) for nk, sk, _v in asms}
         # non-mutating subtraction: dep sets may be shared across pairs
@@ -1312,7 +1317,11 @@ class BucketWorker:
                     continue
                 if shape_key.startswith("vshape:"):
                     # nested property-shape validation in REPORT context:
-                    # validate fully here, report locally, answer a boolean
+                    # validate fully here and ship the result ROWS back to
+                    # the requesting parent(s) — each parent appends its
+                    # own copy, preserving the per-traversal multiplicity
+                    # of the local call stack (a value reached from two
+                    # parents reports twice, as the W3C fixtures expect)
                     real_key = shape_key[len("vshape:") :]
                     v = _DistShacl(
                         self.schema, self.graph, assumptions, is_local_key,
@@ -1320,11 +1329,14 @@ class BucketWorker:
                     )
                     rres = v.validate_shape(nk, real_key)
                     if not v.provisional:
-                        self.typing[key] = "conforms" if not rres else "notConforms"
+                        import json as _json
+
+                        rows = [
+                            r for r in rres
+                            if r["component"] != _REMOTE_NC_COMPONENT
+                        ]
+                        self.typing[key] = "rows:" + _json.dumps(rows)
                         decided.append(key)
-                        self.reports.extend(
-                            r for r in rres if r["component"] != _REMOTE_NC_COMPONENT
-                        )
                 elif self.engine == "shex":
                     v = _DistShEx(self.schema, self.graph, assumptions, is_local_term, record)
                     node = key_to_term(nk)
@@ -1666,7 +1678,9 @@ def distributed_validate(
                     # hop answers carry their value-list payload verbatim;
                     # everything else reduces to a conformance boolean
                     payload = (
-                        val if child[1].startswith("hop:") else (val == "conforms")
+                        val
+                        if child[1].startswith(("hop:", "vshape:"))
+                        else (val == "conforms")
                     )
                     fwd.setdefault(b, []).append((child[0], child[1], payload))
                     progress = True

@@ -292,3 +292,41 @@ def test_flat_shacl_vectorized_parity(ray_session):
     assert nt(t1) == nt(t2)
     assert nr(r1) == nr(r2)
     assert r1.num_rows >= 1  # the corpus has at least one violation
+
+
+def test_nested_property_shape_report_multiplicity(ray_session):
+    """A value node reached from TWO parents reports its nested-property
+    violation TWICE (per-traversal multiplicity, as the W3C property-001
+    fixture expects) — vshape answers carry rows back to each parent."""
+    import ray.data as rd
+
+    from shaclex_ray.rdfio import parse_turtle
+    from shaclex_ray.shapes.shacl import compile_shacl
+    from shaclex_ray.terms import triples_to_table
+    from shaclex_ray.validate.dist import distributed_validate, resolve_shacl_targets
+
+    ttl = """
+    @prefix sh: <http://www.w3.org/ns/shacl#> .
+    @prefix ex: <http://ex.org/> .
+    ex:PersonShape a sh:NodeShape ;
+      sh:targetClass ex:Person ;
+      sh:property [ sh:path ex:address ; sh:property ex:CityShape ] .
+    ex:CityShape sh:path ex:city ; sh:minCount 1 .
+    ex:p1 a ex:Person ; ex:address ex:addr1 .
+    ex:p2 a ex:Person ; ex:address ex:addr1 .
+    """
+    triples = parse_turtle(ttl)
+    ds = rd.from_arrow(triples_to_table(triples))
+    schema = compile_shacl(triples)
+    focus = resolve_shacl_targets(ds, schema)
+    _t, rep = distributed_validate(ds, "shacl", schema, focus, nbuckets=4)
+    rows = sorted(
+        (a, b.split("#")[-1])
+        for a, b in zip(
+            rep.column("focus_node").to_pylist(), rep.column("component").to_pylist()
+        )
+    )
+    assert rows == [
+        ("Ihttp://ex.org/addr1", "MinCountConstraintComponent"),
+        ("Ihttp://ex.org/addr1", "MinCountConstraintComponent"),
+    ], rows
