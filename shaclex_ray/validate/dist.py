@@ -1349,9 +1349,19 @@ class BucketWorker:
                     # (ValidateND.scala:51-54 semantics).
                     self_assumption = assumptions.pop(key, None)
                     try:
-                        ok = v.validate_node_shape(
-                            node, shape_key if shape_key != "START" else None
-                        )
+                        if shape_key.startswith("inline:"):
+                            # anonymous nested Shape routed here as a dep:
+                            # resolve through the inline registry
+                            se = self.schema.get("inline", {}).get(shape_key)
+                            if se is None:
+                                raise ValueError(
+                                    f"unregistered inline shape {shape_key}"
+                                )
+                            ok = v.satisfies(node, se)
+                        else:
+                            ok = v.validate_node_shape(
+                                node, shape_key if shape_key != "START" else None
+                            )
                     finally:
                         if self_assumption is not None:
                             assumptions[key] = self_assumption

@@ -330,3 +330,62 @@ def test_nested_property_shape_report_multiplicity(ray_session):
         ("Ihttp://ex.org/addr1", "MinCountConstraintComponent"),
         ("Ihttp://ex.org/addr1", "MinCountConstraintComponent"),
     ], rows
+
+
+def test_inline_shape_dep_routed_to_home_bucket(ray_session):
+    """A NOT over an anonymous nested Shape whose value node lives in
+    another bucket routes an 'inline:N' pseudo-pair there — the home
+    bucket must resolve it through the inline registry (1NOTdot pattern)."""
+    import copy
+
+    import pyarrow as pa
+    import ray.data as rd
+
+    from shaclex_ray.terms import iri, triples_to_table
+    from shaclex_ray.validate.dist import distributed_validate
+
+    schema = {
+        "start": None,
+        "te_refs": {},
+        "imports": [],
+        "shapes": {
+            "http://e/S": {
+                "type": "Shape",
+                "id": "http://e/S",
+                "expression": {
+                    "type": "TripleConstraint",
+                    "predicate": "http://e/p",
+                    "valueExpr": {
+                        "type": "ShapeNot",
+                        "shapeExpr": {
+                            "type": "Shape",
+                            "expression": {
+                                "type": "TripleConstraint",
+                                "predicate": "http://e/q",
+                                "min": 1,
+                                "max": -1,
+                            },
+                        },
+                    },
+                    "min": 1,
+                    "max": 1,
+                },
+            }
+        },
+    }
+    # o has a q-arc => inner shape matches => NOT fails => focus notConforms
+    triples = [
+        (iri("http://e/n"), "http://e/p", iri("http://e/o")),
+        (iri("http://e/o"), "http://e/q", iri("http://e/x")),
+    ]
+    for nb in (1, 4):
+        focus = pa.table({"node": ["Ihttp://e/n"], "shape": ["http://e/S"]})
+        typing, _rep = distributed_validate(
+            rd.from_arrow(triples_to_table(triples)),
+            "shex",
+            copy.deepcopy(schema),
+            focus,
+            nbuckets=nb,
+        )
+        f = typing.filter(typing.column("is_focus"))
+        assert f.column("val")[0].as_py() == "notConforms", nb
