@@ -3,4 +3,4 @@ shape-validation engine with the query/data-processing capabilities of
 weso/shaclex, built from scratch on ray.data.Dataset + Arrow batches.
 """
 
-__version__ = "0.3.1"
+__version__ = "0.4.0"

@@ -100,20 +100,43 @@ def run_kg_pipeline(
 
     raw = runner.run("triples_raw", digest, produce_raw, lambda p: rd.read_parquet(p))
 
-    link_holder = {}
-
     def produce_links(path):
-        links = build_entity_links(raw)
-        import pyarrow.parquet as pq
+        import os as _os3
 
-        pq.write_table(links, f"{path}/links.parquet")
-        link_holder["links"] = links
-        return links.num_rows
+        _os3.makedirs(f"{path}/shards", exist_ok=True)
+        links = build_entity_links(raw)
+        if isinstance(links, pa.Table):
+            import pyarrow.parquet as pq
+
+            pq.write_table(links, f"{path}/shards/links.parquet")
+            return links.num_rows
+        # distributed regime: the links Dataset checkpoints as parquet
+        # SHARDS, written by the workers — never concatenated on the driver
+        links = links.materialize()
+        links.write_parquet(f"{path}/shards")
+        return links.count()
 
     def read_links(path):
+        """Size-adaptive read-back: small link tables load driver-side for
+        the broadcast rewrite; big ones stay a lazy shard Dataset feeding
+        the join rewrite."""
+        import os as _os2
+
         import pyarrow.parquet as pq
 
-        return pq.read_table(f"{path}/links.parquet")
+        shard_dir = f"{path}/shards"
+        n = sum(
+            pq.ParquetFile(f"{shard_dir}/{f}").metadata.num_rows
+            for f in _os2.listdir(shard_dir)
+            if f.endswith(".parquet")
+        )
+        if n < int(_os.environ.get("SHACLEX_LINK_BCAST_THRESHOLD", "5000000")):
+            tbl = pq.read_table(shard_dir)
+            order = pa.compute.sort_indices(tbl.column("mention"))
+            return tbl.take(order)
+        return rd.read_parquet(shard_dir)
+
+    import os as _os
 
     links = runner.run("entity_links", digest, produce_links, read_links)
 

@@ -92,6 +92,9 @@ def _dedup_split_impl(nbuckets: int, *tbls: pa.Table):
     )
     order = np.argsort(buckets, kind="stable")
     sorted_tbl = pa.Table.from_pandas(df.iloc[order], preserve_index=False)
+    # from_pandas of an all-empty group infers null types — pin the real
+    # schema so every split group emits concat-compatible parts
+    sorted_tbl = sorted_tbl.select(base.schema.names).cast(base.schema)
     sorted_b = buckets[order]
     bounds = np.searchsorted(sorted_b, np.arange(nbuckets + 1))
     if nbuckets == 1:

@@ -201,16 +201,18 @@ def connected_components(edges_ds, max_iters: int = 12):
     return labels.groupby("node").map_groups(min_label, batch_format="pyarrow")
 
 
-def build_entity_links(triples_ds, distributed: bool | None = None) -> pa.Table:
-    """mention_iri -> canonical_iri table.
+def build_entity_links(triples_ds, distributed: bool | None = None):
+    """mention_iri -> canonical_iri links.
 
     The component merge is size-adaptive (the broadcast-vs-shuffle switch):
-    small edge lists merge with the driver union-find; above
-    ``SHACLEX_LINK_DIST_THRESHOLD`` rows (default 1M — at web scale
-    distinct surface forms are billions) the merge runs as DISTRIBUTED
-    min-label propagation and the driver never sees the full edge list.
-    Both produce identical rows (lexicographic-min representative — tests
-    pin the equality), so the switch is purely physical."""
+    small edge lists merge with the driver union-find and return a
+    ``pa.Table``; above ``SHACLEX_LINK_DIST_THRESHOLD`` rows (default 1M —
+    at web scale distinct surface forms are billions) the merge runs as
+    DISTRIBUTED min-label propagation and the result stays a Ray
+    **Dataset** end-to-end — the driver never holds the edge list OR the
+    link table. Both regimes produce identical rows (lexicographic-min
+    representative — tests pin the equality), so the switch is purely
+    physical; downstream (``canonicalize_triples``) accepts either."""
     import os as _os
 
     edges_m = _edges_ds(triples_ds).materialize()
@@ -242,22 +244,7 @@ def build_entity_links(triples_ds, distributed: bool | None = None) -> pa.Table:
             {"mention": sub.column("node"), "canonical_iri": sub.column("label")}
         )
 
-    out = labels.map_batches(mentions_only, batch_format="pyarrow")
-    tbl = pa.concat_tables(
-        list(out.iter_batches(batch_format="pyarrow", batch_size=None))
-        or [
-            pa.table(
-                {
-                    "mention": pa.array([], pa.string()),
-                    "canonical_iri": pa.array([], pa.string()),
-                }
-            )
-        ]
-    ).combine_chunks()
-    order = pc.sort_indices(tbl.column("mention"))
-    return tbl.take(order).cast(
-        pa.schema([("mention", pa.string()), ("canonical_iri", pa.string())])
-    )
+    return labels.map_batches(mentions_only, batch_format="pyarrow")
 
 
 class Canonicalizer:
@@ -319,6 +306,37 @@ def entity_triples(link_tbl: pa.Table) -> pa.Table:
     )
 
 
+def entity_triples_ds(links_ds):
+    """Dataset variant of ``entity_triples``: canonical-entity metadata
+    triples derived from a links *Dataset* — distinct canonicals come from
+    a groupby (one shuffle over the distinct-canonical column only), and
+    the two metadata triples per entity are emitted inside map_groups.
+    The full link table never touches the driver."""
+
+    def emit(group: pa.Table) -> pa.Table:
+        canon = group.column("canonical_iri").slice(0, 1)
+        c = canon[0].as_py()
+        surface = c[len(ENT_NS):]
+        return pa.table(
+            {
+                "subj": pa.array([c, c], pa.string()),
+                "pred": pa.array([RDF_TYPE, P_SURFACE], pa.string()),
+                "obj_kind": pa.array(["iri", "literal"], pa.string()),
+                "obj_lex": pa.array([C_ENTITY, surface], pa.string()),
+                "obj_dt": pa.array(["", XSD_STRING], pa.string()),
+                "obj_lang": pa.array(["", ""], pa.string()),
+                "doc_id": pa.array(["", ""], pa.string()),
+                "span_idx": pa.array([-1, -1], pa.int32()),
+            }
+        )
+
+    return (
+        links_ds.select_columns(["canonical_iri"])
+        .groupby("canonical_iri")
+        .map_groups(emit, batch_format="pyarrow")
+    )
+
+
 def canonicalize_triples_join(triples_ds, links_ds, num_partitions: int | None = None):
     """Scale-path canonicalization: hash-JOIN the link table onto the
     triples (subj side, then iri-object side) instead of broadcasting it —
@@ -367,18 +385,47 @@ def canonicalize_triples_join(triples_ds, links_ds, num_partitions: int | None =
         batch = batch.set_column(
             batch.schema.get_field_index("obj_lex"), "obj_lex", new_obj
         )
-        return batch.drop_columns(["canonical_iri"])
+        batch = batch.drop_columns(["canonical_iri"])
+        # joins reorder columns and type empty blocks as null — restore the
+        # canonical triple schema so downstream concat/union is exact
+        cols = [
+            c
+            for c in [
+                "subj", "pred", "obj_kind", "obj_lex", "obj_dt", "obj_lang",
+                "doc_id", "span_idx",
+            ]
+            if c in batch.column_names
+        ]
+        batch = batch.select(cols)
+        target = pa.schema(
+            [
+                (c, pa.int32() if c == "span_idx" else pa.string())
+                for c in cols
+            ]
+        )
+        return batch.cast(target)
 
     return j2.map_batches(apply_obj, batch_format="pyarrow")
 
 
-def canonicalize_triples(triples_ds, link_tbl: pa.Table, concurrency=None):
+def canonicalize_triples(triples_ds, link_tbl, concurrency=None):
     """Rewrite mention IRIs to canonical entity IRIs and append entity
-    metadata triples. Size-adaptive: link tables too big to broadcast
-    (over SHACLEX_LINK_BCAST_THRESHOLD rows, default 5M) rewrite via the
-    hash-join path instead."""
+    metadata triples. Size-adaptive: ``link_tbl`` may be a pa.Table
+    (broadcast regime) or a Ray Dataset (the distributed regime's output —
+    rewrites via hash join, entity triples via groupby; nothing
+    driver-side). A driver Table over SHACLEX_LINK_BCAST_THRESHOLD rows
+    (default 5M) also takes the join path."""
     import os as _os
 
+    if not isinstance(link_tbl, pa.Table):
+        # Dataset end-to-end: join-based rewrite + groupby-derived entity
+        # metadata — the link table never materializes on the driver.
+        # materialize() pins the blocks in the object store so the three
+        # consumers (two join sides + entity metadata) don't re-execute
+        # the component merge.
+        links_m = link_tbl.materialize()
+        rewritten = canonicalize_triples_join(triples_ds, links_m)
+        return rewritten.union(entity_triples_ds(links_m))
     if link_tbl.num_rows >= int(
         _os.environ.get("SHACLEX_LINK_BCAST_THRESHOLD", "5000000")
     ):

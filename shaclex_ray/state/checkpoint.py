@@ -44,6 +44,11 @@ class StageRunner:
             self.metrics[stage] = json.load(open(self._manifest_path(stage)))
             self.metrics[stage]["resumed"] = True
             return read_back(path)
+        # stale or partial output (digest mismatch / interrupted run) must
+        # not mix with the fresh write — clear the stage dir first
+        import shutil
+
+        shutil.rmtree(path, ignore_errors=True)
         os.makedirs(path, exist_ok=True)
         t0 = time.perf_counter()
         rows = produce(path)

@@ -112,8 +112,33 @@ def test_entity_links_distributed_equals_unionfind(ray_session):
     raw = extract_triples(read_documents("/root/testdata/sf0.001")).materialize()
     dist = build_entity_links(raw, distributed=True)
     uf = build_entity_links(raw, distributed=False)
-    assert dist.to_pylist() == uf.to_pylist()
-    assert dist.num_rows > 0
+    # distributed regime returns a Dataset (never driver-materialized in
+    # the pipeline); collect + sort here only to compare rows
+    dist_rows = sorted(dist.take_all(), key=lambda r: r["mention"])
+    assert dist_rows == uf.to_pylist()
+    assert uf.num_rows > 0
+
+
+def test_canonicalize_dataset_links_end_to_end(ray_session):
+    """Feeding canonicalize_triples a links *Dataset* (the distributed
+    regime's output) produces exactly the broadcast path's triples,
+    including the entity metadata triples from entity_triples_ds."""
+    from shaclex_ray.sources.documents import read_documents
+    from shaclex_ray.stages.extract import extract_triples
+    from shaclex_ray.stages.link import build_entity_links, canonicalize_triples
+    from shaclex_ray.terms import TRIPLE_ID_COLS
+
+    raw = extract_triples(read_documents("/root/testdata/sf0.001")).materialize()
+    links_tbl = build_entity_links(raw, distributed=False)
+    links_ds = build_entity_links(raw, distributed=True)
+
+    def norm(ds):
+        df = ds.to_pandas()[TRIPLE_ID_COLS]
+        return df.sort_values(TRIPLE_ID_COLS, ignore_index=True)
+
+    bc = norm(canonicalize_triples(raw, links_tbl))
+    dd = norm(canonicalize_triples(raw, links_ds))
+    assert bc.equals(dd)
 
 
 def test_canonicalize_join_equals_broadcast(ray_session):
