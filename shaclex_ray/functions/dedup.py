@@ -4,16 +4,26 @@
   * minhash:   k-permutation MinHash over token shingles, banded LSH
                (shingle → minhash → band → bucket groupby → pairs)
   * simhash:   64-bit SimHash over token hashes, duplicates = equal keys
-  * ngram_jaccard: verified near-dup pairs — jaccard over token n-gram
-               hash sets, candidates from LSH buckets, texts shuffle-joined
-               onto pairs and verified inside map_batches (fully
-               distributed — no driver-side text harvest)
+  * ngram_jaccard: verified near-dup pairs — jaccard over distinct token
+               n-gram hashes; candidates from LSH band buckets, each
+               doc's shingle-hash set shipped ONCE per join side (never
+               replicated per band), verified inside map_batches
 
 All hashes are md5-derived (``md5_number_lower`` semantics: last 8 digest
 bytes little-endian) so a DuckDB oracle can reproduce every stage
-end-to-end. Deterministic across runs, workers and retries. Heavy stages
-are vectorized or numpy-per-batch; pair generation only ever happens
-inside a bucket (never a global cross join), with a degenerate-bucket cap.
+end-to-end. Deterministic across runs, workers and retries.
+
+Scale notes (the 100-TB cost centers):
+  * hashing is BATCH-vectorized: token n-grams are built with Arrow
+    kernels and hashed by the numpy MD5 in functions/md5batch.py — no
+    per-shingle Python call anywhere
+  * the LSH band shuffle carries per row only (doc_id, band, band_key
+    u64, earlier-band keys ≤bands u64) — the 64-perm signature (and, for
+    jaccard, the shingle set) never rides the band rows; earlier-band
+    collisions are recomputed from the compact key prefix (band-key
+    equality is exactly the SQL oracle's pair condition)
+  * pair generation only ever happens inside a bucket (never a global
+    cross join), with a degenerate-bucket cap
 """
 
 from __future__ import annotations
@@ -26,6 +36,8 @@ import pyarrow.compute as pc
 
 import ray
 import ray.data
+
+from shaclex_ray.functions.md5batch import md5_state_batch, md5_u64_batch
 
 # all-pairs cap inside one LSH bucket: a degenerate band bucket (every doc
 # identical) would otherwise emit O(n²) pairs; chaining consecutive ids
@@ -73,15 +85,46 @@ def exact_groups(sf_dir: str):
     )
 
 
-# ---------------------------------------------------------------- minhash
+# ------------------------------------------------- vectorized gram hashing
 
-def _token_hashes(text: str, shingle: int) -> np.ndarray:
-    """64-bit shingle hashes (md5_number_lower of each token n-gram)."""
-    toks = text.split(" ")
-    grams = [" ".join(toks[i : i + shingle]) for i in range(max(1, len(toks) - shingle + 1))]
-    return np.fromiter(
-        (_md5_u64(g.encode()) for g in grams), dtype=np.uint64, count=len(grams)
-    )
+def _cc(arr):
+    return arr.combine_chunks() if isinstance(arr, pa.ChunkedArray) else arr
+
+
+def _batch_gram_hashes(texts, shingle: int) -> tuple[np.ndarray, np.ndarray]:
+    """All token n-gram hashes (md5_number_lower) of a batch, doc-major.
+
+    Returns (h, starts): ``h`` uint64 with each doc's gram hashes
+    contiguous in batch order; ``starts`` int64 (n+1,) segment bounds.
+    Gram semantics match the scalar spec exactly: a doc with fewer than
+    ``shingle`` tokens yields ONE gram = the whole text (split-on-space /
+    join-with-space are exact inverses). Everything here is Arrow/numpy —
+    no per-gram Python."""
+    t = _cc(texts)
+    toks = pc.split_pattern(t, " ")
+    flat = _cc(pc.list_flatten(toks))
+    n_tok = pc.list_value_length(toks).to_numpy(zero_copy_only=False).astype(np.int64)
+    n = len(n_tok)
+    tok_starts = np.zeros(n + 1, np.int64)
+    np.cumsum(n_tok, out=tok_starts[1:])
+    g_cnt = np.maximum(n_tok - shingle + 1, 1)
+    starts = np.zeros(n + 1, np.int64)
+    np.cumsum(g_cnt, out=starts[1:])
+    h = np.empty(int(starts[-1]), np.uint64)
+    long_idx = np.nonzero(n_tok >= shingle)[0]
+    if len(long_idx):
+        lg = g_cnt[long_idx]
+        total = int(lg.sum())
+        seg0 = np.cumsum(lg) - lg
+        rel = np.arange(total) - np.repeat(seg0, lg)
+        idx0 = np.repeat(tok_starts[long_idx], lg) + rel
+        parts = [pc.take(flat, pa.array(idx0 + k)) for k in range(shingle)]
+        grams = pc.binary_join_element_wise(*parts, " ")
+        h[np.repeat(starts[:-1][long_idx], lg) + rel] = md5_u64_batch(grams)
+    short_idx = np.nonzero(n_tok < shingle)[0]
+    if len(short_idx):
+        h[starts[:-1][short_idx]] = md5_u64_batch(pc.take(t, pa.array(short_idx)))
+    return h, starts
 
 
 def _splitmix64(x: np.ndarray) -> np.ndarray:
@@ -98,12 +141,24 @@ def minhash_seeds(num_perm: int) -> np.ndarray:
     return rng.randint(0, 2**63 - 1, size=num_perm, dtype=np.int64).astype(np.uint64)
 
 
+def _signatures(h: np.ndarray, starts: np.ndarray, seeds: np.ndarray) -> np.ndarray:
+    """(n, num_perm) MinHash matrix from doc-major gram hashes: per
+    permutation one splitmix over the whole batch + one segmented min."""
+    n = len(starts) - 1
+    sigs = np.empty((n, len(seeds)), np.uint64)
+    if n == 0:
+        return sigs
+    for p, seed in enumerate(seeds):
+        sigs[:, p] = np.minimum.reduceat(_splitmix64(h ^ seed), starts[:-1])
+    return sigs
+
+
 class MinHasher:
     """Batch-mapping stage: permutation seeds built once per worker process
     (the state is 64 ints — a task fn with a process-level seed cache beats
-    an actor pool, whose startup dominates at interactive scale). Each
-    "permutation" is splitmix64 over (shingle-hash XOR seed) — a well-mixed
-    min-wise family, one vectorized numpy expression per doc."""
+    an actor pool, whose startup dominates at interactive scale). The whole
+    batch hashes in vectorized passes (Arrow gram construction → numpy MD5
+    → per-permutation segmented min)."""
 
     _seed_cache: dict[int, np.ndarray] = {}
 
@@ -116,22 +171,23 @@ class MinHasher:
         self.shingle = shingle
 
     def signature(self, text: str) -> np.ndarray:
-        h = _token_hashes(text, self.shingle)
-        if len(h) == 0:
-            return np.zeros(self.num_perm, dtype=np.uint64)
-        vals = _splitmix64(h[None, :] ^ self.seeds[:, None])
-        return vals.min(axis=1)
+        h, starts = _batch_gram_hashes(pa.array([text], pa.string()), self.shingle)
+        return _signatures(h, starts, self.seeds)[0]
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        sigs = [self.signature(t) for t in batch.column("text").to_pylist()]
-        arr = np.vstack(sigs) if sigs else np.zeros((0, self.num_perm), dtype=np.uint64)
+        h, starts = _batch_gram_hashes(batch.column("text"), self.shingle)
+        sigs = _signatures(h, starts, self.seeds)
         return pa.table(
             {
                 "doc_id": batch.column("doc_id"),
-                "sig": pa.array(list(arr), pa.list_(pa.uint64(), self.num_perm)),
+                "sig": pa.FixedSizeListArray.from_arrays(
+                    pa.array(sigs.ravel(), pa.uint64()), self.num_perm
+                ),
             }
         )
 
+
+# ---------------------------------------------------------------- minhash
 
 def band_key(band: int, chunk) -> str:
     """LSH band bucket key: md5 hex (first 16) of 'band:v0,v1,...' —
@@ -141,124 +197,247 @@ def band_key(band: int, chunk) -> str:
     ).hexdigest()[:16]
 
 
+def _band_keys_u64(sigs: np.ndarray, bands: int) -> np.ndarray:
+    """(n, bands) uint64 band keys. Key = first 8 md5 digest bytes of
+    'band:v0,v1,...' packed little-endian word-wise — a bijection of the
+    16-hex-char prefix the SQL oracle uses (equality-equivalent), built
+    with ONE vectorized md5 pass per band."""
+    n, num_perm = sigs.shape
+    rpb = num_perm // bands
+    out = np.empty((n, bands), np.uint64)
+    for b in range(bands):
+        cols: list = []
+        for j in range(b * rpb, (b + 1) * rpb):
+            if cols:
+                cols.append(",")
+            cols.append(pc.cast(pa.array(sigs[:, j], pa.uint64()), pa.string()))
+        key_str = pc.binary_join_element_wise(f"{b}:", *cols, "")
+        a, w_b, _c, _d = md5_state_batch(key_str)
+        out[:, b] = a.astype(np.uint64) | (w_b.astype(np.uint64) << np.uint64(32))
+    return out
+
+
+def _band_rows_table(doc_ids: pa.Array, keys: np.ndarray, bands: int) -> pa.Table:
+    """Band rows with the COMPACT payload: (doc_id, band, band_key,
+    prefix) where prefix = the doc's band keys for earlier bands only —
+    avg bands/2 uint64s instead of the full signature (the band shuffle
+    is the 100-TB cost center; this is the ≥4× byte cut)."""
+    n = len(doc_ids)
+    parts = []
+    for b in range(bands):
+        prefix_vals = pa.array(keys[:, :b].ravel(), pa.uint64())
+        offsets = pa.array(np.arange(n + 1, dtype=np.int32) * b)
+        parts.append(
+            pa.table(
+                {
+                    "doc_id": doc_ids,
+                    "band": pa.array(np.full(n, b, np.int32)),
+                    "band_key": pa.array(keys[:, b], pa.uint64()),
+                    "prefix": pa.ListArray.from_arrays(offsets, prefix_vals),
+                }
+            )
+        )
+    return pa.concat_tables(parts)
+
+
+def _segment_pairs(
+    ids: np.ndarray, prefixes: np.ndarray | None, label: str
+) -> tuple[np.ndarray, np.ndarray]:
+    """Pairs (a < b) within one band bucket, emitted only if the two docs
+    share NO earlier band key (the pair's lowest colliding band — exact
+    distinct-pair semantics with one shuffle). ``prefixes``: (m, band)
+    earlier-band keys aligned with ``ids`` (None for band 0). Degenerate
+    buckets chain consecutive ids (O(n), logged)."""
+    uniq, first_pos = np.unique(ids, return_index=True)
+    m = len(uniq)
+    if m < 2:
+        return uniq[:0], uniq[:0]
+    if prefixes is not None:
+        prefixes = prefixes[first_pos]
+    if m > MAX_BUCKET_PAIRS_DOCS:
+        print(
+            f"[{label}] degenerate LSH bucket: {m} docs, "
+            f"chaining instead of all-pairs",
+            flush=True,
+        )
+        ii = np.arange(m - 1)
+        jj = ii + 1
+    else:
+        ii, jj = np.triu_indices(m, k=1)
+    if prefixes is not None and len(ii):
+        # chunk the (pairs × band) equality mask so a big bucket never
+        # allocates a GB-scale temporary
+        keep_chunks = []
+        for s in range(0, len(ii), 1 << 20):
+            a, b = ii[s : s + (1 << 20)], jj[s : s + (1 << 20)]
+            keep_chunks.append(~(prefixes[a] == prefixes[b]).any(axis=1))
+        keep = np.concatenate(keep_chunks)
+        ii, jj = ii[keep], jj[keep]
+    return uniq[ii], uniq[jj]
+
+
+def _band_split_impl(nbuckets: int, *tbls: pa.Table):
+    """Band rows → nbuckets sub-tables by band_key (keys are md5-derived,
+    already uniform — modulo IS the hash)."""
+    cols = ["doc_id", "band", "band_key", "prefix"]
+    real = [t.select(cols) for t in tbls if t.num_rows > 0]
+    if not real:
+        empty = pa.table(
+            {
+                "doc_id": pa.array([], pa.int64()),
+                "band": pa.array([], pa.int32()),
+                "band_key": pa.array([], pa.uint64()),
+                "prefix": pa.array([], pa.list_(pa.uint64())),
+            }
+        )
+        real = [empty]
+    base = pa.concat_tables(real).combine_chunks()
+    keys = base.column("band_key").to_numpy(zero_copy_only=False)
+    buckets = (keys % np.uint64(nbuckets)).astype(np.int64)
+    order = np.argsort(buckets, kind="stable")
+    sorted_tbl = base.take(pa.array(order))
+    bounds = np.searchsorted(buckets[order], np.arange(nbuckets + 1))
+    if nbuckets == 1:
+        return sorted_tbl
+    return tuple(
+        sorted_tbl.slice(bounds[i], bounds[i + 1] - bounds[i])
+        for i in range(nbuckets)
+    )
+
+
+def _band_bucket_pairs_impl(label: str, *parts: pa.Table) -> pa.Table:
+    """All candidate pairs of one key-bucket: sort by band_key, find
+    colliding segments vectorized (singleton keys — the vast majority —
+    cost one argsort pass, no Python), run the pair logic only on
+    collisions."""
+    tbl = pa.concat_tables([t for t in parts if t.num_rows > 0] or list(parts[:1]))
+    tbl = tbl.combine_chunks()
+    n = tbl.num_rows
+    out_a: list = []
+    out_b: list = []
+    if n:
+        keys = tbl.column("band_key").to_numpy(zero_copy_only=False)
+        order = np.argsort(keys, kind="stable")
+        keys = keys[order]
+        ids = tbl.column("doc_id").to_numpy(zero_copy_only=False)[order]
+        bands = tbl.column("band").to_numpy(zero_copy_only=False)[order]
+        pf = _cc(tbl.column("prefix"))
+        pf_off = pf.offsets.to_numpy(zero_copy_only=False).astype(np.int64)[order]
+        pf_vals = pf.values.to_numpy(zero_copy_only=False)
+        seg_bounds = np.concatenate(
+            ([0], np.flatnonzero(keys[1:] != keys[:-1]) + 1, [n])
+        )
+        seg_lens = np.diff(seg_bounds)
+        for si in np.nonzero(seg_lens >= 2)[0]:
+            s, e = int(seg_bounds[si]), int(seg_bounds[si + 1])
+            band = int(bands[s])
+            if band == 0:
+                prefixes = None
+            else:
+                # same key ⇒ same band ⇒ equal prefix lengths: gather the
+                # (m, band) matrix straight from the flat list values
+                prefixes = pf_vals[
+                    pf_off[s:e][:, None] + np.arange(band)[None, :]
+                ]
+            a, b = _segment_pairs(ids[s:e], prefixes, label)
+            out_a.extend(a.tolist())
+            out_b.extend(b.tolist())
+    return pa.table(
+        {"doc_a": pa.array(out_a, pa.int64()), "doc_b": pa.array(out_b, pa.int64())}
+    )
+
+
+def _lsh_candidate_pairs(rows_ds, label: str):
+    """Explicit one-move hash exchange over the band rows (the Dataset
+    groupby would invoke Python once per band key — almost all singletons;
+    here singleton keys never leave numpy). Returns a Dataset
+    (doc_a, doc_b)."""
+    import ray.data as rd
+
+    nbuckets = max(4, int(ray.cluster_resources().get("CPU", 8)))
+    split_task = ray.remote(_band_split_impl)
+    bucket_task = ray.remote(_band_bucket_pairs_impl)
+    mat = rows_ds.materialize()
+    refs = mat.to_arrow_refs()
+    ngroups = max(1, min(len(refs), nbuckets))
+    groups = [refs[g::ngroups] for g in range(ngroups)]
+    split_refs = [
+        split_task.options(num_returns=nbuckets).remote(nbuckets, *grp)
+        for grp in groups
+    ]
+    if nbuckets == 1:
+        split_refs = [[r] for r in split_refs]
+    out_refs = [
+        bucket_task.remote(label, *[grp[b] for grp in split_refs])
+        for b in range(nbuckets)
+    ]
+    return rd.from_arrow_refs(out_refs)
+
+
 def minhash_candidates(sf_dir: str, num_perm: int = 64, bands: int = 16):
     """LSH candidate pairs (doc_a < doc_b) from banded minhash buckets.
 
-    ONE shuffle total: band rows carry the full signature, and a pair is
-    emitted only in its *lowest* colliding band (earlier-band collisions
-    are recomputable bucket-locally from the two signatures) — exact
-    distinct-pair semantics without a second groupby exchange."""
-    rows_per_band = num_perm // bands
+    ONE shuffle total; a pair is emitted only in its *lowest* colliding
+    band (earlier-band collisions recomputed bucket-locally from the
+    compact key prefix). Equality on band keys is exactly the SQL
+    oracle's pair condition."""
+    hasher = MinHasher(num_perm)
 
     def band_rows(batch: pa.Table) -> pa.Table:
-        ids = batch.column("doc_id").to_pylist()
-        sigs = batch.column("sig").to_pylist()
-        out_ids, out_band, out_keys, out_sig = [], [], [], []
-        for did, sig in zip(ids, sigs):
-            for b in range(bands):
-                chunk = sig[b * rows_per_band : (b + 1) * rows_per_band]
-                out_ids.append(did)
-                out_band.append(b)
-                out_keys.append(band_key(b, chunk))
-                out_sig.append(sig)
-        return pa.table(
-            {
-                "doc_id": pa.array(out_ids, pa.int64()),
-                "band": pa.array(out_band, pa.int32()),
-                "band_key": pa.array(out_keys, pa.string()),
-                "sig": pa.array(out_sig, pa.list_(pa.uint64(), num_perm)),
-            }
-        )
+        h, starts = _batch_gram_hashes(batch.column("text"), hasher.shingle)
+        sigs = _signatures(h, starts, hasher.seeds)
+        keys = _band_keys_u64(sigs, bands)
+        ids = _cc(batch.column("doc_id"))
+        return _band_rows_table(ids, keys, bands)
 
-    def bucket_pairs(group: pa.Table) -> pa.Table:
-        band = group.column("band")[0].as_py()
-        by_id = {}
-        for did, sig in zip(
-            group.column("doc_id").to_pylist(), group.column("sig").to_pylist()
-        ):
-            by_id[did] = sig
-        ids = sorted(by_id)
-
-        def first_collision(x, y) -> bool:
-            sx, sy = by_id[x], by_id[y]
-            for b2 in range(band):
-                lo, hi = b2 * rows_per_band, (b2 + 1) * rows_per_band
-                if sx[lo:hi] == sy[lo:hi]:
-                    return False  # already emitted by an earlier band
-            return True
-
-        a, b = [], []
-        if len(ids) > MAX_BUCKET_PAIRS_DOCS:
-            # degenerate bucket: chain consecutive ids — same connected
-            # component, O(n) pairs instead of O(n²). Logged, never silent.
-            print(
-                f"[dedup_minhash] degenerate LSH bucket: {len(ids)} docs, "
-                f"chaining instead of all-pairs",
-                flush=True,
-            )
-            for x, y in zip(ids[:-1], ids[1:]):
-                if first_collision(x, y):
-                    a.append(x)
-                    b.append(y)
-        else:
-            for i in range(len(ids)):
-                for j in range(i + 1, len(ids)):
-                    if first_collision(ids[i], ids[j]):
-                        a.append(ids[i])
-                        b.append(ids[j])
-        return pa.table(
-            {"doc_a": pa.array(a, pa.int64()), "doc_b": pa.array(b, pa.int64())}
-        )
-
-    # plain task fn (not an actor pool): per-batch work is a vectorized
-    # numpy expression, the "state" is 64 cached ints — task scheduling
-    # parallelizes across the whole cluster with zero pool-startup cost
-    hasher = MinHasher(num_perm)
-    sigs = _read_docs(sf_dir).map_batches(hasher, batch_format="pyarrow")
-    return (
-        sigs.map_batches(band_rows, batch_format="pyarrow")
-        .groupby("band_key")
-        .map_groups(bucket_pairs, batch_format="pyarrow")
-    )
+    rows = _read_docs(sf_dir).map_batches(band_rows, batch_format="pyarrow")
+    return _lsh_candidate_pairs(rows, "dedup_minhash")
 
 
 # ---------------------------------------------------------------- simhash
 
 class SimHasher:
-    def __init__(self):
-        self._memo: dict[str, int] = {}  # token-hash cache (vocab is small)
-        self._shifts = np.arange(64, dtype=np.uint64)
-
-    def _tok_hash(self, tok: str) -> int:
-        h = self._memo.get(tok)
-        if h is None:
-            h = _md5_u64(tok.encode())
-            self._memo[tok] = h
-        return h
+    """Vectorized 64-bit SimHash: the batch's tokens hash once through the
+    dictionary (distinct tokens only), bit sums run as 64 segmented adds."""
 
     def _simhash(self, text: str) -> int:
-        hs = np.fromiter(
-            (self._tok_hash(t) for t in text.split(" ")), dtype=np.uint64
+        tbl = pa.table(
+            {"doc_id": pa.array([0], pa.int64()), "text": pa.array([text])}
         )
-        if len(hs) == 0:
-            return 0
-        bits = ((hs[:, None] >> self._shifts[None, :]) & np.uint64(1)).astype(np.int64)
-        acc = (bits * 2 - 1).sum(axis=0)
-        mask = acc > 0
-        return int((mask.astype(np.uint64) << self._shifts).sum())
+        return int(self(tbl).column("simhash")[0].as_py(), 16)
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        hs = [self._simhash(t) for t in batch.column("text").to_pylist()]
+        text = _cc(batch.column("text"))
+        toks = pc.split_pattern(text, " ")
+        flat = _cc(pc.list_flatten(toks))
+        n_tok = pc.list_value_length(toks).to_numpy(zero_copy_only=False).astype(np.int64)
+        n = batch.num_rows
+        starts = np.zeros(n + 1, np.int64)
+        np.cumsum(n_tok, out=starts[1:])
+        if len(flat):
+            dic = pc.dictionary_encode(flat)
+            vocab_h = md5_u64_batch(dic.dictionary)
+            h = vocab_h[dic.indices.to_numpy(zero_copy_only=False)]
+        else:
+            h = np.zeros(0, np.uint64)
+        # per-doc bit accumulation: for each bit, +1/-1 per token summed
+        # segment-wise (docs are non-empty: split always yields ≥1 token)
+        sim = np.zeros(n, np.uint64)
+        for bit in range(64):
+            pm = (((h >> np.uint64(bit)) & np.uint64(1)).astype(np.int64) * 2) - 1
+            acc = np.add.reduceat(pm, starts[:-1]) if n else pm[:0]
+            sim |= (acc > 0).astype(np.uint64) << np.uint64(bit)
+        hexes = [format(int(v), "016x") for v in sim]
         return pa.table(
             {
                 "doc_id": batch.column("doc_id"),
-                "simhash": pa.array([format(h, "016x") for h in hs], pa.string()),
+                "simhash": pa.array(hexes, pa.string()),
             }
         )
 
 
 def simhashes(sf_dir: str):
-    # task fn: the only state is the per-process token-hash memo
+    # task fn: stateless vectorized batch map
     return _read_docs(sf_dir).map_batches(SimHasher(), batch_format="pyarrow")
 
 
@@ -302,86 +481,80 @@ def ngram_jaccard_dups(
     bands: int = 8,
 ):
     """Verified near-duplicate pairs: jaccard over distinct token n-gram
-    hashes, verified WHERE the candidates live — the band rows carry each
-    doc's shingle-hash set through the one LSH shuffle, and the bucket
-    task both generates pairs (emit-on-first-collision dedup) and verifies
-    them in place. One shuffle end-to-end, no joins, no driver collect."""
-    rows_per_band = num_perm // bands
+    hashes, candidates from banded minhash buckets.
+
+    Shuffle budget: band rows carry only (doc_id, band keys ≤bands u64);
+    each doc's distinct shingle-hash set is stored ONCE in a compact side
+    table and hash-joined onto the candidate pairs (a-side, then b-side)
+    for in-batch verification — ~2× the shingle bytes move instead of
+    ×bands, and the driver never sees a text or a shingle set."""
     seeds = minhash_seeds(num_perm)
 
-    def sig_band_rows(batch: pa.Table) -> pa.Table:
-        ids = batch.column("doc_id").to_pylist()
-        texts = batch.column("text").to_pylist()
-        out_ids, out_band, out_keys, out_sig, out_sh = [], [], [], [], []
-        for did, text in zip(ids, texts):
-            th = _token_hashes(text, shingle)
-            sh_bytes = np.unique(th).tobytes()
-            sig = (
-                _splitmix64(th[None, :] ^ seeds[:, None]).min(axis=1)
-                if len(th)
-                else np.zeros(num_perm, dtype=np.uint64)
-            )
-            sig_l = sig.tolist()
-            for b in range(bands):
-                out_ids.append(did)
-                out_band.append(b)
-                out_keys.append(
-                    band_key(b, sig_l[b * rows_per_band : (b + 1) * rows_per_band])
-                )
-                out_sig.append(sig_l)
-                out_sh.append(sh_bytes)
+    def prep(batch: pa.Table) -> pa.Table:
+        """Per-doc side table: band keys + distinct shingle-hash set."""
+        h, starts = _batch_gram_hashes(batch.column("text"), shingle)
+        sigs = _signatures(h, starts, seeds)
+        keys = _band_keys_u64(sigs, bands)
+        n = batch.num_rows
+        # per-doc distinct hashes, vectorized: one global lexsort, then
+        # first-in-segment/new-value boundary mask
+        parent = np.repeat(np.arange(n), np.diff(starts))
+        order = np.lexsort((h, parent))
+        hs, ps = h[order], parent[order]
+        newseg = np.ones(len(hs), bool)
+        newseg[1:] = (ps[1:] != ps[:-1]) | (hs[1:] != hs[:-1])
+        dh, dp = hs[newseg], ps[newseg]
+        cnt = np.bincount(dp, minlength=n)
+        bounds = np.zeros(n + 1, np.int64)
+        np.cumsum(cnt, out=bounds[1:])
+        raw = dh.tobytes()
+        shingles = [raw[bounds[i] * 8 : bounds[i + 1] * 8] for i in range(n)]
         return pa.table(
             {
-                "doc_id": pa.array(out_ids, pa.int64()),
-                "band": pa.array(out_band, pa.int32()),
-                "band_key": pa.array(out_keys, pa.string()),
-                "sig": pa.array(out_sig, pa.list_(pa.uint64(), num_perm)),
-                "shingles": pa.array(out_sh, pa.binary()),
+                "doc_id": batch.column("doc_id"),
+                "keys": pa.FixedSizeListArray.from_arrays(
+                    pa.array(keys.ravel(), pa.uint64()), bands
+                ),
+                "shingles": pa.array(shingles, pa.binary()),
             }
         )
 
-    def bucket_verify(group: pa.Table) -> pa.Table:
-        band = group.column("band")[0].as_py()
-        by_id: dict[int, tuple] = {}
-        for did, sig, shb in zip(
-            group.column("doc_id").to_pylist(),
-            group.column("sig").to_pylist(),
-            group.column("shingles").to_pylist(),
-        ):
-            by_id[did] = (sig, shb)
-        ids = sorted(by_id)
-        if len(ids) > MAX_BUCKET_PAIRS_DOCS:
-            print(
-                f"[dedup_ngram] degenerate LSH bucket: {len(ids)} docs, "
-                f"chaining instead of all-pairs",
-                flush=True,
+    def band_rows(batch: pa.Table) -> pa.Table:
+        keys = np.asarray(
+            _cc(batch.column("keys")).flatten().to_numpy(
+                zero_copy_only=False
             )
-            cand = list(zip(ids[:-1], ids[1:]))
-        else:
-            cand = [
-                (ids[i], ids[j])
-                for i in range(len(ids))
-                for j in range(i + 1, len(ids))
-            ]
+        ).reshape(batch.num_rows, bands)
+        return _band_rows_table(
+            _cc(batch.column("doc_id")), keys, bands
+        )
+
+    def rename_a(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "doc_a": batch.column("doc_a"),
+                "doc_b": batch.column("doc_b"),
+                "sh_a": batch.column("shingles"),
+            }
+        )
+
+    def verify(batch: pa.Table) -> pa.Table:
         a_out, b_out, j_out = [], [], []
-        for x, y in cand:
-            sx, shx = by_id[x]
-            sy, shy = by_id[y]
-            if any(
-                sx[b2 * rows_per_band : (b2 + 1) * rows_per_band]
-                == sy[b2 * rows_per_band : (b2 + 1) * rows_per_band]
-                for b2 in range(band)
-            ):
-                continue  # pair already handled by an earlier band's bucket
-            sa = np.frombuffer(shx, dtype=np.uint64)
-            sb = np.frombuffer(shy, dtype=np.uint64)
+        for da, db, ba, bb in zip(
+            batch.column("doc_a").to_pylist(),
+            batch.column("doc_b").to_pylist(),
+            batch.column("sh_a").to_pylist(),
+            batch.column("shingles").to_pylist(),
+        ):
+            sa = np.frombuffer(ba, dtype=np.uint64)
+            sb = np.frombuffer(bb, dtype=np.uint64)
             if len(sa) == 0 or len(sb) == 0:
                 continue
             inter = len(np.intersect1d(sa, sb, assume_unique=True))
             j = inter / (len(sa) + len(sb) - inter)
             if j >= threshold:
-                a_out.append(x)
-                b_out.append(y)
+                a_out.append(da)
+                b_out.append(db)
                 j_out.append(j)
         return pa.table(
             {
@@ -391,9 +564,75 @@ def ngram_jaccard_dups(
             }
         )
 
-    return (
-        _read_docs(sf_dir)
-        .map_batches(sig_band_rows, batch_format="pyarrow")
-        .groupby("band_key")
-        .map_groups(bucket_verify, batch_format="pyarrow")
+    prep_ds = _read_docs(sf_dir).map_batches(prep, batch_format="pyarrow").materialize()
+    # join fan-out scales with the data (≈100k docs per partition),
+    # capped by cluster width — tiny inputs shouldn't pay 16-way overhead
+    nparts = int(
+        np.clip(
+            prep_ds.count() // 100_000 + 1,
+            2,
+            max(2, int(ray.cluster_resources().get("CPU", 4))),
+        )
     )
+    sh_ds = prep_ds.select_columns(["doc_id", "shingles"])
+    cand = _lsh_candidate_pairs(
+        prep_ds.select_columns(["doc_id", "keys"]).map_batches(
+            band_rows, batch_format="pyarrow"
+        ),
+        "dedup_ngram",
+    ).materialize()
+
+    # size-adaptive verification (the broadcast-vs-shuffle switch): few
+    # candidates → ship ONLY the candidate docs' shingle sets via ray.put
+    # and verify with a lookup; many → two hash joins (shingle bytes move
+    # ~2×, still never ×bands, and never through the driver)
+    import os as _os
+
+    bcast_limit = int(_os.environ.get("SHACLEX_JACCARD_BCAST_THRESHOLD", "100000"))
+    if cand.count() <= bcast_limit:
+        cand_ids = set()
+        for row in cand.take_all():
+            cand_ids.add(row["doc_a"])
+            cand_ids.add(row["doc_b"])
+        id_arr = pa.array(sorted(cand_ids), pa.int64())
+
+        def pick(batch: pa.Table) -> pa.Table:
+            return batch.filter(pc.is_in(batch.column("doc_id"), value_set=id_arr))
+
+        picked = sh_ds.map_batches(pick, batch_format="pyarrow").take_all()
+        lookup = {r["doc_id"]: r["shingles"] for r in picked}
+        lookup_ref = ray.put(lookup)
+
+        def verify_bcast(batch: pa.Table) -> pa.Table:
+            lk = ray.get(lookup_ref)
+            a_out, b_out, j_out = [], [], []
+            for da, db in zip(
+                batch.column("doc_a").to_pylist(), batch.column("doc_b").to_pylist()
+            ):
+                sa = np.frombuffer(lk[da], dtype=np.uint64)
+                sb = np.frombuffer(lk[db], dtype=np.uint64)
+                if len(sa) == 0 or len(sb) == 0:
+                    continue
+                inter = len(np.intersect1d(sa, sb, assume_unique=True))
+                j = inter / (len(sa) + len(sb) - inter)
+                if j >= threshold:
+                    a_out.append(da)
+                    b_out.append(db)
+                    j_out.append(j)
+            return pa.table(
+                {
+                    "doc_a": pa.array(a_out, pa.int64()),
+                    "doc_b": pa.array(b_out, pa.int64()),
+                    "jaccard": pa.array(j_out, pa.float64()),
+                }
+            )
+
+        return cand.map_batches(verify_bcast, batch_format="pyarrow")
+
+    j1 = cand.join(
+        sh_ds, "inner", num_partitions=nparts, on=("doc_a",), right_on=("doc_id",)
+    ).map_batches(rename_a, batch_format="pyarrow")
+    j2 = j1.join(
+        sh_ds, "inner", num_partitions=nparts, on=("doc_b",), right_on=("doc_id",)
+    )
+    return j2.map_batches(verify, batch_format="pyarrow")

@@ -75,15 +75,17 @@ def quality(sf_dir: str):
 
 def fingerprint_batch(batch: pa.Table) -> pa.Table:
     """Document fingerprint = md5 of the whitespace-normalized text
-    (deterministic; mirrors the DuckDB oracle's md5())."""
-    texts = batch.column("text").to_pylist()
-    fps = [
-        hashlib.md5(" ".join(t.strip().split(" ")).encode()).hexdigest() for t in texts
-    ]
+    (deterministic; mirrors the DuckDB oracle's md5()). Normalization
+    ``" ".join(t.strip().split(" "))`` is exactly ``t.strip()`` (split on
+    a literal space and rejoin are inverses), so the whole batch hashes
+    in one vectorized trim + numpy-MD5 pass."""
+    from shaclex_ray.functions.md5batch import md5_hex_batch
+
+    trimmed = pc.utf8_trim_whitespace(batch.column("text").combine_chunks())
     return pa.table(
         {
             "doc_id": batch.column("doc_id"),
-            "fingerprint": pa.array(fps, pa.string()),
+            "fingerprint": pa.array(md5_hex_batch(trimmed), pa.string()),
         }
     )
 

@@ -135,3 +135,20 @@ def test_media_resize_and_frame_samples(ray_session):
     fr2 = media_frame_samples(docs, n_frames=3).take_all()
     key = lambda r: (r["media_ref"], r["frame_idx"])  # noqa: E731
     assert {key(r): r["frame"] for r in fr} == {key(r): r["frame"] for r in fr2}
+
+
+def test_ngram_jaccard_join_path_equals_broadcast(ray_session, monkeypatch):
+    """The scale-path (hash-join) verification produces exactly the
+    broadcast-lookup path's pairs."""
+    from shaclex_ray.functions.dedup import ngram_jaccard_dups
+
+    def rows(ds):
+        return sorted(
+            ((r["doc_a"], r["doc_b"], round(r["jaccard"], 12)) for r in ds.take_all())
+        )
+
+    bcast = rows(ngram_jaccard_dups(SF))
+    monkeypatch.setenv("SHACLEX_JACCARD_BCAST_THRESHOLD", "0")
+    joined = rows(ngram_jaccard_dups(SF))
+    assert bcast == joined
+    assert len(bcast) > 0
