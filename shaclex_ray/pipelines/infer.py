@@ -57,41 +57,92 @@ def infer_schema(
     """Infer a shape for instances of ``focus_class`` (or all subjects when
     None). Returns (schema_ir, stats_table).
 
-    The focus set is handled as a *semi-join* (hash-partitioned
-    Dataset.join on subj), never a driver-collected broadcast set — the
-    instance set of a class at web scale is huge (reference guards with a
-    visited set, InferState.scala:7-46; ours is the join key)."""
+    ONE harvest scan collects the focus instances AND the rdfs:label side
+    table together (the label lookup used to be a second full pass); the
+    focus set is then applied size-adaptively — small sets broadcast into
+    the stats projection as an ``is_in`` filter, big ones hash-JOIN on
+    subj (the instance set of a class at web scale is huge; reference
+    guards with a visited set, InferState.scala:7-46)."""
+    import os as _os
+
     import ray as _ray
 
+    RDFS_LABEL = "http://www.w3.org/2000/01/rdf-schema#label"
     arcs = triples_ds
     n_focus_holder = None
-    if focus_class is not None:
+    focus_filter_ref = None  # ray.put'd sorted focus array (broadcast path)
+    labels_ds = None
 
-        def find_focus(batch: pa.Table) -> pa.Table:
-            mask = pc.and_(
+    def harvest(batch: pa.Table) -> pa.Table:
+        """Tagged single pass: 'f' = focus instance, 'l' = label arc."""
+        parts = []
+        if focus_class is not None:
+            fmask = pc.and_(
                 pc.equal(batch.column("pred"), RDF_TYPE),
                 pc.equal(batch.column("obj_lex"), focus_class),
             )
-            return pa.table({"subj": pc.filter(batch.column("subj"), mask)})
+            fs = pc.filter(batch.column("subj"), fmask)
+            parts.append(
+                pa.table(
+                    {
+                        "tag": pa.array(["f"] * len(fs), pa.string()),
+                        "subj": fs,
+                        "label": pa.array([""] * len(fs), pa.string()),
+                    }
+                )
+            )
+        lmask = pc.equal(batch.column("pred"), RDFS_LABEL)
+        sub = batch.filter(lmask)
+        parts.append(
+            pa.table(
+                {
+                    "tag": pa.array(["l"] * sub.num_rows, pa.string()),
+                    "subj": sub.column("subj"),
+                    "label": sub.column("obj_lex"),
+                }
+            )
+        )
+        return pa.concat_tables(parts)
 
+    harvested = triples_ds.map_batches(harvest, batch_format="pyarrow").materialize()
+    labels_ds = harvested.filter(expr="tag == 'l'")
+    if focus_class is not None:
         from ray.data.aggregate import Count
 
         focus_ds = (
-            triples_ds.map_batches(find_focus, batch_format="pyarrow")
+            harvested.filter(expr="tag == 'f'")
+            .select_columns(["subj"])
             .groupby("subj")
             .aggregate(Count(alias_name="_n"))  # distinct subjects
         ).materialize()
         n_focus_holder = focus_ds.count()
-        nparts = max(2, min(16, int(_ray.cluster_resources().get("CPU", 4)) // 2))
-        arcs = triples_ds.join(
-            focus_ds.drop_columns(["_n"]),
-            "inner",
-            num_partitions=nparts,
-            on=("subj",),
+        bcast_limit = int(
+            _os.environ.get("SHACLEX_INFER_BCAST_THRESHOLD", "1000000")
         )
+        if n_focus_holder <= bcast_limit:
+            focus_arr = pa.array(
+                sorted(r["subj"] for r in focus_ds.take_all()), pa.string()
+            )
+            focus_filter_ref = _ray.put(focus_arr)
+        else:
+            nparts = max(
+                2, min(16, int(_ray.cluster_resources().get("CPU", 4)) // 2)
+            )
+            arcs = triples_ds.join(
+                focus_ds.drop_columns(["_n"]),
+                "inner",
+                num_partitions=nparts,
+                on=("subj",),
+            )
 
     def project(batch: pa.Table) -> pa.Table:
-        # vectorized lattice-element classification (no per-row loop)
+        # vectorized lattice-element classification (no per-row loop);
+        # in the broadcast regime the focus semi-filter fuses right here
+        if focus_filter_ref is not None:
+            import ray as _ray2
+
+            fset = _ray2.get(focus_filter_ref)
+            batch = batch.filter(pc.is_in(batch.column("subj"), value_set=fset))
         okind = batch.column("obj_kind").combine_chunks()
         odt = batch.column("obj_dt").combine_chunks()
         olang = batch.column("obj_lang").combine_chunks()
@@ -173,29 +224,24 @@ def infer_schema(
             tc["min"], tc["max"] = mn, mx
         exprs.append(tc)
 
-    # J6: annotate inferred properties with rdfs:label from the data graph
-    # (reference InferredShape.scala:104-125) — broadcast-small-side lookup
-    # of the schema-sized predicate set against label triples
-    RDFS_LABEL = "http://www.w3.org/2000/01/rdf-schema#label"
+    # J6: annotate inferred properties with rdfs:label (reference
+    # InferredShape.scala:104-125) — the label arcs were harvested in the
+    # SAME scan as the stats input; here we only filter that (small) side
+    # table by the schema-sized predicate set
     pred_set = {tc["predicate"] for tc in exprs}
     if pred_set:
+        pred_arr = pa.array(sorted(pred_set))
 
-        def find_labels(batch: pa.Table) -> pa.Table:
-            mask = pc.and_(
-                pc.equal(batch.column("pred"), RDFS_LABEL),
-                pc.is_in(
-                    batch.column("subj"), value_set=pa.array(sorted(pred_set))
-                ),
-            )
-            sub = batch.filter(mask)
+        def pick_labels(batch: pa.Table) -> pa.Table:
+            sub = batch.filter(pc.is_in(batch.column("subj"), value_set=pred_arr))
             return pa.table(
-                {"subj": sub.column("subj"), "label": sub.column("obj_lex")}
+                {"subj": sub.column("subj"), "label": sub.column("label")}
             )
 
         labels = {
             r["subj"]: r["label"]
-            for r in triples_ds.map_batches(
-                find_labels, batch_format="pyarrow"
+            for r in labels_ds.map_batches(
+                pick_labels, batch_format="pyarrow"
             ).take_all()
         }
         for tc in exprs:
