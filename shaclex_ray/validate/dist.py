@@ -31,9 +31,9 @@ enabled automatically when the schema has inverse constraints); SHACL
 core including multi-hop property paths — sequence / alternative /
 zeroOrMore / oneOrMore / zeroOrOne expand as locality-aware BFS whose
 elementary hops on remote nodes are answered through the dependency
-protocol (one unanswered-hop layer per round). The single remaining
-local-only construct is the inverse of a *complex* path, which needs a
-global node scan (reference evaluates it the same brute-force way).
+protocol (one unanswered-hop layer per round); inverse of a complex path
+rewrites to reversed elementary hops (invert_path — inversion distributes
+over every path constructor), so no construct needs a global node scan.
 """
 
 from __future__ import annotations
@@ -355,9 +355,13 @@ class _DistShacl(ShaclValidator):
         if "inverse" in path and "pred" in path["inverse"]:
             return self._hop(focus_key, path["inverse"]["pred"], True)
         if "inverse" in path:
-            raise _NeedRemote(
-                "inverse of a complex path needs a global node scan"
-            )
+            # inversion distributes over every path constructor
+            # (invert_path): evaluate forward over elementary inverse
+            # hops, which the BFS dependency protocol expands across
+            # buckets like any other hop
+            from shaclex_ray.validate.shacl_local import invert_path
+
+            return self.path_values(focus_key, invert_path(path["inverse"]))
         return super().path_values(focus_key, path)
 
 
@@ -1678,6 +1682,7 @@ def distributed_validate(
                     answered_vals[(nk, sk)] = val
         # forward decided answers to the buckets waiting on them
         fwd: dict[int, list] = {}
+        done_children: list = []
         for child, buckets in need_by.items():
             val = answered_vals.get(child)
             if val is None:
@@ -1694,8 +1699,17 @@ def distributed_validate(
                     )
                     fwd.setdefault(b, []).append((child[0], child[1], payload))
                     progress = True
+            done_children.append(child)  # every requester now forwarded
         for b, asms in fwd.items():
             workers[b].add_assumptions.remote(asms)
+        # evict fully-forwarded deps: driver state stays O(in-flight deps),
+        # not O(all deps ever). A LATE request for an evicted child is
+        # answered straight from its bucket's typing on submit(), so
+        # nothing is lost by forgetting it here.
+        for child in done_children:
+            for b in need_by.pop(child):
+                forwarded.discard((child, b))
+            answered_vals.pop(child, None)
 
         _mark(f"round{rounds} decided={total_decided} pending={total_pending}")
         if total_pending == 0 and not new_child_tasks:
@@ -1715,6 +1729,14 @@ def distributed_validate(
             continue
         if just_broke or not unresolved or stalls >= max(2, max_rounds):
             break
+
+    # observable driver-state bound (tests assert these stay at the
+    # in-flight level, not the all-deps-ever level)
+    distributed_validate.last_dep_state = {
+        "need_by": len(need_by),
+        "answered_vals": len(answered_vals),
+        "forwarded": len(forwarded),
+    }
 
     # anything still pending is UNDECIDED — surface it, don't drop it
     n_unknown = sum(ray.get([w.mark_pending_unknown.remote() for w in workers]))

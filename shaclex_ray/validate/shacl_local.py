@@ -133,12 +133,10 @@ class ShaclValidator:
             sub = path["inverse"]
             if "pred" in sub:
                 return [term_key(s) for p, s in self.graph.arcs_in(focus_key) if p == sub["pred"]]
-            # inverse of a complex path: evaluate forward from all nodes
-            out = []
-            for nk in self._all_nodes():
-                if focus_key in self.path_values(nk, sub):
-                    out.append(nk)
-            return _dedup(out)
+            # inverse of a complex path: inversion distributes over every
+            # SHACL path constructor, so rewrite down to elementary
+            # inverse hops and evaluate forward — no global node scan
+            return _dedup(self.path_values(focus_key, invert_path(sub)))
         if "seq" in path:
             cur = [focus_key]
             for sub in path["seq"]:
@@ -405,6 +403,29 @@ class ShaclValidator:
                 emit(_component("QualifiedMinCount"), None)
             if params["max"] is not None and n > params["max"]:
                 emit(_component("QualifiedMaxCount"), None)
+
+
+def invert_path(p: dict) -> dict:
+    """Push SHACL path inversion down to elementary predicates.
+
+    inv(seq(a,..,z)) = seq(inv(z),..,inv(a)); inv(alt(..)) = alt(inv ..);
+    inv(p*) = (inv p)*; inv(p+) = (inv p)+; inv(p?) = (inv p)?;
+    inv(inv(p)) = p — standard regular-path identities, so any inverse of
+    a complex path evaluates as a forward walk over elementary inverse
+    hops (which both the local index and the distributed hop protocol
+    support natively)."""
+    if "pred" in p:
+        return {"inverse": p}
+    if "inverse" in p:
+        return p["inverse"]
+    if "seq" in p:
+        return {"seq": [invert_path(s) for s in reversed(p["seq"])]}
+    if "alt" in p:
+        return {"alt": [invert_path(s) for s in p["alt"]]}
+    for k in ("zeroOrMore", "oneOrMore", "zeroOrOne"):
+        if k in p:
+            return {k: invert_path(p[k])}
+    raise ValueError(f"bad path {p!r}")
 
 
 def _dedup(keys: list[str]) -> list[str]:

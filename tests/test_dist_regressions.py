@@ -68,6 +68,10 @@ def test_deep_chain_not_truncated(ray_session):
 
     doc = json.loads(result_json(typing))
     assert doc["valid"] is True and len(doc["shapeMap"]) == 1
+    # driver dep-state is evicted as answers forward: after a clean run
+    # every dict is back to the in-flight level (empty), not O(#deps ever)
+    st = distributed_validate.last_dep_state
+    assert st == {"need_by": 0, "answered_vals": 0, "forwarded": 0}, st
 
 
 def test_undecided_pairs_marked_unknown(ray_session):

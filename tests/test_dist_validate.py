@@ -174,3 +174,55 @@ def test_dist_shacl_node_probe_not_reported(ray_session):
     _typing, rep = distributed_validate(ds, "shacl", schema, focus, nbuckets=4)
     comps = sorted(c.split("#")[-1] for c in rep.column("component").to_pylist())
     assert comps == ["NodeConstraintComponent"], comps
+
+
+def test_dist_inverse_complex_path(ray_session):
+    """sh:inversePath over a sequence / closure distributes as reversed
+    elementary hops (invert_path rewrite) — no global-scan fallback, and
+    identical results to the local validator."""
+    import ray.data as rd
+
+    from shaclex_ray.rdfio import parse_turtle
+    from shaclex_ray.shapes.shacl import compile_shacl
+    from shaclex_ray.terms import triples_to_table
+    from shaclex_ray.validate.dist import distributed_validate, resolve_shacl_targets
+    from shaclex_ray.validate.local import Graph
+    from shaclex_ray.validate.shacl_local import ShaclValidator
+
+    # value nodes of ^(p/q) at ex:c are every x with x p/q c: ex:a only;
+    # zEro: ^(r*) at ex:c reaches c, m, n (reverse closure)
+    ttl = """
+    @prefix sh: <http://www.w3.org/ns/shacl#> .
+    @prefix ex: <http://ex.org/> .
+    ex:SeqShape a sh:NodeShape ;
+      sh:targetNode ex:c ;
+      sh:property [ sh:path [ sh:inversePath ( ex:p ex:q ) ] ;
+                    sh:minCount 1 ; sh:class ex:Good ] .
+    ex:StarShape a sh:NodeShape ;
+      sh:targetNode ex:c ;
+      sh:property [ sh:path [ sh:inversePath [ sh:zeroOrMorePath ex:r ] ] ;
+                    sh:maxCount 2 ] .
+    ex:a ex:p ex:b . ex:b ex:q ex:c .
+    ex:other ex:p ex:c .
+    ex:a a ex:Bad .
+    ex:m ex:r ex:n . ex:n ex:r ex:c .
+    """
+    triples = parse_turtle(ttl)
+    lv = ShaclValidator(compile_shacl(triples), Graph(triples))
+    lconf, lres = lv.validate_all()
+    lset = sorted((r["focus"], r["component"]) for r in lres)
+    # sanity on semantics: ex:a violates sh:class (Bad, not Good); the
+    # reverse r-closure of c = {c, m, n} has 3 > maxCount 2
+    comps = sorted(c.split("#")[-1] for _f, c in lset)
+    assert comps == ["ClassConstraintComponent", "MaxCountConstraintComponent"]
+
+    ds = rd.from_arrow(triples_to_table(triples))
+    schema = compile_shacl(triples)
+    focus = resolve_shacl_targets(ds, schema)
+    typing, rep = distributed_validate(ds, "shacl", schema, focus, nbuckets=4)
+    dset = sorted(
+        zip(rep.column("focus_node").to_pylist(), rep.column("component").to_pylist())
+    )
+    assert dset == lset
+    vals = typing.filter(typing.column("is_focus")).column("val").to_pylist()
+    assert all(v in ("conforms", "notConforms") for v in vals), vals  # no error:*
