@@ -75,9 +75,27 @@ def read_rdfxml_files(paths, **kwargs) -> "ray.data.Dataset":
     return ds.flat_map(parse_file)
 
 
+def _looks_like_rdfjson(doc) -> bool:
+    """RDF/JSON vs JSON-LD sniff: RDF/JSON is {subject: {pred: [value-obj…]}}
+    with no '@'-keyword keys; JSON-LD node objects carry @id/@context/@graph
+    (or are arrays). A value object must have 'type' and 'value'."""
+    if not isinstance(doc, dict) or not doc:
+        return False
+    for s, po in doc.items():
+        if s.startswith("@") or not isinstance(po, dict):
+            return False
+        for vals in po.values():
+            if not isinstance(vals, list):
+                return False
+            for vo in vals:
+                if not isinstance(vo, dict) or "type" not in vo or "value" not in vo:
+                    return False
+    return True
+
+
 def parse_rdf_text(text: str, fmt: str | None = None, base: str = "", bnode_prefix: str = ""):
     """Driver-side any-format parse (format sniffed when not given):
-    'turtle' (⊇ N-Triples, ⊆ TriG), 'rdfxml' or 'jsonld'."""
+    'turtle' (⊇ N-Triples, ⊆ TriG), 'rdfxml', 'jsonld' or 'rdfjson'."""
     if fmt is None:
         stripped = text.lstrip()
         if stripped.startswith("<?xml") or stripped.startswith("<rdf:"):
@@ -88,8 +106,8 @@ def parse_rdf_text(text: str, fmt: str | None = None, base: str = "", bnode_pref
             import json as _json
 
             try:
-                _json.loads(text)
-                fmt = "jsonld"
+                doc = _json.loads(text)
+                fmt = "rdfjson" if _looks_like_rdfjson(doc) else "jsonld"
             except ValueError:
                 fmt = "turtle"
         else:
@@ -98,6 +116,10 @@ def parse_rdf_text(text: str, fmt: str | None = None, base: str = "", bnode_pref
         from shaclex_ray.rdfio.rdfxml import parse_rdfxml
 
         return parse_rdfxml(text, base=base, bnode_prefix=bnode_prefix)
+    if fmt in ("rdfjson", "rdf/json", "rdf-json"):
+        from shaclex_ray.rdfio.rdfjson import parse_rdfjson
+
+        return parse_rdfjson(text, base=base, bnode_prefix=bnode_prefix)
     if fmt in ("jsonld", "json-ld", "json"):
         from shaclex_ray.rdfio.jsonld import parse_jsonld
 
@@ -113,6 +135,25 @@ def read_jsonld_files(paths, **kwargs) -> "ray.data.Dataset":
 
     def parse_file(row):
         triples = parse_jsonld(
+            row["bytes"].decode("utf-8"),
+            base="file://" + row["path"],
+            bnode_prefix=row["path"] + "#",
+        )
+        tbl = triples_to_table(triples, doc_id=row["path"])
+        return tbl.to_pylist()
+
+    return ds.flat_map(parse_file)
+
+
+def read_rdfjson_files(paths, **kwargs) -> "ray.data.Dataset":
+    """RDF/JSON reader: one parse task per file (document-scoped bnode
+    labels, like the other document syntaxes)."""
+    from shaclex_ray.rdfio.rdfjson import parse_rdfjson
+
+    ds = ray.data.read_binary_files(paths, include_paths=True, **kwargs)
+
+    def parse_file(row):
+        triples = parse_rdfjson(
             row["bytes"].decode("utf-8"),
             base="file://" + row["path"],
             bnode_prefix=row["path"] + "#",
