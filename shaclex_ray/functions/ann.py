@@ -209,14 +209,97 @@ class LshBucketTopK:
         )
 
 
-def lsh_topk(sf_dir: str, n_queries: int = 10, k: int = 5, nbits: int = 8):
+def _lsh_index_dir(sf_dir: str, nbits: int, seed: int) -> str:
+    """Cache location keyed by source identity (path+mtime+size) so a
+    changed table invalidates the index — same digest-resume idea as the
+    kg checkpoints."""
+    import hashlib
+    import os
+    import tempfile
+
+    src = os.path.abspath(f"{sf_dir}/embeddings.parquet")
+    st = os.stat(src)
+    key = hashlib.md5(
+        f"{src}:{st.st_mtime_ns}:{st.st_size}:{nbits}:{seed}:v1".encode()
+    ).hexdigest()[:16]
+    return os.path.join(tempfile.gettempdir(), "shaclex_ann_index", key)
+
+
+def build_lsh_index(
+    sf_dir: str, nbits: int = 8, seed: int = 777, out_dir: str | None = None
+) -> str:
+    """Write the embeddings table hive-partitioned by ``bucket_sig``
+    (one directory per bucket). Queries then read ONLY their buckets'
+    partitions — bytes read scale with |buckets hit|, not |table|.
+    Build is one streamed pass; reused across query sets via digest."""
+    import os
+    import shutil
+
+    out_dir = out_dir or _lsh_index_dir(sf_dir, nbits, seed)
+    if os.path.exists(os.path.join(out_dir, "_SUCCESS")):
+        return out_dir
+    dim = _emb_dim(sf_dir)
+    bucketer = LshBucketer(dim, nbits, seed)
+
+    def add_sig(batch: pa.Table) -> pa.Table:
+        _, emb = _to_matrix(batch)
+        sig = bucketer.signature(emb).astype(np.int64)
+        return batch.append_column("bucket_sig", pa.array(sig, pa.int64()))
+
+    tmp = out_dir + ".tmp"
+    shutil.rmtree(tmp, ignore_errors=True)
+    _read_emb(sf_dir).map_batches(add_sig, batch_format="pyarrow").write_parquet(
+        tmp, partition_cols=["bucket_sig"]
+    )
+    shutil.rmtree(out_dir, ignore_errors=True)
+    os.replace(tmp, out_dir)
+    with open(os.path.join(out_dir, "_SUCCESS"), "w"):
+        pass
+    return out_dir
+
+
+_TOPK_SCHEMA = pa.schema(
+    [("query_id", pa.int64()), ("vec_id", pa.int64()), ("rank", pa.int64())]
+)
+
+
+def lsh_topk(
+    sf_dir: str,
+    n_queries: int = 10,
+    k: int = 5,
+    nbits: int = 8,
+    use_index: bool = True,
+):
     """Approximate top-k: brute-force cosine *within* each query's LSH
     bucket. Returns (query_id, vec_id, rank). Recall vs topk_cosine is
     checked in tests; the SQL oracle reproduces the signatures with
-    inlined hyperplanes."""
+    inlined hyperplanes.
+
+    With ``use_index`` (default) the scan covers only the partitions of
+    the bucket-partitioned index that the query signatures hit; the
+    full-table streaming scan remains as the no-index fallback (and the
+    parity baseline in tests)."""
+    import os
+
     dim = _emb_dim(sf_dir)
     qids, qm = _load_queries(sf_dir, n_queries)
-    partials = _read_emb(sf_dir).map_batches(
+    if use_index:
+        index = build_lsh_index(sf_dir, nbits)
+        qsig = _signature(np.asarray(qm, dtype=np.float64), lsh_planes(dim, nbits))
+        import glob
+
+        hit = sorted({int(s) for s in qsig})
+        paths = [
+            f
+            for s in hit
+            for f in sorted(glob.glob(f"{index}/bucket_sig={s}/*.parquet"))
+        ]
+        if not paths:
+            return ray.data.from_arrow(_TOPK_SCHEMA.empty_table())
+        src = ray.data.read_parquet(paths, columns=["vec_id", "embedding"])
+    else:
+        src = _read_emb(sf_dir)
+    partials = src.map_batches(
         LshBucketTopK((qids, qm), k, nbits, dim), batch_format="pyarrow"
     )
     return partials.groupby("query_id").map_groups(

@@ -152,3 +152,22 @@ def test_ngram_jaccard_join_path_equals_broadcast(ray_session, monkeypatch):
     joined = rows(ngram_jaccard_dups(SF))
     assert bcast == joined
     assert len(bcast) > 0
+
+
+def test_lsh_topk_indexed_equals_scan(ray_session, tmp_path):
+    """Bucket-partitioned index path returns exactly the full-scan result,
+    and reads only the partitions the query signatures hit."""
+    import os
+
+    from shaclex_ray.functions.ann import build_lsh_index, lsh_topk
+
+    idx = build_lsh_index(SF, nbits=8, out_dir=str(tmp_path / "idx"))
+    parts = [d for d in os.listdir(idx) if d.startswith("bucket_sig=")]
+    assert len(parts) > 1  # genuinely partitioned, not one giant file
+
+    def key(rows):
+        return sorted((r["query_id"], r["rank"], r["vec_id"]) for r in rows)
+
+    got = key(lsh_topk(SF, n_queries=5, k=4, use_index=True).take_all())
+    exp = key(lsh_topk(SF, n_queries=5, k=4, use_index=False).take_all())
+    assert got == exp and got
