@@ -1,12 +1,12 @@
 """Multimodal (media) column handling: opaque binary payloads with typed
 metadata, processed by actor-pool ``map_batches`` stages.
 
-The container has no image/audio codecs, so the *decode* kernel is stubbed
-(NotImplementedError behind ``decode_real=True``, deterministic fake
-features otherwise) — but the Ray-side plumbing is real and tested: schema,
-actor signature, batch sizing, and output layout are exactly what a codec-
-backed implementation would use (swap ``_fake_decode`` for the real
-library call in ``MediaFeaturizer.__call__``).
+``decode_real=True`` uses Pillow when it is importable (loaded once per
+actor in ``__init__`` — the codec-load-per-actor pattern); in a container
+without Pillow it raises NotImplementedError at actor construction, and
+the default deterministic fake kernel keeps the Ray-side plumbing —
+schema, actor signature, batch sizing, 1→N frame explosion, output
+layout — real and tested either way.
 """
 
 from __future__ import annotations
@@ -20,6 +20,20 @@ import pyarrow as pa
 import pyarrow.compute as pc
 
 MEDIA_FEATURES_DIM = 8
+
+
+def _load_pillow(what: str):
+    """Per-actor codec load for the ``decode_real`` branches; raises with
+    a clear message when the extra isn't installed."""
+    try:
+        from PIL import Image  # noqa: PLC0415
+
+        return Image
+    except ImportError as exc:
+        raise NotImplementedError(
+            f"{what} with decode_real=True requires Pillow, which is not "
+            "installed in this environment (pip install Pillow)"
+        ) from exc
 
 
 def media_refs_from_documents(docs_ds):
@@ -61,6 +75,7 @@ class MediaFeaturizer:
 
     def __init__(self, decode_real: bool = False):
         self.decode_real = decode_real
+        self._image_mod = _load_pillow("image decode") if decode_real else None
 
     def _fake_decode(self, payload: bytes) -> np.ndarray:
         # deterministic stand-in for decode+embed
@@ -70,15 +85,26 @@ class MediaFeaturizer:
             / np.iinfo(np.uint32).max
         )
 
+    def _real_decode(self, payload: bytes) -> np.ndarray:
+        """Pillow decode → 8 deterministic image statistics (mean/std per
+        RGB channel + log-dims) — a stand-in embedding with the same
+        fixed-size-list output contract as a model head."""
+        import io
+
+        img = self._image_mod.open(io.BytesIO(payload)).convert("RGB")
+        arr = np.asarray(img, dtype=np.float64) / 255.0
+        return np.array(
+            [
+                *arr.mean(axis=(0, 1)),
+                *arr.std(axis=(0, 1)),
+                np.log1p(img.width),
+                np.log1p(img.height),
+            ]
+        )
+
     def __call__(self, batch: pa.Table) -> pa.Table:
-        feats = []
-        for payload in batch.column("payload").to_pylist():
-            if self.decode_real:
-                raise NotImplementedError(
-                    "image decode requires a codec library not present in "
-                    "this container; wire e.g. PIL.Image.open here"
-                )
-            feats.append(self._fake_decode(payload))
+        decode = self._real_decode if self.decode_real else self._fake_decode
+        feats = [decode(p) for p in batch.column("payload").to_pylist()]
         arr = np.vstack(feats) if feats else np.zeros((0, MEDIA_FEATURES_DIM))
         return pa.table(
             {
@@ -110,6 +136,7 @@ class MediaResizer:
         self.width = width
         self.height = height
         self.decode_real = decode_real
+        self._image_mod = _load_pillow("image resize") if decode_real else None
 
     def _fake_resize(self, payload: bytes) -> bytes:
         # deterministic stand-in: real impl = decode → resize → re-encode
@@ -124,15 +151,17 @@ class MediaResizer:
             out.extend(cur)
         return bytes(out[:n])
 
+    def _real_resize(self, payload: bytes) -> bytes:
+        import io
+
+        img = self._image_mod.open(io.BytesIO(payload))
+        out = io.BytesIO()
+        img.resize((self.width, self.height)).save(out, format="PNG")
+        return out.getvalue()
+
     def __call__(self, batch: pa.Table) -> pa.Table:
-        payloads = []
-        for payload in batch.column("payload").to_pylist():
-            if self.decode_real:
-                raise NotImplementedError(
-                    "image resize requires a codec library not present in "
-                    "this container; wire e.g. PIL.Image.resize here"
-                )
-            payloads.append(self._fake_resize(payload))
+        resize = self._real_resize if self.decode_real else self._fake_resize
+        payloads = [resize(p) for p in batch.column("payload").to_pylist()]
         n = batch.num_rows
         return pa.table(
             {
@@ -166,6 +195,25 @@ class FrameSampler:
     def __init__(self, n_frames: int = 4, decode_real: bool = False):
         self.n_frames = n_frames
         self.decode_real = decode_real
+        # Pillow covers multi-frame containers (GIF/TIFF/WebP); a video
+        # codec (pyav/ffmpeg) slots in the same way for mp4 et al.
+        self._image_mod = _load_pillow("frame sampling") if decode_real else None
+
+    def _real_frames(self, payload: bytes) -> list[bytes]:
+        """Sample n_frames evenly across the container's frames, re-encoded
+        as PNG bytes."""
+        import io
+
+        img = self._image_mod.open(io.BytesIO(payload))
+        total = getattr(img, "n_frames", 1)
+        picks = [min(total - 1, i * total // self.n_frames) for i in range(self.n_frames)]
+        out = []
+        for f in picks:
+            img.seek(f)
+            buf = io.BytesIO()
+            img.convert("RGB").save(buf, format="PNG")
+            out.append(buf.getvalue())
+        return out
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         refs, dids, fidx, frames = [], [], [], []
@@ -175,17 +223,17 @@ class FrameSampler:
             batch.column("payload").to_pylist(),
         ):
             if self.decode_real:
-                raise NotImplementedError(
-                    "frame sampling requires a video codec not present in "
-                    "this container; wire e.g. av.open here"
-                )
-            for i in range(self.n_frames):
+                sampled = self._real_frames(payload)
+            else:
+                sampled = [
+                    hashlib.blake2b(payload + bytes([i]), digest_size=32).digest()
+                    for i in range(self.n_frames)
+                ]
+            for i, frame in enumerate(sampled):
                 refs.append(ref)
                 dids.append(did)
                 fidx.append(i)
-                frames.append(
-                    hashlib.blake2b(payload + bytes([i]), digest_size=32).digest()
-                )
+                frames.append(frame)
         return pa.table(
             {
                 "media_ref": pa.array(refs, pa.string()),

@@ -90,13 +90,8 @@ def test_media_features_plumbing(ray_session):
             assert list(by_ref[key]) == list(r["features"])
         by_ref[key] = r["features"]
 
-    # the decode stub raises loudly when real decoding is requested
-    from shaclex_ray.functions.multimodal import MediaFeaturizer
-    import pyarrow as pa
-
-    f = MediaFeaturizer(decode_real=True)
-    with pytest.raises(NotImplementedError):
-        f(pa.table({"media_ref": ["m"], "doc_id": ["d"], "payload": [b"x"]}))
+    # decode_real behavior (raise-without-Pillow / real branch) is
+    # covered by test_decode_real_requires_pillow / _with_pillow
 
 
 def test_langid_runs(ray_session):
@@ -171,3 +166,64 @@ def test_lsh_topk_indexed_equals_scan(ray_session, tmp_path):
     got = key(lsh_topk(SF, n_queries=5, k=4, use_index=True).take_all())
     exp = key(lsh_topk(SF, n_queries=5, k=4, use_index=False).take_all())
     assert got == exp and got
+
+
+def test_decode_real_requires_pillow():
+    """decode_real=True fails fast at actor construction when Pillow is
+    absent (clear extras message), instead of being unreachable."""
+    import importlib.util
+
+    from shaclex_ray.functions.multimodal import (
+        FrameSampler,
+        MediaFeaturizer,
+        MediaResizer,
+    )
+
+    if importlib.util.find_spec("PIL") is not None:
+        pytest.skip("Pillow installed; covered by test_decode_real_with_pillow")
+    for cls in (MediaFeaturizer, MediaResizer, FrameSampler):
+        with pytest.raises(NotImplementedError, match="Pillow"):
+            cls(decode_real=True)
+
+
+def test_decode_real_with_pillow():
+    """Real Pillow branch: decode → features / resize / frame-sample over
+    an in-memory PNG+GIF. Runs only where the extra is installed."""
+    pytest.importorskip("PIL")
+    import io
+
+    import pyarrow as pa
+    from PIL import Image
+
+    from shaclex_ray.functions.multimodal import (
+        MEDIA_FEATURES_DIM,
+        FrameSampler,
+        MediaFeaturizer,
+        MediaResizer,
+    )
+
+    png = io.BytesIO()
+    Image.new("RGB", (10, 6), (255, 0, 0)).save(png, format="PNG")
+    gif = io.BytesIO()
+    frames = [Image.new("RGB", (4, 4), (i * 30, 0, 0)) for i in range(6)]
+    frames[0].save(gif, format="GIF", save_all=True, append_images=frames[1:])
+    batch = pa.table(
+        {
+            "media_ref": ["m/red.png", "m/anim.gif"],
+            "doc_id": ["d1", "d2"],
+            "payload": pa.array([png.getvalue(), gif.getvalue()], pa.binary()),
+        }
+    )
+    feats = MediaFeaturizer(decode_real=True)(batch)
+    vec = feats.column("features")[0].as_py()
+    assert len(vec) == MEDIA_FEATURES_DIM
+    assert vec[0] > 0.9 and vec[1] < 0.1  # red-channel mean high, green low
+
+    resized = MediaResizer(width=3, height=2, decode_real=True)(batch)
+    out = Image.open(io.BytesIO(resized.column("payload")[0].as_py()))
+    assert out.size == (3, 2)
+
+    sampled = FrameSampler(n_frames=3, decode_real=True)(batch)
+    assert sampled.num_rows == 6  # 2 payloads × 3 frames
+    f0 = Image.open(io.BytesIO(sampled.column("frame")[0].as_py()))
+    assert f0.size == (10, 6)
