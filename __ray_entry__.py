@@ -384,6 +384,12 @@ def _q_kg_shex_doc_conformance(sf_dir: str):
     )
 
 
+def _q_dedup_embedding(sf_dir: str):
+    from shaclex_ray.functions.dedup import embedding_near_dups
+
+    return embedding_near_dups(sf_dir)
+
+
 def _q_kg_infer_doc_shape(sf_dir: str):
     from shaclex_ray.pipelines.infer import infer_schema
     from shaclex_ray.stages.extract import C_DOCUMENT
@@ -418,6 +424,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_simhash": _q_dedup_simhash,
         "dedup_simhash_groups": _q_dedup_simhash_groups,
         "dedup_ngram_jaccard": _q_dedup_ngram_jaccard,
+        "dedup_embedding": _q_dedup_embedding,
         "kg_infer_doc_shape": _q_kg_infer_doc_shape,
         "kg_shex_doc_conformance": _q_kg_shex_doc_conformance,
         "ann_topk": _q_ann_topk,
@@ -537,6 +544,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_simhash_groups": _sql_oracles.simhash_groups_sql(),
         "text_quality": _sql_oracles.quality_sql(),
         "dedup_ngram_jaccard": _sql_oracles.ngram_jaccard_sql(),
+        "dedup_embedding": _sql_oracles.embedding_dups_sql(dim=64),
         "ann_lsh_buckets": _sql_oracles.lsh_buckets_sql(dim=64),
         "ann_lsh_topk": _sql_oracles.lsh_topk_sql(dim=64),
         "ann_topk": """

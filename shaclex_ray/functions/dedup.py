@@ -636,3 +636,153 @@ def ngram_jaccard_dups(
         sh_ds, "inner", num_partitions=nparts, on=("doc_b",), right_on=("doc_id",)
     )
     return j2.map_batches(verify, batch_format="pyarrow")
+
+
+# ------------------------------------------- embedding-cosine near-dup
+
+def embedding_near_dups(
+    sf_dir: str,
+    threshold: float = 0.4,
+    nbits: int = 16,
+    bands: int = 8,
+    seed: int = 777,
+):
+    """Near-duplicate pairs by embedding cosine: candidates from banded
+    random-hyperplane LSH (the signature's r-bit slices are the band
+    values), verified cosine >= threshold.
+
+    Same shuffle budget as minhash: ONE band exchange carrying only
+    (vec_id, band, band_key, earlier-key prefix); the vectors themselves
+    are fetched for the candidate set only — broadcast lookup when the
+    set is small, two hash joins at scale. Signature/band equality is
+    exactly the SQL oracle's pair condition (embedding_dups_sql)."""
+    from shaclex_ray.functions.ann import _emb_dim, _signature, _to_matrix, lsh_planes
+
+    dim = _emb_dim(sf_dir)
+    planes = lsh_planes(dim, nbits, seed)
+    r = nbits // bands
+    vmask = np.uint64((1 << r) - 1)
+
+    def band_rows_fn(batch: pa.Table) -> pa.Table:
+        ids, emb = _to_matrix(batch)
+        sig = _signature(emb, planes).astype(np.uint64)
+        vals = np.empty((len(ids), bands), np.uint64)
+        for b in range(bands):
+            vals[:, b] = (sig >> np.uint64(b * r)) & vmask
+        keys = _band_keys_u64(vals, bands)
+        return _band_rows_table(_cc(batch.column("vec_id")), keys, bands)
+
+    def _read():
+        return ray.data.read_parquet(
+            f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
+        )
+
+    cand = _lsh_candidate_pairs(
+        _read().map_batches(band_rows_fn, batch_format="pyarrow"),
+        "dedup_embedding",
+    ).materialize()
+
+    def _pair_cos(A: np.ndarray, B: np.ndarray) -> np.ndarray:
+        # dot/(|a||b|) — the list_cosine_similarity formula, in float64
+        num = np.einsum("ij,ij->i", A, B)
+        den = np.linalg.norm(A, axis=1) * np.linalg.norm(B, axis=1)
+        return num / np.maximum(den, 1e-300)
+
+    import os as _os
+
+    bcast_limit = int(_os.environ.get("SHACLEX_JACCARD_BCAST_THRESHOLD", "100000"))
+    out_schema = pa.schema([("vec_id_a", pa.int64()), ("vec_id_b", pa.int64())])
+    if cand.count() <= bcast_limit:
+        cand_ids = set()
+        for row in cand.take_all():
+            cand_ids.add(row["doc_a"])
+            cand_ids.add(row["doc_b"])
+        id_arr = pa.array(sorted(cand_ids), pa.int64())
+
+        def pick(batch: pa.Table) -> pa.Table:
+            return batch.filter(pc.is_in(batch.column("vec_id"), value_set=id_arr))
+
+        picked = _read().map_batches(pick, batch_format="pyarrow").take_all()
+        lookup = {
+            r_["vec_id"]: np.asarray(r_["embedding"], dtype=np.float64)
+            for r_ in picked
+        }
+        lookup_ref = ray.put(lookup)
+
+        def verify_bcast(batch: pa.Table) -> pa.Table:
+            if batch.num_rows == 0:
+                return out_schema.empty_table()
+            lk = ray.get(lookup_ref)
+            da = batch.column("doc_a").to_numpy(zero_copy_only=False)
+            db = batch.column("doc_b").to_numpy(zero_copy_only=False)
+            A = np.stack([lk[i] for i in da])
+            B = np.stack([lk[i] for i in db])
+            keep = _pair_cos(A, B) >= threshold
+            return pa.table(
+                {
+                    "vec_id_a": pa.array(da[keep], pa.int64()),
+                    "vec_id_b": pa.array(db[keep], pa.int64()),
+                }
+            )
+
+        return cand.map_batches(verify_bcast, batch_format="pyarrow")
+
+    nparts = int(
+        np.clip(
+            cand.count() // 100_000 + 1,
+            2,
+            max(2, int(ray.cluster_resources().get("CPU", 4))),
+        )
+    )
+
+    def to_bytes(batch: pa.Table) -> pa.Table:
+        # Arrow hash joins don't carry list<float> payloads — pack each
+        # vector as float64 bytes (exact) for the ride, unpack in verify
+        vecs = [
+            np.asarray(v, dtype=np.float64).tobytes()
+            for v in batch.column("embedding").to_pylist()
+        ]
+        return pa.table(
+            {
+                "vec_id": batch.column("vec_id"),
+                "emb": pa.array(vecs, pa.binary()),
+            }
+        )
+
+    emb_ds = _read().map_batches(to_bytes, batch_format="pyarrow")
+
+    def rename_a(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "doc_a": batch.column("doc_a"),
+                "doc_b": batch.column("doc_b"),
+                "emb_a": batch.column("emb"),
+            }
+        )
+
+    def verify_join(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return out_schema.empty_table()
+        da = batch.column("doc_a").to_numpy(zero_copy_only=False)
+        db = batch.column("doc_b").to_numpy(zero_copy_only=False)
+        A = np.stack(
+            [np.frombuffer(b, np.float64) for b in batch.column("emb_a").to_pylist()]
+        )
+        B = np.stack(
+            [np.frombuffer(b, np.float64) for b in batch.column("emb").to_pylist()]
+        )
+        keep = _pair_cos(A, B) >= threshold
+        return pa.table(
+            {
+                "vec_id_a": pa.array(da[keep], pa.int64()),
+                "vec_id_b": pa.array(db[keep], pa.int64()),
+            }
+        )
+
+    j1 = cand.join(
+        emb_ds, "inner", num_partitions=nparts, on=("doc_a",), right_on=("vec_id",)
+    ).map_batches(rename_a, batch_format="pyarrow")
+    j2 = j1.join(
+        emb_ds, "inner", num_partitions=nparts, on=("doc_b",), right_on=("vec_id",)
+    )
+    return j2.map_batches(verify_join, batch_format="pyarrow")

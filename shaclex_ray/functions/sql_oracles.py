@@ -223,3 +223,34 @@ ranked AS (
 )
 SELECT query_id, vec_id, rank FROM ranked WHERE rank <= {k}
 """
+
+
+def embedding_dups_sql(
+    dim: int, threshold: float = 0.4, nbits: int = 16, bands: int = 8
+) -> str:
+    """Twin of functions/dedup.py embedding_near_dups: banded hyperplane
+    LSH candidates (band value = r-bit signature slice; equality of
+    (band, value) ⟺ equality of the md5 band key), cosine-verified."""
+    r = nbits // bands
+    vmask = (1 << r) - 1
+    sig = _sig_expr(dim, nbits)
+    return f"""
+WITH sigs AS (
+  SELECT vec_id, {sig} AS sig, CAST(embedding AS DOUBLE[]) AS e
+  FROM embeddings
+),
+bandrows AS (
+  SELECT vec_id, b.band, (sig >> (b.band * {r})) & {vmask} AS band_val, e
+  FROM sigs CROSS JOIN (SELECT unnest(range({bands})) AS band) b
+),
+cand AS (
+  SELECT DISTINCT a.vec_id AS vec_id_a, b.vec_id AS vec_id_b
+  FROM bandrows a JOIN bandrows b
+    ON a.band = b.band AND a.band_val = b.band_val AND a.vec_id < b.vec_id
+)
+SELECT c.vec_id_a, c.vec_id_b
+FROM cand c
+JOIN sigs sa ON sa.vec_id = c.vec_id_a
+JOIN sigs sb ON sb.vec_id = c.vec_id_b
+WHERE list_cosine_similarity(sa.e, sb.e) >= {threshold}
+"""

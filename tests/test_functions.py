@@ -227,3 +227,20 @@ def test_decode_real_with_pillow():
     assert sampled.num_rows == 6  # 2 payloads × 3 frames
     f0 = Image.open(io.BytesIO(sampled.column("frame")[0].as_py()))
     assert f0.size == (10, 6)
+
+
+def test_embedding_near_dups_join_equals_broadcast(ray_session, monkeypatch):
+    """Embedding near-dup: the scale (two-hash-join) verify path returns
+    exactly the broadcast path's pairs. At sf0.001 the banded hyperplane
+    LSH yields a small deterministic candidate set."""
+    from shaclex_ray.functions.dedup import embedding_near_dups
+
+    def rows(ds):
+        return sorted((r["vec_id_a"], r["vec_id_b"]) for r in ds.take_all())
+
+    bcast = rows(embedding_near_dups(SF, threshold=0.3))
+    monkeypatch.setenv("SHACLEX_JACCARD_BCAST_THRESHOLD", "0")
+    joined = rows(embedding_near_dups(SF, threshold=0.3))
+    assert bcast == joined
+    assert all(a < b for a, b in bcast)
+    assert len(bcast) == len(set(bcast))

@@ -77,6 +77,7 @@ NAMES = [
     "text_quality",
     "dedup_simhash",
     "dedup_ngram_jaccard",
+    "dedup_embedding",
     "ann_topk",
     "ann_lsh_buckets",
     "ann_lsh_topk",
