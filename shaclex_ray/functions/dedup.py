@@ -643,13 +643,23 @@ def ngram_jaccard_dups(
 def embedding_near_dups(
     sf_dir: str,
     threshold: float = 0.4,
-    nbits: int = 16,
-    bands: int = 8,
+    nbits: int = 48,
+    bands: int = 6,
     seed: int = 777,
 ):
     """Near-duplicate pairs by embedding cosine: candidates from banded
     random-hyperplane LSH (the signature's r-bit slices are the band
     values), verified cosine >= threshold.
+
+    Defaults give r = 8 bits/band — ~3% candidate rate on random
+    vectors, which is the 100-TB sizing: at web scale real near-dups sit
+    at cosine >= 0.9 (bit-agreement ~0.94, band-collision ~0.6/band) so
+    6 bands recall ~99.5% of them while the candidate set stays
+    near-linear. Recall at a *weak* threshold (0.4 on this synthetic
+    corpus, whose max pairwise cosine is 0.6) is intentionally partial —
+    banded LSH is a candidate generator, not an all-pairs scan; the SQL
+    oracle applies the identical banded rule so parity is exact. nbits
+    must stay <= 63 (the oracle packs the signature into a BIGINT).
 
     Same shuffle budget as minhash: ONE band exchange carrying only
     (vec_id, band, band_key, earlier-key prefix); the vectors themselves

@@ -226,11 +226,12 @@ SELECT query_id, vec_id, rank FROM ranked WHERE rank <= {k}
 
 
 def embedding_dups_sql(
-    dim: int, threshold: float = 0.4, nbits: int = 16, bands: int = 8
+    dim: int, threshold: float = 0.4, nbits: int = 48, bands: int = 6
 ) -> str:
     """Twin of functions/dedup.py embedding_near_dups: banded hyperplane
     LSH candidates (band value = r-bit signature slice; equality of
-    (band, value) ⟺ equality of the md5 band key), cosine-verified."""
+    (band, value) ⟺ equality of the md5 band key), cosine-verified.
+    nbits <= 63: bit b contributes `1 << b` to a BIGINT signature."""
     r = nbits // bands
     vmask = (1 << r) - 1
     sig = _sig_expr(dim, nbits)
