@@ -390,6 +390,30 @@ def _q_dedup_embedding(sf_dir: str):
     return embedding_near_dups(sf_dir)
 
 
+def _q_events_window_agg(sf_dir: str):
+    from shaclex_ray.functions.events import events_window_agg
+
+    return events_window_agg(sf_dir)
+
+
+def _q_events_sessions(sf_dir: str):
+    from shaclex_ray.functions.events import events_sessions
+
+    return events_sessions(sf_dir)
+
+
+def _q_events_asof_view(sf_dir: str):
+    from shaclex_ray.functions.events import events_asof_view
+
+    return events_asof_view(sf_dir)
+
+
+def _q_events_json_stats(sf_dir: str):
+    from shaclex_ray.functions.events import events_json_stats
+
+    return events_json_stats(sf_dir)
+
+
 def _q_kg_infer_doc_shape(sf_dir: str):
     from shaclex_ray.pipelines.infer import infer_schema
     from shaclex_ray.stages.extract import C_DOCUMENT
@@ -425,6 +449,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_simhash_groups": _q_dedup_simhash_groups,
         "dedup_ngram_jaccard": _q_dedup_ngram_jaccard,
         "dedup_embedding": _q_dedup_embedding,
+        "events_window_agg": _q_events_window_agg,
+        "events_sessions": _q_events_sessions,
+        "events_asof_view": _q_events_asof_view,
+        "events_json_stats": _q_events_json_stats,
         "kg_infer_doc_shape": _q_kg_infer_doc_shape,
         "kg_shex_doc_conformance": _q_kg_shex_doc_conformance,
         "ann_topk": _q_ann_topk,
@@ -545,6 +573,10 @@ def oracle_sql() -> dict[str, str]:
         "text_quality": _sql_oracles.quality_sql(),
         "dedup_ngram_jaccard": _sql_oracles.ngram_jaccard_sql(),
         "dedup_embedding": _sql_oracles.embedding_dups_sql(dim=64),
+        "events_window_agg": _sql_oracles.events_window_agg_sql(),
+        "events_sessions": _sql_oracles.events_sessions_sql(),
+        "events_asof_view": _sql_oracles.events_asof_sql(),
+        "events_json_stats": _sql_oracles.events_json_stats_sql(),
         "ann_lsh_buckets": _sql_oracles.lsh_buckets_sql(dim=64),
         "ann_lsh_topk": _sql_oracles.lsh_topk_sql(dim=64),
         "ann_topk": """

@@ -99,10 +99,11 @@ def _build_scale_input(sf_dir: str, factor: int) -> str:
     return out_dir
 
 
-def _substrate_calibration() -> float:
-    """Speedup 8->32 vCPUs of a pure embarrassingly-parallel CPU burn in
-    fresh Ray sessions — the empirical parallelism ceiling of this sandbox
-    (virtualized cores do not deliver 4x; see BASELINE.md)."""
+def _substrate_calibration(levels=(8, 32)) -> dict:
+    """Wall time per parallelism level of a pure embarrassingly-parallel
+    CPU burn in fresh Ray sessions — the empirical parallelism ceiling of
+    this sandbox (virtualized cores do not deliver 4x; see BASELINE.md).
+    Returns {level: wall_sec}; {} on failure."""
     code = (
         "import ray, time, sys\n"
         "n = int(sys.argv[1])\n"
@@ -118,15 +119,15 @@ def _substrate_calibration() -> float:
         "ray.shutdown()\n"
     )
     walls = {}
-    for n in (8, 32):
+    for n in levels:
         p = subprocess.run(
             [sys.executable, "-c", code, str(n)], capture_output=True, text=True
         )
         try:
             walls[n] = float(p.stdout.strip().splitlines()[-1])
         except (ValueError, IndexError):
-            return 0.0
-    return round(walls[8] / walls[32], 3)
+            return {}
+    return walls
 
 
 def main():
@@ -142,8 +143,15 @@ def main():
         # (session init, actor spawn, stage scheduling) — the regime the
         # north rule's 100-TB cluster actually runs in
         scale_dir = _build_scale_input(sf_dir, factor=int(os.environ.get("GRAFT_SCALE_FACTOR", "300")))
+        # GRAFT_SCALE_LEVELS="8,16,32" runs a three-point curve (monotone
+        # efficiency evidence, BASELINE.md); default stays the driver's
+        # two-level 8-vs-32 protocol
+        levels = sorted(
+            int(x)
+            for x in os.environ.get("GRAFT_SCALE_LEVELS", "8,32").split(",")
+        )
         results = {}
-        for n in (32, 8):
+        for n in sorted(levels, reverse=True):
             p = subprocess.run(
                 [sys.executable, __file__, "--headline-only"],
                 env={**os.environ, "RAY_GRAFT_CPUS": str(n), "GRAFT_SF_DIR": scale_dir},
@@ -156,30 +164,46 @@ def main():
             with open(f"/tmp/graft_bench/scaling_{n}.log", "w") as f:
                 f.write(p.stdout + "\n--- stderr ---\n" + p.stderr[-4000:])
             time.sleep(10)  # let the previous cluster's workers fully reap
-        t8 = results[8]["triples_per_sec"]
-        t32 = results[32]["triples_per_sec"]
-        eff = (t32 / t8) / 4.0
-        cal = _substrate_calibration()
-        print(
-            json.dumps(
-                {
-                    "metric": "kg_pipeline_scaling",
-                    "value": round(eff, 4),
-                    "unit": "efficiency",
-                    "sf": sf_dir,
-                    "throughput_8": round(t8, 1),
-                    "throughput_32": round(t32, 1),
-                    "wall_8": round(results[8]["value"], 2),
-                    "wall_32": round(results[32]["value"], 2),
-                    # embarrassingly-parallel CPU-burn speedup 8->32 on this
-                    # exact substrate: the ceiling any workload can reach here
-                    "substrate_speedup_8_32": cal,
-                    "substrate_normalized_efficiency": round((t32 / t8) / cal, 4)
-                    if cal
-                    else None,
+        lo, hi = levels[0], levels[-1]
+        t_lo = results[lo]["triples_per_sec"]
+        t_hi = results[hi]["triples_per_sec"]
+        eff = (t_hi / t_lo) / (hi / lo)
+        cal_walls = _substrate_calibration(levels)
+        cal = round(cal_walls[lo] / cal_walls[hi], 3) if cal_walls else 0.0
+        out = {
+            "metric": "kg_pipeline_scaling",
+            "value": round(eff, 4),
+            "unit": "efficiency",
+            "sf": sf_dir,
+            f"throughput_{lo}": round(t_lo, 1),
+            f"throughput_{hi}": round(t_hi, 1),
+            f"wall_{lo}": round(results[lo]["value"], 2),
+            f"wall_{hi}": round(results[hi]["value"], 2),
+            # embarrassingly-parallel CPU-burn speedup lo->hi on this
+            # exact substrate: the ceiling any workload can reach here
+            "substrate_speedup_8_32": cal,
+            "substrate_normalized_efficiency": round((t_hi / t_lo) / cal, 4)
+            if cal
+            else None,
+        }
+        if len(levels) > 2:
+            curve = {}
+            for a, b in zip(levels, levels[1:]):
+                sp = results[b]["triples_per_sec"] / results[a]["triples_per_sec"]
+                seg = {
+                    "speedup": round(sp, 3),
+                    "efficiency": round(sp / (b / a), 4),
                 }
-            )
-        )
+                if cal_walls:
+                    sub_sp = cal_walls[a] / cal_walls[b]
+                    seg["substrate_speedup"] = round(sub_sp, 3)
+                    seg["normalized_efficiency"] = round(sp / sub_sp, 4)
+                curve[f"{a}->{b}"] = seg
+            out["curve"] = curve
+            out["throughputs"] = {
+                str(n): round(results[n]["triples_per_sec"], 1) for n in levels
+            }
+        print(json.dumps(out))
         return
 
     _init_ray(num_cpus)

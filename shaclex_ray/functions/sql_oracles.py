@@ -255,3 +255,89 @@ JOIN sigs sa ON sa.vec_id = c.vec_id_a
 JOIN sigs sb ON sb.vec_id = c.vec_id_b
 WHERE list_cosine_similarity(sa.e, sb.e) >= {threshold}
 """
+
+
+# ------------------------------------------------------- events operators
+
+
+def events_window_agg_sql() -> str:
+    """Twin of functions/events.py events_window_agg. Sums ride as
+    integer cents (order-independent); the published doubles use the
+    identical IEEE expression tree (cents/100.0, then /n)."""
+    return """
+WITH t AS (
+  SELECT date_trunc('hour', ts) AS window_start, event_type,
+         CAST(round(value * 100) AS BIGINT) AS cents
+  FROM events
+)
+SELECT window_start, event_type,
+       CAST(count(*) AS BIGINT) AS n_events,
+       CAST(sum(cents) AS DOUBLE) / 100.0 AS sum_value,
+       (CAST(sum(cents) AS DOUBLE) / 100.0) / CAST(count(*) AS DOUBLE) AS avg_value
+FROM t GROUP BY window_start, event_type
+"""
+
+
+def events_sessions_sql(gap_minutes: int = 30) -> str:
+    """Twin of functions/events.py events_sessions: a session breaks on
+    inactivity strictly greater than the gap; ordering within a user is
+    (ts, event_id) on both sides."""
+    return f"""
+WITH o AS (
+  SELECT user_id, ts, event_id, CAST(round(value * 100) AS BIGINT) AS cents,
+         CASE WHEN lag(ts) OVER w IS NULL
+                   OR ts - lag(ts) OVER w > INTERVAL {gap_minutes} MINUTE
+              THEN 1 ELSE 0 END AS new_sess
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+s AS (
+  SELECT user_id, ts, cents,
+         SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                             ROWS UNBOUNDED PRECEDING) AS session_id
+  FROM o
+)
+SELECT user_id, CAST(session_id AS BIGINT) AS session_id,
+       min(ts) AS session_start, max(ts) AS session_end,
+       CAST(count(*) AS BIGINT) AS n_events,
+       CAST(sum(cents) AS DOUBLE) / 100.0 AS sum_value
+FROM s GROUP BY user_id, session_id
+"""
+
+
+def events_asof_sql() -> str:
+    """Twin of functions/events.py events_asof_view: inner as-of join,
+    latest same-user 'view' with ts <= the click's ts, ties broken by
+    max view event_id."""
+    return """
+WITH v AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'view'),
+     c AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'click')
+SELECT c.event_id AS click_id, c.user_id, c.ts AS click_ts,
+       l.view_id, l.view_ts,
+       CAST(date_diff('microsecond', l.view_ts, c.ts) AS DOUBLE)
+         / 1000000.0 AS gap_sec
+FROM c, LATERAL (
+  SELECT v.event_id AS view_id, v.ts AS view_ts
+  FROM v WHERE v.user_id = c.user_id AND v.ts <= c.ts
+  ORDER BY v.ts DESC, v.event_id DESC LIMIT 1
+) AS l
+"""
+
+
+def events_json_stats_sql() -> str:
+    """Twin of functions/events.py events_json_stats (regex extraction of
+    the integer props.k ≡ json_extract_string on this corpus)."""
+    return """
+WITH t AS (
+  SELECT event_type,
+         TRY_CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+  FROM events
+)
+SELECT event_type,
+       CAST(count(*) AS BIGINT) AS n_events,
+       CAST(count(k) AS BIGINT) AS n_k,
+       CAST(coalesce(sum(k), 0) AS BIGINT) AS sum_k,
+       CAST(coalesce(sum(k), 0) AS DOUBLE)
+         / CAST(greatest(count(k), 1) AS DOUBLE) AS avg_k
+FROM t GROUP BY event_type
+"""

@@ -142,26 +142,25 @@ def read_documents(sf_dir: str, parallelism: int = 32) -> "ray.data.Dataset":
     """sf_dir/documents.parquet -> interleaved-span documents Dataset.
 
     Column-pruned read (only the columns the span builder needs leave
-    storage); span construction streams through map_batches. The test
-    corpus is a single one-row-group parquet file, so the read yields one
-    block — repartition to ``parallelism`` blocks so the span builder and
-    everything downstream runs wide. (A real multi-file corpus already
-    reads as many blocks; pass parallelism=0 to skip.)
+    storage); span construction streams through map_batches. Block count
+    is pinned to ~2× the cluster CPUs via ``override_num_blocks``: Ray's
+    default split of a single large file is far finer (hundreds of
+    ~2 MB blocks), and the per-block driver dispatch then serializes the
+    whole stage — coarse blocks keep every core on UDF work. (This also
+    splits a one-row-group test file without a repartition shuffle; pass
+    parallelism=0 to take the file's natural blocks.)
     """
     path = f"{sf_dir}/documents.parquet"
-    ds = ray.data.read_parquet(
-        path,
-        columns=["doc_id", "text", "lang", "source"],
-    )
     if parallelism:
-        # skip the repartition when the file's row groups already give
-        # enough read splits (a cheap metadata peek, no data read)
-        try:
-            import pyarrow.parquet as pq
-
-            ngroups = pq.ParquetFile(path).metadata.num_row_groups
-        except Exception:
-            ngroups = 1
-        if ngroups < parallelism:
-            ds = ds.repartition(parallelism)
+        ncpu = int(ray.cluster_resources().get("CPU", parallelism))
+        nblocks = max(parallelism, 2 * ncpu)
+        ds = ray.data.read_parquet(
+            path,
+            columns=["doc_id", "text", "lang", "source"],
+            override_num_blocks=nblocks,
+        )
+    else:
+        ds = ray.data.read_parquet(
+            path, columns=["doc_id", "text", "lang", "source"]
+        )
     return ds.map_batches(build_spans_batch, batch_format="pyarrow")

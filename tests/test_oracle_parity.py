@@ -78,6 +78,10 @@ NAMES = [
     "dedup_simhash",
     "dedup_ngram_jaccard",
     "dedup_embedding",
+    "events_window_agg",
+    "events_sessions",
+    "events_asof_view",
+    "events_json_stats",
     "ann_topk",
     "ann_lsh_buckets",
     "ann_lsh_topk",
