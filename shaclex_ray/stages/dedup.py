@@ -12,10 +12,19 @@ triple-dedup sort-merge"):
 Bucketing by a *hash of the full identity tuple* (not by ``subj``) means a
 hub subject with 10^7 arcs spreads over all buckets — the salt is the
 (pred, obj) part of the key, exactly the salted-aggregate shape from
-SURVEY.md §4.2. Determinism: the final table is a pure function of the
-input rows (lineage column kept = lexicographically-least (doc_id,
-span_idx) witness); the bucket hash is pandas' fixed-key siphash, stable
-across processes and runs.
+SURVEY.md §4.2.
+
+Hot path: a 64-bit row hash (polars ``hash_rows`` — vectorized Rust,
+zero-copy from Arrow; deterministic for a fixed seed within one library
+build, which a cluster shares) orders rows with an integer
+``np.lexsort``; only rows whose hash collides with another row's (true
+duplicates plus astronomically rare 64-bit collisions) get the exact
+string comparison, so the expensive multi-key string sort touches the
+duplicate fraction, never the whole table. Identical identities always
+share a hash, so the result is EXACT — a unique-hash row can have no
+duplicate. Determinism: the final table is a pure function of the input
+rows (lineage column kept = lexicographically-least (doc_id, span_idx)
+witness); bucket assignment is internal and never observable in output.
 """
 
 from __future__ import annotations
@@ -23,28 +32,102 @@ from __future__ import annotations
 import numpy as np
 import pandas as pd
 import pyarrow as pa
+import pyarrow.compute as pc
 
 from shaclex_ray.terms import TRIPLE_ID_COLS
 
 DEFAULT_NBUCKETS = 64
 _SORT_COLS = TRIPLE_ID_COLS + ["doc_id", "span_idx"]
+_SORT_KEYS = [(c, "ascending") for c in _SORT_COLS]
+
+try:  # polars is baked into the runtime; keep a pandas fallback anyway
+    import polars as _pl
+except ImportError:  # pragma: no cover
+    _pl = None
 
 
-def _key_series(df: pd.DataFrame) -> np.ndarray:
-    key = df[TRIPLE_ID_COLS[0]].astype(str)
-    for c in TRIPLE_ID_COLS[1:]:
-        key = key + "\x1f" + df[c].astype(str)
-    return key.to_numpy(dtype=object)
+def _row_hash(tbl: pa.Table) -> np.ndarray:
+    """64-bit content hash of each row's identity tuple (vectorized)."""
+    if tbl.num_rows == 0:
+        return np.zeros(0, dtype=np.uint64)
+    sel = tbl.select(TRIPLE_ID_COLS)
+    if _pl is not None:
+        return _pl.from_arrow(sel).hash_rows(seed=0).to_numpy().astype(np.uint64)
+    cols = [sel.column(c).combine_chunks() for c in TRIPLE_ID_COLS]
+    key = pc.binary_join_element_wise(*cols, "\x1f")
+    return pd.util.hash_array(key.to_numpy(zero_copy_only=False))
 
 
-def _dedup_df(df: pd.DataFrame) -> pd.DataFrame:
-    df = df.sort_values(_SORT_COLS, kind="mergesort", ignore_index=True)
-    return df.drop_duplicates(subset=TRIPLE_ID_COLS, ignore_index=True)
+def _bucket_array(tbl: pa.Table, nbuckets: int) -> np.ndarray:
+    return (_row_hash(tbl) % np.uint64(nbuckets)).astype(np.int64)
+
+
+def _dedup_id_filter(s: pa.Table) -> pa.Table:
+    """Drop rows whose identity equals the previous row's (``s`` must be
+    sorted with identity columns grouped adjacently; the first row of each
+    run — the least witness — survives)."""
+    n = s.num_rows
+    if n <= 1:
+        return s
+    s = s.combine_chunks()
+    neq = None
+    for c in TRIPLE_ID_COLS:
+        arr = s.column(c).chunk(0)
+        d = pc.not_equal(arr.slice(1), arr.slice(0, n - 1))
+        neq = d if neq is None else pc.or_(neq, d)
+    keep = pa.concat_arrays([pa.array([True], pa.bool_()), neq])
+    return s.filter(keep)
+
+
+def _hash_keep_mask(s: pa.Table, hs: np.ndarray) -> np.ndarray:
+    """Keep-mask for a table sorted by row hash ``hs``: rows with a unique
+    hash survive untouched; rows inside an equal-hash run get the exact
+    (identity, witness) treatment and only the least witness per distinct
+    identity survives."""
+    n = s.num_rows
+    if n <= 1:
+        return np.ones(n, dtype=bool)
+    eq_prev = np.zeros(n, dtype=bool)
+    eq_prev[1:] = hs[1:] == hs[:-1]
+    run = eq_prev.copy()
+    run[:-1] |= eq_prev[1:]
+    keep = np.ones(n, dtype=bool)
+    if not run.any():
+        return keep
+    sub_pos = np.nonzero(run)[0]
+    sub = s.take(pa.array(sub_pos))
+    # exact sort of just the duplicate fraction: hash first (confines
+    # string comparisons to within a run), then identity, then witness
+    subt = sub.append_column("_h", pa.array(hs[sub_pos]))
+    idx = pc.sort_indices(
+        subt, sort_keys=[("_h", "ascending")] + _SORT_KEYS
+    ).to_numpy()
+    ss = subt.take(pa.array(idx)).combine_chunks()
+    m = len(idx)
+    dup = np.ones(m, dtype=bool)  # True = identity equals previous row's
+    neq = None
+    for c in TRIPLE_ID_COLS:
+        arr = ss.column(c).chunk(0)
+        d = pc.not_equal(arr.slice(1), arr.slice(0, m - 1)).to_numpy(
+            zero_copy_only=False
+        )
+        neq = d if neq is None else (neq | d)
+    dup[0] = False
+    dup[1:] = ~neq
+    keep[sub_pos[idx[dup]]] = False
+    return keep
 
 
 def _dedup_table(tbl: pa.Table) -> pa.Table:
-    out = pa.Table.from_pandas(_dedup_df(tbl.to_pandas()), preserve_index=False)
-    return out.select(tbl.schema.names).cast(tbl.schema)
+    """Distinct on TRIPLE_ID_COLS keeping the least (doc_id, span_idx)
+    witness — integer hash sort + exact treatment of the dup fraction."""
+    if tbl.num_rows <= 1:
+        return tbl
+    h = _row_hash(tbl)
+    order = np.argsort(h, kind="stable")
+    s = tbl.take(pa.array(order))
+    keep = _hash_keep_mask(s, h[order])
+    return s.filter(pa.array(keep))
 
 
 def dedup_triples(triples_ds, nbuckets: int = DEFAULT_NBUCKETS):
@@ -55,16 +138,13 @@ def dedup_triples(triples_ds, nbuckets: int = DEFAULT_NBUCKETS):
     by the pipeline at bench scale."""
 
     def bucket_fn(batch: pa.Table) -> pa.Table:
-        df = _dedup_df(batch.to_pandas())
-        bucket = (pd.util.hash_array(_key_series(df)) % np.uint64(nbuckets)).astype(
-            "int64"
+        batch = _dedup_table(batch)  # map-side combine
+        return batch.append_column(
+            "bucket", pa.array(_bucket_array(batch, nbuckets))
         )
-        df["bucket"] = bucket
-        return pa.Table.from_pandas(df, preserve_index=False)
 
     def group_fn(group: pa.Table) -> pa.Table:
-        tbl = group.drop_columns(["bucket"])
-        return _dedup_table(tbl)
+        return _dedup_table(group.drop_columns(["bucket"]))
 
     return (
         triples_ds.map_batches(bucket_fn, batch_format="pyarrow")
@@ -86,21 +166,21 @@ def _dedup_split_impl(nbuckets: int, *tbls: pa.Table):
     if not real:
         real = [TRIPLES_SCHEMA.empty_table()]
     base = pa.concat_tables(real).combine_chunks()
-    df = _dedup_df(base.to_pandas())  # map-side combine
-    buckets = (pd.util.hash_array(_key_series(df)) % np.uint64(nbuckets)).astype(
-        np.int64
-    )
-    order = np.argsort(buckets, kind="stable")
-    sorted_tbl = pa.Table.from_pandas(df.iloc[order], preserve_index=False)
-    # from_pandas of an all-empty group infers null types — pin the real
-    # schema so every split group emits concat-compatible parts
-    sorted_tbl = sorted_tbl.select(base.schema.names).cast(base.schema)
-    sorted_b = buckets[order]
-    bounds = np.searchsorted(sorted_b, np.arange(nbuckets + 1))
+    h = _row_hash(base)
+    b = (h % np.uint64(nbuckets)).astype(np.int64)
+    # ONE integer lexsort orders rows (bucket, hash): partition bounds and
+    # the adjacency the dedup needs come from the same pass. Equal hashes
+    # imply equal buckets, so hash runs never straddle a bucket boundary.
+    order = np.lexsort((h, b))
+    s = base.take(pa.array(order))
+    keep = _hash_keep_mask(s, h[order])  # map-side combine
+    out = s.filter(pa.array(keep))
     if nbuckets == 1:
-        return sorted_tbl  # num_returns=1: the single return IS the table
+        return out  # num_returns=1: the single return IS the table
+    sorted_b = b[order][keep]
+    bounds = np.searchsorted(sorted_b, np.arange(nbuckets + 1))
     return tuple(
-        sorted_tbl.slice(bounds[i], bounds[i + 1] - bounds[i])
+        out.slice(bounds[i], bounds[i + 1] - bounds[i])
         for i in range(nbuckets)
     )
 

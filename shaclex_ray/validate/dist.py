@@ -54,10 +54,33 @@ from shaclex_ray.validate.shacl_local import (
 )
 
 # ---------------------------------------------------------------------------
-# stable bucketing (pandas fixed-key siphash: deterministic across processes)
+# stable bucketing: polars' vectorized string hash (fixed seed — stable
+# across processes sharing one library build, which a cluster does; see
+# the cross-process pin in tests). Bucket assignment is internal routing,
+# never observable in validation output. pandas-siphash fallback.
+
+try:
+    import polars as _pl
+except ImportError:  # pragma: no cover
+    _pl = None
+
 
 def stable_bucket_array(strings, nbuckets: int) -> np.ndarray:
-    arr = np.asarray(strings, dtype=object)
+    """Deterministic bucket per string. Accepts a list, numpy object
+    array, or a pyarrow (Chunked)Array — Arrow input hashes zero-copy."""
+    if isinstance(strings, pa.ChunkedArray):
+        strings = strings.combine_chunks()
+    if _pl is not None:
+        arr = strings if isinstance(strings, pa.Array) else pa.array(strings, pa.string())
+        if len(arr) == 0:
+            return np.zeros(0, dtype=np.int64)
+        h = _pl.from_arrow(arr).hash(seed=0).to_numpy().astype(np.uint64)
+        return (h % np.uint64(nbuckets)).astype(np.int64)
+    arr = (
+        np.asarray(strings.to_numpy(zero_copy_only=False), dtype=object)
+        if isinstance(strings, pa.Array)
+        else np.asarray(strings, dtype=object)
+    )
     if len(arr) == 0:
         return np.zeros(0, dtype=np.int64)
     return (pd.util.hash_array(arr) % np.uint64(nbuckets)).astype(np.int64)
@@ -398,7 +421,7 @@ def _split_block(nbuckets: int, include_inverse: bool, *tbls: pa.Table):
         ]
 
     fwd = base.append_column("rev", pa.array(np.zeros(n, dtype=bool)))
-    fwd_b = stable_bucket_array(base.column("subj").to_pylist(), nbuckets)
+    fwd_b = stable_bucket_array(base.column("subj"), nbuckets)
     fwd_parts = partition(fwd, fwd_b)
     if not include_inverse:
         if nbuckets == 1:
