@@ -23,7 +23,7 @@ from shaclex_ray.shapes.shapemap import fix_shapemap, parse_shapemap
 from shaclex_ray.shapes.shexc import parse_shexc
 from shaclex_ray.shapes.shexj import load_shexj
 from shaclex_ray.terms import key_to_term, term_key
-from shaclex_ray.validate.dist import distributed_validate, resolve_shacl_targets
+from shaclex_ray.validate.dist import distributed_validate
 
 ENGINES = ("shex", "shacl")  # the registry (reference: ShEx, SHACLex, …)
 
@@ -72,9 +72,9 @@ def validate_shacl(triples_ds, shapes, nbuckets: int = 32):
     validateTargetDecls, ShaclexSchema.scala:35-42). Returns
     (typing, report, summary)."""
     compiled = compile_schema("shacl", shapes)
-    focus = resolve_shacl_targets(triples_ds, compiled)
+    # targets derive in-bucket from the loaded arc index (no second scan)
     typing, report = distributed_validate(
-        triples_ds, "shacl", compiled, focus, nbuckets=nbuckets
+        triples_ds, "shacl", compiled, "shacl-targets", nbuckets=nbuckets
     )
     summary = _summary(typing)
     summary["conforms"] = report.num_rows == 0

@@ -25,7 +25,7 @@ from shaclex_ray.stages.dedup import dedup_triples, dedup_triples_fast
 from shaclex_ray.stages.extract import extract_triples
 from shaclex_ray.stages.link import build_entity_links, canonicalize_triples
 from shaclex_ray.state.checkpoint import StageRunner
-from shaclex_ray.validate.dist import distributed_validate, resolve_shacl_targets
+from shaclex_ray.validate.dist import distributed_validate
 
 # SHACL shapes for the constructed KG — parsed with our own Turtle parser.
 # DocumentShape's ex:mentions sh:class ex:Entity forces a cross-bucket
@@ -155,12 +155,13 @@ def run_kg_pipeline(
 
         def produce_validation(path):
             schema = kg_schema()
-            triples_m = triples.materialize()  # one disk scan for both passes
-            focus = resolve_shacl_targets(triples_m, schema)
-            # bucket actors write their own typing/report shards — the full
-            # tables never concat on the driver
+            # targets derive in-bucket (focus="shacl-targets"): the split
+            # scan is the ONLY pass over the triples; bucket actors write
+            # their own typing/report shards — the full tables never
+            # concat on the driver
             typing_ds, _report_ds = distributed_validate(
-                triples_m, "shacl", schema, focus, nbuckets=nbuckets, output_dir=path
+                triples, "shacl", schema, "shacl-targets",
+                nbuckets=nbuckets, output_dir=path,
             )
             stats = distributed_validate.last_stats
             return sum(v for k, v in stats.items() if k != "violations")

@@ -473,6 +473,7 @@ class _ArcIndex:
         self._starts = np.searchsorted(sorted_codes, np.arange(nkeys + 1))
         # node-key → code lookup (one Python string per DISTINCT node, not
         # per arc — the only eager Python materialization)
+        self._keys = dic.dictionary  # code → key (Arrow, zero-copy)
         self._code = {k: i for i, k in enumerate(dic.dictionary.to_pylist())}
         if spill_path is not None and self._tbl.num_rows > spill_rows:
             import pyarrow.feather as _feather
@@ -483,6 +484,19 @@ class _ArcIndex:
 
     def keys(self):
         return self._code.keys()
+
+    @property
+    def table(self) -> pa.Table:
+        """The sorted columnar arc table (no node column — use
+        ``keys_of_rows`` to recover the node key of a row index)."""
+        return self._tbl
+
+    def keys_of_rows(self, rows: np.ndarray) -> pa.Array:
+        """Vectorized row-index → node-key lookup (rows into ``table``)."""
+        if len(rows) == 0:
+            return pa.array([], pa.string())
+        codes = np.searchsorted(self._starts, rows, side="right") - 1
+        return self._keys.take(pa.array(codes))
 
     def slice_of(self, key: str) -> pa.Table | None:
         i = self._code.get(key)
@@ -1118,6 +1132,85 @@ class BucketWorker:
         self.graph.finalize()
         return n
 
+    # ---- in-bucket SHACL target derivation (focus_tasks="shacl-targets"):
+    # the bucket holds every outgoing arc of its subjects, so subject-side
+    # targets (targetClass / implicit class / targetSubjectsOf) resolve and
+    # enqueue LOCALLY; only rdfs:subClassOf rows (tiny) and
+    # targetObjectsOf pairs (object nodes may live elsewhere) return to
+    # the driver. Replaces a full second scan of the input Dataset.
+
+    def subclass_rows(self) -> pa.Table:
+        """(child_key, parent_key) pairs from this bucket's forward arcs."""
+        idx_obj = self.graph._fwd
+        t = idx_obj.table
+        mask = pc.equal(t.column("pred"), RDFS_SUBCLASS).combine_chunks()
+        rows = np.nonzero(mask.to_numpy(zero_copy_only=False))[0]
+        if len(rows) == 0:
+            return pa.table(
+                {"child": pa.array([], pa.string()), "parent": pa.array([], pa.string())}
+            )
+        child = idx_obj.keys_of_rows(rows)
+        sub = t.take(pa.array(rows))
+        parent = pc.binary_join_element_wise(
+            pc.if_else(
+                pc.equal(sub.column("obj_kind").combine_chunks(), "iri"), "I", "B"
+            ),
+            sub.column("obj_lex").combine_chunks(),
+            "",
+        )
+        return pa.table({"child": child, "parent": parent})
+
+    def derive_targets(self, spec: dict, closure: dict) -> pa.Table:
+        """Scan the local arc index for target matches; enqueue local
+        (subject-side) pairs directly, return object-side pairs for the
+        driver to route. ``closure`` is the subclass closure the schema
+        was shipped without (it needed the subclass rows first)."""
+        self.schema["subclass_closure"] = closure
+        idx_obj = self.graph._fwd
+        t = idx_obj.table
+        pred = t.column("pred")
+        for cls_iris, sk in spec["class_targets"]:
+            mask = pc.and_(
+                pc.equal(pred, RDF_TYPE),
+                pc.is_in(
+                    t.column("obj_lex"), value_set=pa.array(sorted(cls_iris))
+                ),
+            ).combine_chunks()
+            rows = np.nonzero(mask.to_numpy(zero_copy_only=False))[0]
+            keys = idx_obj.keys_of_rows(rows)
+            self.submit(
+                pa.table(
+                    {"node": keys, "shape": pa.array([sk] * len(keys), pa.string())}
+                ),
+                True,
+            )
+        for p, sk in spec["subjects_of"]:
+            mask = pc.equal(pred, p).combine_chunks()
+            rows = np.nonzero(mask.to_numpy(zero_copy_only=False))[0]
+            keys = idx_obj.keys_of_rows(rows)
+            self.submit(
+                pa.table(
+                    {"node": keys, "shape": pa.array([sk] * len(keys), pa.string())}
+                ),
+                True,
+            )
+        remote: list[tuple[str, str]] = []
+        for p, sk in spec["objects_of"]:
+            sub = t.filter(pc.equal(pred, p))
+            for k, lx, dt, lg in zip(
+                sub.column("obj_kind").to_pylist(),
+                sub.column("obj_lex").to_pylist(),
+                sub.column("obj_dt").to_pylist(),
+                sub.column("obj_lang").to_pylist(),
+            ):
+                remote.append((obj_key(k, lx, dt, lg), sk))
+        return pa.table(
+            {
+                "node": pa.array([r[0] for r in remote], pa.string()),
+                "shape": pa.array([r[1] for r in remote], pa.string()),
+            }
+        )
+
     def submit(self, tasks: pa.Table, is_focus: bool) -> list:
         """Enqueue (node, shape) pairs; idempotent (already-known pairs are
         skipped), so upstream dedup of focus pairs is unnecessary — the
@@ -1645,17 +1738,55 @@ def distributed_validate(
     # initial focus submission (vectorized routing; worklists live in
     # actors). Submit calls queue behind load in each actor's mailbox, so
     # the focus-resolution scan OVERLAPS the bucket index builds.
-    if isinstance(focus_tasks, pa.Table):
+    if isinstance(focus_tasks, str) and focus_tasks == "shacl-targets":
+        # in-bucket target derivation: every bucket already holds all
+        # outgoing arcs of its subjects, so subject-side targets resolve
+        # where they live — no second scan of the input Dataset. Only the
+        # (tiny) rdfs:subClassOf rows and targetObjectsOf pairs cross the
+        # driver.
+        ray.get(load_refs)
+        _mark("load")
+        sub_tbl = pa.concat_tables(
+            ray.get([w.subclass_rows.remote() for w in workers])
+        )
+        children: dict[str, set[str]] = {}
+        for child, parent in zip(
+            sub_tbl.column("child").to_pylist(), sub_tbl.column("parent").to_pylist()
+        ):
+            children.setdefault(parent, set()).add(child)
+        spec, node_pairs = _build_target_spec(schema, children)
+        closure = schema["subclass_closure"]
+        remote_parts = ray.get(
+            [w.derive_targets.remote(spec, closure) for w in workers]
+        )
+        extra = pa.table(
+            {
+                "node": pa.array([p[0] for p in node_pairs], pa.string()),
+                "shape": pa.array([p[1] for p in node_pairs], pa.string()),
+            }
+        )
+        routed = pa.concat_tables([extra] + remote_parts)
+        if routed.num_rows:
+            ray.get(
+                [
+                    workers[b].submit.remote(tbl, True)
+                    for b, tbl in _route_tasks(routed, nbuckets).items()
+                ]
+            )
+        _mark("targets+submit")
+    elif isinstance(focus_tasks, pa.Table):
         ray.get(
             [
                 workers[b].submit.remote(tbl, True)
                 for b, tbl in _route_tasks(focus_tasks, nbuckets).items()
             ]
         )
+        ray.get(load_refs)
+        _mark("load+submit")
     else:  # Ray Dataset: streamed task→actor, no driver materialization
         _submit_focus_dataset(focus_tasks, workers, nbuckets)
-    ray.get(load_refs)
-    _mark("load+submit")
+        ray.get(load_refs)
+        _mark("load+submit")
 
     # ---- driver loop: only dependency traffic crosses the driver
     need_by: dict[tuple[str, str], set[int]] = {}
@@ -1802,24 +1933,10 @@ def distributed_validate(
 # ---------------------------------------------------------------------------
 # SHACL target resolution over the triples Dataset (SURVEY.md J2)
 
-def resolve_shacl_targets(triples_ds, schema: dict):
-    """Resolve SHACL targets into a *streaming* focus Dataset of
-    (node term key, shape key) pairs — the focus set never materializes on
-    the driver (it is submitted task→actor and deduped in the bucket
-    worklists). Only the rdfs:subClassOf rows (class hierarchy — tiny) are
-    collected driver-side to attach the subclass closure to the schema."""
-
-    def _sub_filter(batch: pa.Table) -> pa.Table:
-        mask = pc.equal(batch.column("pred"), RDFS_SUBCLASS)
-        sub = batch.filter(mask)
-        return sub.select(["subj", "obj_kind", "obj_lex"])
-
-    sub_rows = triples_ds.map_batches(_sub_filter, batch_format="pyarrow").take_all()
-    children: dict[str, set[str]] = {}
-    for r in sub_rows:
-        child = subj_to_key(r["subj"])
-        parent = "I" + r["obj_lex"] if r["obj_kind"] == "iri" else "B" + r["obj_lex"]
-        children.setdefault(parent, set()).add(child)
+def _build_target_spec(schema: dict, children: dict[str, set[str]]):
+    """Turn the schema's target declarations + the subclass-children map
+    into a scan spec. Attaches ``subclass_closure`` to ``schema`` (the
+    sh:class components need it) and returns ``(spec, node_pairs)``."""
 
     def closure(cls_key: str) -> list[str]:
         seen = {cls_key}
@@ -1863,6 +1980,35 @@ def resolve_shacl_targets(triples_ds, schema: dict):
         "subjects_of": subjects_of,
         "objects_of": objects_of,
     }
+    return spec, node_pairs
+
+
+def resolve_shacl_targets(triples_ds, schema: dict):
+    """Resolve SHACL targets into a *streaming* focus Dataset of
+    (node term key, shape key) pairs — the focus set never materializes on
+    the driver (it is submitted task→actor and deduped in the bucket
+    worklists). Only the rdfs:subClassOf rows (class hierarchy — tiny) are
+    collected driver-side to attach the subclass closure to the schema.
+
+    ``distributed_validate(..., focus_tasks="shacl-targets")`` derives the
+    same pairs IN-BUCKET from the already-loaded arc index (no second scan
+    of the input); this Dataset variant remains for callers validating a
+    Dataset without loading buckets, and as the equivalence oracle for the
+    in-bucket path (tests pin both to identical typing)."""
+
+    def _sub_filter(batch: pa.Table) -> pa.Table:
+        mask = pc.equal(batch.column("pred"), RDFS_SUBCLASS)
+        sub = batch.filter(mask)
+        return sub.select(["subj", "obj_kind", "obj_lex"])
+
+    sub_rows = triples_ds.map_batches(_sub_filter, batch_format="pyarrow").take_all()
+    children: dict[str, set[str]] = {}
+    for r in sub_rows:
+        child = subj_to_key(r["subj"])
+        parent = "I" + r["obj_lex"] if r["obj_kind"] == "iri" else "B" + r["obj_lex"]
+        children.setdefault(parent, set()).add(child)
+
+    spec, node_pairs = _build_target_spec(schema, children)
 
     def _subj_keys(subj_arr) -> pa.Array:
         subj_arr = (

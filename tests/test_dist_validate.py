@@ -226,3 +226,73 @@ def test_dist_inverse_complex_path(ray_session):
     assert dset == lset
     vals = typing.filter(typing.column("is_focus")).column("val").to_pylist()
     assert all(v in ("conforms", "notConforms") for v in vals), vals  # no error:*
+
+
+def test_in_bucket_targets_equivalence(ray_session):
+    """focus_tasks="shacl-targets" (in-bucket derivation, no second input
+    scan) produces the identical typing and report as the Dataset-scan
+    resolve_shacl_targets path, across every target kind: targetClass
+    (with an rdfs:subClassOf hop), implicit class, targetNode,
+    targetSubjectsOf and targetObjectsOf."""
+    import ray.data as rd
+
+    from shaclex_ray.rdfio import parse_turtle
+    from shaclex_ray.shapes.shacl import compile_shacl
+    from shaclex_ray.terms import triples_to_table
+    from shaclex_ray.validate.dist import distributed_validate, resolve_shacl_targets
+
+    ttl = """
+    @prefix sh: <http://www.w3.org/ns/shacl#> .
+    @prefix ex: <http://ex.org/> .
+    @prefix rdfs: <http://www.w3.org/2000/01/rdf-schema#> .
+    @prefix xsd: <http://www.w3.org/2001/XMLSchema#> .
+    ex:ClassShape a sh:NodeShape ;
+      sh:targetClass ex:Person ;
+      sh:property [ sh:path ex:name ; sh:minCount 1 ] .
+    ex:SubjShape a sh:NodeShape ;
+      sh:targetSubjectsOf ex:age ;
+      sh:property [ sh:path ex:age ; sh:datatype xsd:integer ] .
+    ex:ObjShape a sh:NodeShape ;
+      sh:targetObjectsOf ex:knows ;
+      sh:property [ sh:path ex:name ; sh:minCount 1 ] .
+    ex:NodeShapeT a sh:NodeShape ;
+      sh:targetNode ex:d ;
+      sh:property [ sh:path ex:name ; sh:maxCount 0 ] .
+    ex:Student rdfs:subClassOf ex:Person .
+    ex:a a ex:Person ; ex:name "A" ; ex:age 3 ; ex:knows ex:b .
+    ex:b a ex:Student .
+    ex:c ex:age "old" .
+    ex:d ex:name "D" .
+    """
+    triples = parse_turtle(ttl)
+    ds = rd.from_arrow(triples_to_table(triples))
+
+    schema1 = compile_shacl(triples)
+    focus = resolve_shacl_targets(ds, schema1)
+    typ1, rep1 = distributed_validate(ds, "shacl", schema1, focus, nbuckets=4)
+
+    schema2 = compile_shacl(triples)
+    typ2, rep2 = distributed_validate(
+        ds, "shacl", schema2, "shacl-targets", nbuckets=4
+    )
+
+    def typing_set(t):
+        f = t.filter(t.column("is_focus"))
+        return sorted(
+            zip(
+                f.column("node").to_pylist(),
+                f.column("shape").to_pylist(),
+                f.column("val").to_pylist(),
+            )
+        )
+
+    s1, s2 = typing_set(typ1), typing_set(typ2)
+    assert s1 == s2
+    assert len(s1) >= 5  # b via subclass, a (class+subj), c (subj), a.knows obj b, d
+    r1 = sorted(
+        zip(rep1.column("focus_node").to_pylist(), rep1.column("component").to_pylist())
+    )
+    r2 = sorted(
+        zip(rep2.column("focus_node").to_pylist(), rep2.column("component").to_pylist())
+    )
+    assert r1 == r2 and len(r1) >= 2  # c datatype, b name minCount, d maxCount
