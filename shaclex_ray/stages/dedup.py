@@ -46,15 +46,18 @@ except ImportError:  # pragma: no cover
     _pl = None
 
 
-def _row_hash(tbl: pa.Table) -> np.ndarray:
+def _row_hash(tbl: pa.Table, cols: list[str] | None = None) -> np.ndarray:
     """64-bit content hash of each row's identity tuple (vectorized)."""
+    cols = TRIPLE_ID_COLS if cols is None else cols
     if tbl.num_rows == 0:
         return np.zeros(0, dtype=np.uint64)
-    sel = tbl.select(TRIPLE_ID_COLS)
+    sel = tbl.select(cols)
     if _pl is not None:
         return _pl.from_arrow(sel).hash_rows(seed=0).to_numpy().astype(np.uint64)
-    cols = [sel.column(c).combine_chunks() for c in TRIPLE_ID_COLS]
-    key = pc.binary_join_element_wise(*cols, "\x1f")
+    arrs = [
+        pc.cast(sel.column(c).combine_chunks(), pa.string()) for c in cols
+    ]
+    key = pc.binary_join_element_wise(*arrs, "\x1f")
     return pd.util.hash_array(key.to_numpy(zero_copy_only=False))
 
 
@@ -79,11 +82,18 @@ def _dedup_id_filter(s: pa.Table) -> pa.Table:
     return s.filter(keep)
 
 
-def _hash_keep_mask(s: pa.Table, hs: np.ndarray) -> np.ndarray:
+def _hash_keep_mask(
+    s: pa.Table,
+    hs: np.ndarray,
+    id_cols: list[str] | None = None,
+    sort_keys: list | None = None,
+) -> np.ndarray:
     """Keep-mask for a table sorted by row hash ``hs``: rows with a unique
     hash survive untouched; rows inside an equal-hash run get the exact
     (identity, witness) treatment and only the least witness per distinct
     identity survives."""
+    id_cols = TRIPLE_ID_COLS if id_cols is None else id_cols
+    sort_keys = _SORT_KEYS if sort_keys is None else sort_keys
     n = s.num_rows
     if n <= 1:
         return np.ones(n, dtype=bool)
@@ -100,13 +110,13 @@ def _hash_keep_mask(s: pa.Table, hs: np.ndarray) -> np.ndarray:
     # string comparisons to within a run), then identity, then witness
     subt = sub.append_column("_h", pa.array(hs[sub_pos]))
     idx = pc.sort_indices(
-        subt, sort_keys=[("_h", "ascending")] + _SORT_KEYS
+        subt, sort_keys=[("_h", "ascending")] + sort_keys
     ).to_numpy()
     ss = subt.take(pa.array(idx)).combine_chunks()
     m = len(idx)
     dup = np.ones(m, dtype=bool)  # True = identity equals previous row's
     neq = None
-    for c in TRIPLE_ID_COLS:
+    for c in id_cols:
         arr = ss.column(c).chunk(0)
         d = pc.not_equal(arr.slice(1), arr.slice(0, m - 1)).to_numpy(
             zero_copy_only=False
@@ -213,5 +223,82 @@ def dedup_triples_fast(triples_ds, nbuckets: int | None = None):
         split_refs = [[r] for r in split_refs]
     out_refs = [
         bucket_task.remote(*[grp[b] for grp in split_refs]) for b in range(nbuckets)
+    ]
+    return rd.from_arrow_refs(out_refs)
+
+
+# ---------------------------------------------------------------------------
+# generic exact distinct-rows: the same one-move hash exchange for ANY
+# Arrow-schema Dataset. Replaces groupby().map_groups distincts, whose
+# sort-based shuffle + one-Python-call-per-group costs seconds of fixed
+# overhead even on tiny intermediates.
+
+def _distinct_split_impl(nbuckets: int, cols: list[str], *tbls: pa.Table):
+    real = [t for t in tbls if t.num_rows > 0]
+    if not real:
+        schema = pa.schema([(c, pa.string()) for c in cols])
+        for t in tbls:
+            if t.num_columns:
+                schema = t.schema
+                break
+        empty = schema.empty_table()
+        return empty if nbuckets == 1 else tuple(empty for _ in range(nbuckets))
+    base = pa.concat_tables(real).combine_chunks()
+    h = _row_hash(base, cols)
+    b = (h % np.uint64(nbuckets)).astype(np.int64)
+    order = np.lexsort((h, b))
+    s = base.take(pa.array(order))
+    keep = _hash_keep_mask(
+        s, h[order], id_cols=cols, sort_keys=[(c, "ascending") for c in cols]
+    )
+    out = s.filter(pa.array(keep))
+    if nbuckets == 1:
+        return out
+    sorted_b = b[order][keep]
+    bounds = np.searchsorted(sorted_b, np.arange(nbuckets + 1))
+    return tuple(
+        out.slice(bounds[i], bounds[i + 1] - bounds[i])
+        for i in range(nbuckets)
+    )
+
+
+def _distinct_bucket_impl(cols: list[str], *parts: pa.Table):
+    base = pa.concat_tables(list(parts)).combine_chunks()
+    if base.num_rows <= 1:
+        return base
+    h = _row_hash(base, cols)
+    order = np.argsort(h, kind="stable")
+    s = base.take(pa.array(order))
+    keep = _hash_keep_mask(
+        s, h[order], id_cols=cols, sort_keys=[(c, "ascending") for c in cols]
+    )
+    return s.filter(pa.array(keep))
+
+
+def distinct_rows_fast(ds, nbuckets: int | None = None):
+    """Exact DISTINCT over all columns of a Dataset: blocks → map-side
+    combine + single-pass hash partition → per-bucket vectorized distinct.
+    One data move, no sort-based shuffle, no per-group Python calls."""
+    import ray
+    import ray.data as rd
+
+    if nbuckets is None:
+        nbuckets = max(8, int(ray.cluster_resources().get("CPU", 8)))
+    mat = ds.materialize()
+    refs = mat.to_arrow_refs()
+    cols = mat.schema().names
+    split_task = ray.remote(_distinct_split_impl)
+    bucket_task = ray.remote(_distinct_bucket_impl)
+    ngroups = max(1, min(len(refs), nbuckets))
+    groups = [refs[g::ngroups] for g in range(ngroups)]
+    split_refs = [
+        split_task.options(num_returns=nbuckets).remote(nbuckets, cols, *grp)
+        for grp in groups
+    ]
+    if nbuckets == 1:
+        split_refs = [[r] for r in split_refs]
+    out_refs = [
+        bucket_task.remote(cols, *[grp[b] for grp in split_refs])
+        for b in range(nbuckets)
     ]
     return rd.from_arrow_refs(out_refs)

@@ -79,18 +79,14 @@ def harvest_mentions(triples_ds):
         df = tbl.to_pandas().drop_duplicates(subset=["mention_iri"], ignore_index=True)
         return pa.Table.from_pandas(df, preserve_index=False).cast(tbl.schema)
 
-    def per_block(group: pa.Table) -> pa.Table:
-        df = (
-            group.to_pandas()
-            .drop_duplicates(subset=["mention_iri"], ignore_index=True)
-            .sort_values("mention_iri", ignore_index=True)
-        )
-        return pa.Table.from_pandas(df, preserve_index=False).cast(group.schema)
+    from shaclex_ray.stages.dedup import distinct_rows_fast
 
-    return (
+    # exact distinct via the one-move hash exchange: surface and block_key
+    # are functions of mention_iri, so full-row distinct == distinct
+    # mentions. (A groupby().map_groups here costs seconds of sort-shuffle
+    # + per-group Python overhead even when the projection is tiny.)
+    return distinct_rows_fast(
         triples_ds.map_batches(project, batch_format="pyarrow")
-        .groupby("block_key")
-        .map_groups(per_block, batch_format="pyarrow")
     )
 
 

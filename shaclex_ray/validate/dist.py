@@ -844,29 +844,25 @@ def flat_shex_eval_kernel(
     True / False / "dep". Returns (conforms: bool[n] , blocked: {pos: deps})."""
     idx = graph._fwd
     n = len(node_keys)
-    row_parts, subj_parts = [], []
-    for i, nk in enumerate(node_keys):
-        c = idx._code.get(nk)
-        if c is None:
-            continue
-        s, e = int(idx._starts[c]), int(idx._starts[c + 1])
-        row_parts.append(np.arange(s, e, dtype=np.int64))
-        subj_parts.append(np.full(e - s, i, dtype=np.int64))
-    if row_parts:
-        rows = np.concatenate(row_parts)
-        subj_of_row = np.concatenate(subj_parts)
-        sub = idx._tbl.take(pa.array(rows))
-        pred_np = sub.column("pred").combine_chunks()
-        okind_np = sub.column("obj_kind").combine_chunks().to_numpy(zero_copy_only=False)
-        vkeys = _obj_key_col(sub).to_numpy(zero_copy_only=False)
-        dt_np = sub.column("obj_dt").combine_chunks().to_numpy(zero_copy_only=False)
+    # vectorized ragged-range gather + column-at-a-time lazy takes (same
+    # allocation discipline as flat_eval_kernel: Arrow columns for the
+    # pred-matching rows only, no object-dtype numpy)
+    codes = np.fromiter(
+        (idx._code.get(nk, -1) for nk in node_keys), dtype=np.int64, count=n
+    )
+    have = np.flatnonzero(codes >= 0)
+    if len(have):
+        starts = idx._starts[codes[have]]
+        lens = idx._starts[codes[have] + 1] - starts
+        total = int(lens.sum())
+        offsets = np.repeat(np.cumsum(lens) - lens, lens)
+        rows = np.repeat(starts, lens) + (np.arange(total) - offsets)
+        subj_of_row = np.repeat(have, lens)
+        pred_np = idx._tbl.column("pred").take(pa.array(rows)).combine_chunks()
     else:
-        subj_of_row = np.zeros(0, dtype=np.int64)
-        sub = None
+        rows = np.zeros(0, dtype=np.int64)
+        subj_of_row = rows
         pred_np = None
-        okind_np = np.zeros(0, dtype=object)
-        vkeys = np.zeros(0, dtype=object)
-        dt_np = np.zeros(0, dtype=object)
 
     ok_nodes = np.ones(n, dtype=bool)
     blocked: dict[int, set] = {}
@@ -880,43 +876,91 @@ def flat_shex_eval_kernel(
         c_tot = np.zeros(n, dtype=np.int64)
         np.add.at(c_tot, subj_of_row[pmask], 1)
 
+        sel = np.flatnonzero(pmask)
+        subj_sel = subj_of_row[sel]
+        sel_pa = pa.array(rows[sel]) if len(sel) else None
+        _pcols: dict[str, pa.Array] = {}
+
+        def getpcol(name: str, _sp=sel_pa, _c=_pcols):
+            if _sp is None:
+                return None
+            a = _c.get(name)
+            if a is None:
+                a = _c[name] = idx._tbl.column(name).take(_sp).combine_chunks()
+            return a
+
+        _vk: list = []
+
+        def vk_arr(_sp=sel_pa, _vk=_vk):
+            if not _vk:
+                _vk.append(
+                    _obj_key_col(idx._tbl.take(_sp))
+                    if _sp is not None
+                    else pa.array([], pa.string())
+                )
+            return _vk[0]
+
         check = prof["check"]
-        if check is None:
-            sat_mask = pmask
+        if check is None or sel_pa is None:
+            sat_local = np.ones(len(sel), dtype=bool)
         elif check[0] == "nc":
             nc = check[1]
-            m = pmask.copy()
+            ga = None
+
+            def andm(x):
+                nonlocal ga
+                ga = x if ga is None else pc.and_(ga, x)
+
+            okind = getpcol("obj_kind")
             nk_kind = nc.get("nodeKind")
             if nk_kind == "iri":
-                m &= okind_np == "iri"
+                andm(pc.equal(okind, "iri"))
             elif nk_kind == "bnode":
-                m &= okind_np == "bnode"
+                andm(pc.equal(okind, "bnode"))
             elif nk_kind == "literal":
-                m &= okind_np == "literal"
+                andm(pc.equal(okind, "literal"))
             elif nk_kind == "nonliteral":
-                m &= okind_np != "literal"
+                andm(pc.not_equal(okind, "literal"))
             if "datatype" in nc:  # xsd:string only (profile-enforced)
-                m &= (okind_np == "literal") & (dt_np == nc["datatype"])
+                andm(
+                    pc.and_(
+                        pc.equal(okind, "literal"),
+                        pc.equal(getpcol("obj_dt"), nc["datatype"]),
+                    )
+                )
             if "values" in nc:
-                allowed = {"I" + v for v in nc["values"]}
-                m &= np.isin(vkeys, list(allowed))
-            sat_mask = m
+                allowed = pa.array(["I" + v for v in nc["values"]])
+                andm(pc.is_in(vk_arr(), value_set=allowed))
+            if ga is None:
+                sat_local = np.ones(len(sel), dtype=bool)
+            else:
+                sat_local = pc.fill_null(ga, False).to_numpy(zero_copy_only=False)
         else:  # ("ref", label): resolve per DISTINCT value via the probe
             label = check[1]
-            sat_mask = pmask.copy()
-            for r in np.flatnonzero(pmask):
-                v = vkeys[r]
+            sat_local = np.ones(len(sel), dtype=bool)
+            dic = pc.dictionary_encode(vk_arr())
+            dvals = dic.dictionary.to_pylist()
+            dcodes = dic.indices.to_numpy(zero_copy_only=False)
+            st_false = np.zeros(len(dvals), dtype=bool)
+            dep_dis = []
+            for di, v in enumerate(dvals):
                 st = probe_memo.get((v, label))
                 if st is None:
                     st = ref_probe(v, label)
                     probe_memo[(v, label)] = st
                 if st == "dep":
-                    blocked.setdefault(int(subj_of_row[r]), set()).add((v, label))
+                    dep_dis.append(di)
                 elif st is False:
-                    sat_mask[r] = False
+                    st_false[di] = True
+            sat_local[st_false[dcodes]] = False
+            if dep_dis:
+                for j in np.flatnonzero(np.isin(dcodes, dep_dis)):
+                    blocked.setdefault(int(subj_sel[j]), set()).add(
+                        (dvals[dcodes[j]], label)
+                    )
 
         c_sat = np.zeros(n, dtype=np.int64)
-        np.add.at(c_sat, subj_of_row[sat_mask], 1)
+        np.add.at(c_sat, subj_sel[sat_local], 1)
         mn, mx = prof["min"], prof["max"]
         if prof["extra"]:
             tc_ok = c_sat >= mn
@@ -947,40 +991,52 @@ def flat_eval_kernel(
     idx = graph._fwd
     n = len(node_keys)
 
-    # gather each focus node's arc-row range from the sorted index
-    row_parts, subj_parts = [], []
-    for i, nk in enumerate(node_keys):
-        c = idx._code.get(nk)
-        if c is None:
-            continue
-        s, e = int(idx._starts[c]), int(idx._starts[c + 1])
-        row_parts.append(np.arange(s, e, dtype=np.int64))
-        subj_parts.append(np.full(e - s, i, dtype=np.int64))
-    if row_parts:
-        rows = np.concatenate(row_parts)
-        subj_of_row = np.concatenate(subj_parts)
-        sub = idx._tbl.take(pa.array(rows))
-        pred_np = sub.column("pred").combine_chunks()
-        okind_np = sub.column("obj_kind").combine_chunks().to_numpy(zero_copy_only=False)
-        vkeys = None  # built lazily (only class/value-level checks need it)
+    # gather each focus node's arc-row range from the sorted index —
+    # vectorized ragged-range expansion (no per-node np.arange)
+    codes = np.fromiter(
+        (idx._code.get(nk, -1) for nk in node_keys), dtype=np.int64, count=n
+    )
+    have = np.flatnonzero(codes >= 0)
+    if len(have):
+        starts = idx._starts[codes[have]]
+        lens = idx._starts[codes[have] + 1] - starts
+        total = int(lens.sum())
+        offsets = np.repeat(np.cumsum(lens) - lens, lens)
+        rows = np.repeat(starts, lens) + (np.arange(total) - offsets)
+        subj_of_row = np.repeat(have, lens)
     else:
         rows = np.zeros(0, dtype=np.int64)
         subj_of_row = rows
-        sub = None
-        pred_np = None
-        okind_np = np.zeros(0, dtype=object)
-        vkeys = None
+
+    # column-at-a-time lazy gather: only the columns a check touches are
+    # taken, and they stay ARROW (no object-dtype numpy, no per-row Python
+    # strings) — the per-round transient heap is O(selected columns), not
+    # O(7-column table + object arrays)
+    rows_pa = pa.array(rows) if len(rows) else None
+    _cols: dict[str, pa.Array] = {}
+
+    def getcol(name: str) -> pa.Array | None:
+        if rows_pa is None:
+            return None
+        a = _cols.get(name)
+        if a is None:
+            a = _cols[name] = idx._tbl.column(name).take(rows_pa).combine_chunks()
+        return a
+
+    def vkeys_for(sel_rows) -> list[str]:
+        """Object term-keys for a SUBSET of gathered rows (built on the
+        slice only — never materialized for the whole arc range)."""
+        if len(sel_rows) == 0:
+            return []
+        sub = idx._tbl.take(pa.array(rows[np.asarray(sel_rows)]))
+        return _obj_key_col(sub).to_pylist()
+
+    pred_np = getcol("pred")
 
     viol = np.zeros(n, dtype=bool)
     blocked: dict[int, set] = {}  # node position -> unresolved deps
     reports: list[list] = [[] for _ in range(n)]
     inst_memo: dict[tuple[str, str], object] = {}
-
-    def vkey_col():
-        nonlocal vkeys
-        if vkeys is None and sub is not None:
-            vkeys = _obj_key_col(sub).to_numpy(zero_copy_only=False)
-        return vkeys
 
     for prof in profile:
         pred = prof["pred"]
@@ -990,6 +1046,22 @@ def flat_eval_kernel(
             pmask = np.zeros(0, dtype=bool)
         counts = np.zeros(n, dtype=np.int64)
         np.add.at(counts, subj_of_row[pmask], 1)
+
+        # value-level checks see only THIS predicate's rows (sel):
+        # column takes shrink from |gathered rows| to |pred matches|
+        sel = np.flatnonzero(pmask)
+        sel_pa = pa.array(rows[sel]) if len(sel) else None
+        _pcols: dict[str, pa.Array] = {}
+
+        def getpcol(name: str) -> pa.Array | None:
+            if sel_pa is None:
+                return None
+            a = _pcols.get(name)
+            if a is None:
+                a = _pcols[name] = (
+                    idx._tbl.column(name).take(sel_pa).combine_chunks()
+                )
+            return a
 
         def emit_rows(node_positions, component, values=None):
             for j, pos in enumerate(node_positions):
@@ -1016,49 +1088,62 @@ def flat_eval_kernel(
                 emit_rows(bad, "MaxCount")
             elif kind == "datatype":
                 rx = _VEC_DATATYPE_RE[param]
-                is_lit = okind_np == "literal"
-                dt_np = (
-                    sub.column("obj_dt").combine_chunks().to_numpy(zero_copy_only=False)
-                    if sub is not None
-                    else np.zeros(0, dtype=object)
-                )
-                good = is_lit & (dt_np == param)
-                if rx is not None and sub is not None:
-                    lex_ok = pc.match_substring_regex(
-                        sub.column("obj_lex").combine_chunks(), rx
-                    ).to_numpy(zero_copy_only=False)
-                    good = good & lex_ok
-                bad_rows = np.flatnonzero(pmask & ~good)
-                if len(bad_rows):
+                okind = getpcol("obj_kind")
+                if okind is None:
+                    bad_local = np.zeros(0, dtype=np.int64)
+                else:
+                    good_a = pc.and_(
+                        pc.equal(okind, "literal"),
+                        pc.equal(getpcol("obj_dt"), param),
+                    )
+                    if rx is not None:
+                        good_a = pc.and_(
+                            good_a,
+                            pc.match_substring_regex(getpcol("obj_lex"), rx),
+                        )
+                    good = pc.fill_null(good_a, False).to_numpy(
+                        zero_copy_only=False
+                    )
+                    bad_local = np.flatnonzero(~good)
+                if len(bad_local):
+                    bad_rows = sel[bad_local]
                     viol[subj_of_row[bad_rows]] = True
                     emit_rows(
                         subj_of_row[bad_rows],
                         "Datatype",
-                        values=[vkey_col()[r] for r in bad_rows],
+                        values=vkeys_for(bad_rows),
                     )
             elif kind == "nodeKind":
                 allowed = _NODEKIND_ALLOWED[param]
-                good = np.isin(okind_np, allowed)
-                bad_rows = np.flatnonzero(pmask & ~good)
-                if len(bad_rows):
+                okind = getpcol("obj_kind")
+                if okind is None:
+                    bad_local = np.zeros(0, dtype=np.int64)
+                else:
+                    good = pc.is_in(
+                        okind, value_set=pa.array(list(allowed))
+                    ).to_numpy(zero_copy_only=False)
+                    bad_local = np.flatnonzero(~good)
+                if len(bad_local):
+                    bad_rows = sel[bad_local]
                     viol[subj_of_row[bad_rows]] = True
                     emit_rows(
                         subj_of_row[bad_rows],
                         "NodeKind",
-                        values=[vkey_col()[r] for r in bad_rows],
+                        values=vkeys_for(bad_rows),
                     )
             elif kind == "class":
-                crow = np.flatnonzero(pmask)
+                crow = sel
                 if not len(crow):
                     continue
-                vk = vkey_col()
+                vk = vkeys_for(crow)
+                okind_small = getpcol("obj_kind").to_pylist()
                 # literal values violate outright; iri/bnode values need
                 # an instance check (local lookup / cross-bucket dep),
                 # resolved once per DISTINCT value
-                for r in crow:
-                    v = vk[r]
+                for j, r in enumerate(crow):
+                    v = vk[j]
                     pos = subj_of_row[r]
-                    if okind_np[r] == "literal":
+                    if okind_small[j] == "literal":
                         viol[pos] = True
                         emit_rows([pos], "Class", values=[v])
                         continue
@@ -1130,6 +1215,16 @@ class BucketWorker:
             self.graph.add_part(tbl)
             n += tbl.num_rows
         self.graph.finalize()
+        # the index (plus whatever a REUSED worker process carried in from
+        # earlier task executions) is long-lived: freeze it out of the
+        # cyclic GC so the round kernels' allocations don't pay repeated
+        # gen2 scans over static objects. (Measured: modest — the dominant
+        # round cost was transient page-fault volume in the flat kernels,
+        # fixed by the column-at-a-time takes in flat_eval_kernel.)
+        import gc
+
+        gc.collect()
+        gc.freeze()
         return n
 
     # ---- in-bucket SHACL target derivation (focus_tasks="shacl-targets"):
@@ -1346,6 +1441,29 @@ class BucketWorker:
         assumptions = self.assumptions
         cache = self._local_cache
 
+        import os as _os
+        import time as _time
+
+        _dbg = _os.environ.get("SHACLEX_ROUND_DEBUG")
+        _tcal = _tflat = 0.0
+        _n_in = 0
+        _tloop0 = 0.0
+        if _dbg:
+            # fixed pure-Python calibration burn: if THIS inflates in a
+            # slow run, the interpreter/environment is slower (GC, cgroup,
+            # frequency), not the kernels
+            _c0 = _time.perf_counter()
+            _acc = 0
+            for _i in range(500_000):
+                _acc += _i ^ (_i >> 3)
+            _tcal = _time.perf_counter() - _c0
+            _n_in = len(self.pending)
+            if not hasattr(self, "_ru0"):
+                import resource as _res
+
+                self._ru0 = _res.getrusage(_res.RUSAGE_SELF)
+            _t0 = _time.perf_counter()
+
         # literals have no outgoing arcs, so without inverse constraints any
         # bucket evaluates them correctly (term-local fast path); WITH
         # inverse constraints a literal focus must run in its home bucket
@@ -1391,8 +1509,44 @@ class BucketWorker:
                 if sk_ in profiles:
                     by_shape.setdefault(sk_, []).append(nk_)
                     flat_handled.add(key)
-            for sk_, nks_ in sorted(by_shape.items()):
-                evaluator(sk_, nks_, is_local_key, decided, all_deps)
+            if (
+                by_shape
+                and me == 0
+                and _os.environ.get("SHACLEX_ROUND_PROFILE")
+                and not getattr(self, "_profiled", False)
+            ):
+                self._profiled = True
+                import cProfile
+                import io as _io
+                import pstats
+
+                pr = cProfile.Profile()
+                pr.enable()
+                for sk_, nks_ in sorted(by_shape.items()):
+                    evaluator(sk_, nks_, is_local_key, decided, all_deps)
+                pr.disable()
+                s = _io.StringIO()
+                pstats.Stats(pr, stream=s).sort_stats("cumulative").print_stats(25)
+                print(s.getvalue(), flush=True)
+            else:
+                for sk_, nks_ in sorted(by_shape.items()):
+                    evaluator(sk_, nks_, is_local_key, decided, all_deps)
+
+        if _dbg:
+            _tflat = _time.perf_counter() - _t0
+            _tloop0 = _time.perf_counter()
+            import resource as _res
+
+            _ru = _res.getrusage(_res.RUSAGE_SELF)
+            print(
+                f"[ru b{me}] ut={_ru.ru_utime - self._ru0.ru_utime:.2f} "
+                f"st={_ru.ru_stime - self._ru0.ru_stime:.2f} "
+                f"minflt={_ru.ru_minflt - self._ru0.ru_minflt} "
+                f"majflt={_ru.ru_majflt - self._ru0.ru_majflt} "
+                f"maxrss={_ru.ru_maxrss // 1024}MB",
+                flush=True,
+            )
+            self._ru0 = _ru
 
         for key in list(self.pending):
             if key in flat_handled:
@@ -1524,6 +1678,13 @@ class BucketWorker:
         answered = [
             (k[0], k[1], self.typing[k]) for k in decided if k in self.requested
         ]
+        if _dbg:
+            print(
+                f"[round b{me}] cal={_tcal * 1000:.0f}ms flat={_tflat:.2f}s "
+                f"loop={_time.perf_counter() - _tloop0:.2f}s "
+                f"in={_n_in} flat_n={len(flat_handled)} decided={len(decided)}",
+                flush=True,
+            )
         return len(decided), len(self.pending), sorted(all_deps), answered
 
     def ping(self):
@@ -1702,8 +1863,15 @@ def distributed_validate(
     # fixed cost at high bucket counts) overlaps the split below.
     # default actor semantics: num_cpus=1 for placement, 0 reserved while
     # alive — a large fleet never deadlocks a small cluster
+    _actor_cls = BucketWorker
+    if _os.environ.get("SHACLEX_FRESH_WORKERS"):
+        # debug: a distinct runtime_env forces dedicated (fresh) worker
+        # processes instead of reusing idle ones from earlier stages
+        _actor_cls = BucketWorker.options(
+            runtime_env={"env_vars": {"SHACLEX_FRESH": "1"}}
+        )
     workers = [
-        BucketWorker.remote(schema_ref, engine, nbuckets, b, spill_rows)
+        _actor_cls.remote(schema_ref, engine, nbuckets, b, spill_rows)
         for b in range(nbuckets)
     ]
     warmups = [w.ping.remote() for w in workers]
