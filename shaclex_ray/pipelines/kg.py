@@ -141,8 +141,25 @@ def run_kg_pipeline(
     links = runner.run("entity_links", digest, produce_links, read_links)
 
     def produce_canonical(path):
-        cano = canonicalize_triples(raw, links)
-        dd = dedup_triples_fast(cano, nbuckets=nbuckets).materialize()
+        bcast_max = int(_os.environ.get("SHACLEX_LINK_BCAST_THRESHOLD", "5000000"))
+        if isinstance(links, pa.Table) and links.num_rows < bcast_max:
+            # broadcast regime: canonicalization FUSES into the dedup
+            # exchange's map side, and the split tasks read the raw-triples
+            # checkpoint shards DIRECTLY — neither the raw input nor the
+            # rewritten table stages through the object store
+            from shaclex_ray.stages.dedup import dedup_triples_fast_from_parquet
+            from shaclex_ray.stages.link import entity_triples
+
+            t1, t2 = entity_triples(links)
+            dd = dedup_triples_fast_from_parquet(
+                f"{out_dir}/triples_raw",
+                nbuckets=nbuckets,
+                canonicalize_with=links,
+                extra_tables=[t1, t2],
+            ).materialize()
+        else:
+            cano = canonicalize_triples(raw, links)
+            dd = dedup_triples_fast(cano, nbuckets=nbuckets).materialize()
         dd.write_parquet(path)
         return dd.count()
 
@@ -162,6 +179,7 @@ def run_kg_pipeline(
             typing_ds, _report_ds = distributed_validate(
                 triples, "shacl", schema, "shacl-targets",
                 nbuckets=nbuckets, output_dir=path,
+                parquet_path=f"{out_dir}/triples_canonical",
             )
             stats = distributed_validate.last_stats
             return sum(v for k, v in stats.items() if k != "violations")

@@ -37,8 +37,6 @@ import pyarrow.compute as pc
 from shaclex_ray.terms import TRIPLE_ID_COLS
 
 DEFAULT_NBUCKETS = 64
-_SORT_COLS = TRIPLE_ID_COLS + ["doc_id", "span_idx"]
-_SORT_KEYS = [(c, "ascending") for c in _SORT_COLS]
 
 try:  # polars is baked into the runtime; keep a pandas fallback anyway
     import polars as _pl
@@ -82,50 +80,90 @@ def _dedup_id_filter(s: pa.Table) -> pa.Table:
     return s.filter(keep)
 
 
-def _hash_keep_mask(
-    s: pa.Table,
-    hs: np.ndarray,
-    id_cols: list[str] | None = None,
-    sort_keys: list | None = None,
-) -> np.ndarray:
-    """Keep-mask for a table sorted by row hash ``hs``: rows with a unique
-    hash survive untouched; rows inside an equal-hash run get the exact
-    (identity, witness) treatment and only the least witness per distinct
-    identity survives."""
-    id_cols = TRIPLE_ID_COLS if id_cols is None else id_cols
-    sort_keys = _SORT_KEYS if sort_keys is None else sort_keys
-    n = s.num_rows
-    if n <= 1:
-        return np.ones(n, dtype=bool)
-    eq_prev = np.zeros(n, dtype=bool)
-    eq_prev[1:] = hs[1:] == hs[:-1]
-    run = eq_prev.copy()
-    run[:-1] |= eq_prev[1:]
-    keep = np.ones(n, dtype=bool)
-    if not run.any():
-        return keep
-    sub_pos = np.nonzero(run)[0]
-    sub = s.take(pa.array(sub_pos))
-    # exact sort of just the duplicate fraction: hash first (confines
-    # string comparisons to within a run), then identity, then witness
-    subt = sub.append_column("_h", pa.array(hs[sub_pos]))
-    idx = pc.sort_indices(
-        subt, sort_keys=[("_h", "ascending")] + sort_keys
-    ).to_numpy()
-    ss = subt.take(pa.array(idx)).combine_chunks()
-    m = len(idx)
-    dup = np.ones(m, dtype=bool)  # True = identity equals previous row's
-    neq = None
+def _adjacent_identity_neq(tbl: pa.Table, id_cols: list[str]) -> np.ndarray:
+    """bool[n-1]: row i+1's identity differs from row i's (vectorized)."""
+    t = tbl.combine_chunks()
+    m = t.num_rows
+    neq = np.zeros(max(m - 1, 0), dtype=bool)
     for c in id_cols:
-        arr = ss.column(c).chunk(0)
-        d = pc.not_equal(arr.slice(1), arr.slice(0, m - 1)).to_numpy(
+        arr = t.column(c).chunk(0)
+        neq |= pc.not_equal(arr.slice(1), arr.slice(0, m - 1)).to_numpy(
             zero_copy_only=False
         )
-        neq = d if neq is None else (neq | d)
-    dup[0] = False
-    dup[1:] = ~neq
-    keep[sub_pos[idx[dup]]] = False
-    return keep
+    return neq
+
+
+def _keep_rows(
+    base: pa.Table,
+    order: np.ndarray,
+    hs: np.ndarray,
+    id_cols: list[str] | None = None,
+    witness_cols: list[str] | None = None,
+) -> np.ndarray:
+    """Surviving row indices (into ``base``), in ``order``'s sequence.
+
+    ``order`` must group equal hashes adjacently. Unique-hash rows
+    survive untouched; rows inside an equal-hash run get the exact
+    treatment: the run is ordered by the INTEGER witness columns (or kept
+    as-is when ``witness_cols`` is None — full-row distinct keeps any
+    one of a set of identical rows), the least witness per distinct
+    identity survives, and identity equality is VERIFIED by string
+    comparison. A run where verification finds a second identity (a
+    64-bit hash collision) is re-treated with a full multi-key sort, so
+    the result is exact — the string sort touches collision runs only,
+    never the whole duplicate fraction."""
+    id_cols = TRIPLE_ID_COLS if id_cols is None else id_cols
+    n = len(order)
+    if n <= 1:
+        return order
+    hso = hs[order]
+    eq_prev = np.zeros(n, dtype=bool)
+    eq_prev[1:] = hso[1:] == hso[:-1]
+    run = eq_prev.copy()
+    run[:-1] |= eq_prev[1:]
+    if not run.any():
+        return order
+    sub_pos = np.flatnonzero(run)  # positions in the sorted sequence
+    sub_rows = order[sub_pos]  # rows in base
+    h_sub = hso[sub_pos]
+    if witness_cols:
+        wit = [
+            base.column(c).take(pa.array(sub_rows)).to_numpy(zero_copy_only=False)
+            for c in reversed(witness_cols)
+        ]
+        idx = np.lexsort((*wit, h_sub))
+    else:
+        idx = np.arange(len(sub_pos))
+    sr = sub_rows[idx]
+    h_sorted = h_sub[idx]
+    neq = _adjacent_identity_neq(base.select(id_cols).take(pa.array(sr)), id_cols)
+    m = len(sr)
+    cont = np.zeros(m, dtype=bool)  # equal-hash continuation of previous row
+    cont[1:] = h_sorted[1:] == h_sorted[:-1]
+    keep_sub = ~cont  # keep each run's first (= least witness) row
+    coll = cont[1:] & neq  # same hash, different identity: collision
+    if coll.any():
+        run_ids = np.cumsum(~cont) - 1
+        bad_runs = np.unique(run_ids[1:][coll])
+        bp = np.flatnonzero(np.isin(run_ids, bad_runs))
+        bt = base.take(pa.array(sr[bp])).append_column(
+            "_h", pa.array(h_sorted[bp])
+        )
+        skeys = [("_h", "ascending")] + [
+            (c, "ascending") for c in list(id_cols) + list(witness_cols or [])
+        ]
+        sidx = pc.sort_indices(bt, sort_keys=skeys).to_numpy()
+        st = bt.take(pa.array(sidx))
+        nq = _adjacent_identity_neq(st.select(id_cols), id_cols)
+        hh = h_sorted[bp][sidx]
+        k = len(sidx)
+        keep_bad = np.ones(k, dtype=bool)
+        keep_bad[1:] = ~((hh[1:] == hh[:-1]) & ~nq)
+        keep_sub[bp] = False
+        keep_sub[bp[sidx[keep_bad]]] = True
+    keep_mask = np.ones(n, dtype=bool)
+    keep_mask[sub_pos[idx[~keep_sub]]] = False
+    return order[keep_mask]
 
 
 def _dedup_table(tbl: pa.Table) -> pa.Table:
@@ -135,9 +173,8 @@ def _dedup_table(tbl: pa.Table) -> pa.Table:
         return tbl
     h = _row_hash(tbl)
     order = np.argsort(h, kind="stable")
-    s = tbl.take(pa.array(order))
-    keep = _hash_keep_mask(s, h[order])
-    return s.filter(pa.array(keep))
+    kept = _keep_rows(tbl, order, h, TRIPLE_ID_COLS, ["doc_id", "span_idx"])
+    return tbl.take(pa.array(kept))
 
 
 def dedup_triples(triples_ds, nbuckets: int = DEFAULT_NBUCKETS):
@@ -167,7 +204,7 @@ def dedup_triples(triples_ds, nbuckets: int = DEFAULT_NBUCKETS):
 # explicit hash exchange (the north-star "salted hash shuffles +
 # per-partition triple-dedup sort-merge" with rows moving exactly once)
 
-def _dedup_split_impl(nbuckets: int, *tbls: pa.Table):
+def _dedup_split_impl(nbuckets: int, link_tbl, *tbls: pa.Table):
     from shaclex_ray.terms import TRIPLES_SCHEMA
 
     # zero-row blocks from upstream map_groups can carry an EMPTY schema —
@@ -175,19 +212,31 @@ def _dedup_split_impl(nbuckets: int, *tbls: pa.Table):
     real = [t for t in tbls if t.num_rows > 0]
     if not real:
         real = [TRIPLES_SCHEMA.empty_table()]
-    base = pa.concat_tables(real).combine_chunks()
+    if link_tbl is not None:
+        # fused canonicalization (broadcast regime): rewrite mention IRIs
+        # per block INSIDE the exchange's map side — the rewritten table
+        # never materializes as an intermediate Dataset in the object store
+        from shaclex_ray.stages.link import Canonicalizer
+
+        cz = Canonicalizer(link_tbl)
+        real = [cz(t) if t.num_rows else t for t in real]
+    # concat_tables is ZERO-COPY (chunked views); everything downstream
+    # (polars hash, takes) handles chunked columns — never flatten the
+    # full group into a fresh copy
+    base = pa.concat_tables(real)
     h = _row_hash(base)
     b = (h % np.uint64(nbuckets)).astype(np.int64)
     # ONE integer lexsort orders rows (bucket, hash): partition bounds and
     # the adjacency the dedup needs come from the same pass. Equal hashes
     # imply equal buckets, so hash runs never straddle a bucket boundary.
     order = np.lexsort((h, b))
-    s = base.take(pa.array(order))
-    keep = _hash_keep_mask(s, h[order])  # map-side combine
-    out = s.filter(pa.array(keep))
+    # map-side combine: surviving rows gathered in ONE take (the sorted
+    # full table is never materialized)
+    kept = _keep_rows(base, order, h, TRIPLE_ID_COLS, ["doc_id", "span_idx"])
+    out = base.take(pa.array(kept))
     if nbuckets == 1:
         return out  # num_returns=1: the single return IS the table
-    sorted_b = b[order][keep]
+    sorted_b = b[kept]
     bounds = np.searchsorted(sorted_b, np.arange(nbuckets + 1))
     return tuple(
         out.slice(bounds[i], bounds[i + 1] - bounds[i])
@@ -196,13 +245,81 @@ def _dedup_split_impl(nbuckets: int, *tbls: pa.Table):
 
 
 def _dedup_bucket_impl(*parts: pa.Table) -> pa.Table:
-    return _dedup_table(pa.concat_tables(list(parts)).combine_chunks())
+    return _dedup_table(pa.concat_tables(list(parts)))
 
 
-def dedup_triples_fast(triples_ds, nbuckets: int | None = None):
+def _dedup_split_files_impl(nbuckets: int, link_tbl, files: list[str]):
+    """Split variant reading its parquet shards DIRECTLY from storage —
+    the exchange input never stages through the object store."""
+    import pyarrow.parquet as pq
+
+    tbls = [pq.read_table(f) for f in files]
+    return _dedup_split_impl(nbuckets, link_tbl, *tbls)
+
+
+def dedup_triples_fast_from_parquet(
+    path: str,
+    nbuckets: int | None = None,
+    canonicalize_with: pa.Table | None = None,
+    extra_tables: list[pa.Table] | None = None,
+):
+    """File-granular fused exchange over a parquet checkpoint directory:
+    each split task reads its own shard files (storage → task heap, no
+    object-store staging), optionally applies the broadcast
+    canonicalization, and partitions in one pass. The 100-TB shape: input
+    bytes move exactly once, from storage into the exchange."""
+    import glob as _glob
+
+    import ray
+    import ray.data as rd
+
+    files = sorted(_glob.glob(f"{path}/*.parquet"))
+    if not files:
+        raise FileNotFoundError(f"no parquet shards under {path}")
+    if nbuckets is None:
+        nbuckets = max(8, int(ray.cluster_resources().get("CPU", 8)))
+    split_task = ray.remote(_dedup_split_files_impl)
+    bucket_task = ray.remote(_dedup_bucket_impl)
+    link_ref = (
+        ray.put(canonicalize_with) if canonicalize_with is not None else None
+    )
+    ngroups = max(1, min(len(files), nbuckets))
+    groups = [files[g::ngroups] for g in range(ngroups)]
+    split_refs = [
+        split_task.options(num_returns=nbuckets).remote(nbuckets, link_ref, grp)
+        for grp in groups
+    ]
+    if extra_tables:
+        extra_refs = [ray.put(t) for t in extra_tables]
+        split_refs.append(
+            ray.remote(_dedup_split_impl)
+            .options(num_returns=nbuckets)
+            .remote(nbuckets, None, *extra_refs)
+        )
+    if nbuckets == 1:
+        split_refs = [[r] for r in split_refs]
+    out_refs = [
+        bucket_task.remote(*[grp[b] for grp in split_refs]) for b in range(nbuckets)
+    ]
+    return rd.from_arrow_refs(out_refs)
+
+
+def dedup_triples_fast(
+    triples_ds,
+    nbuckets: int | None = None,
+    canonicalize_with: pa.Table | None = None,
+    extra_tables: list[pa.Table] | None = None,
+):
     """Explicit one-move hash exchange: blocks → map-side combine +
     single-sort partition → per-bucket sort-merge dedup; result wraps back
-    into a Dataset via from_arrow_refs (zero-copy)."""
+    into a Dataset via from_arrow_refs (zero-copy).
+
+    ``canonicalize_with``: small (broadcast) link table — the mention→
+    canonical rewrite runs fused inside the split tasks, so the rewritten
+    table never materializes between canonicalization and dedup (one full
+    object-store round-trip saved). ``extra_tables``: small side tables
+    (entity metadata triples) that join the exchange so witness selection
+    across rewritten+extra rows is identical to the unfused pipeline."""
     import ray
     import ray.data as rd
 
@@ -211,14 +328,26 @@ def dedup_triples_fast(triples_ds, nbuckets: int | None = None):
     split_task = ray.remote(_dedup_split_impl)
     bucket_task = ray.remote(_dedup_bucket_impl)
 
+    link_ref = (
+        ray.put(canonicalize_with) if canonicalize_with is not None else None
+    )
     mat = triples_ds.materialize()
     refs = mat.to_arrow_refs()
     ngroups = max(1, min(len(refs), nbuckets))
-    groups = [refs[g::ngroups] for g in range(ngroups)]
+    groups = [list(refs[g::ngroups]) for g in range(ngroups)]
+    extra_refs = [ray.put(t) for t in (extra_tables or [])]
     split_refs = [
-        split_task.options(num_returns=nbuckets).remote(nbuckets, *grp)
+        split_task.options(num_returns=nbuckets).remote(nbuckets, link_ref, *grp)
         for grp in groups
     ]
+    if extra_refs:
+        # extras bypass the rewrite (they are already canonical) but join
+        # the same exchange via one extra split task
+        split_refs.append(
+            split_task.options(num_returns=nbuckets).remote(
+                nbuckets, None, *extra_refs
+            )
+        )
     if nbuckets == 1:
         split_refs = [[r] for r in split_refs]
     out_refs = [
@@ -243,18 +372,15 @@ def _distinct_split_impl(nbuckets: int, cols: list[str], *tbls: pa.Table):
                 break
         empty = schema.empty_table()
         return empty if nbuckets == 1 else tuple(empty for _ in range(nbuckets))
-    base = pa.concat_tables(real).combine_chunks()
+    base = pa.concat_tables(real)
     h = _row_hash(base, cols)
     b = (h % np.uint64(nbuckets)).astype(np.int64)
     order = np.lexsort((h, b))
-    s = base.take(pa.array(order))
-    keep = _hash_keep_mask(
-        s, h[order], id_cols=cols, sort_keys=[(c, "ascending") for c in cols]
-    )
-    out = s.filter(pa.array(keep))
+    kept = _keep_rows(base, order, h, id_cols=cols, witness_cols=None)
+    out = base.take(pa.array(kept))
     if nbuckets == 1:
         return out
-    sorted_b = b[order][keep]
+    sorted_b = b[kept]
     bounds = np.searchsorted(sorted_b, np.arange(nbuckets + 1))
     return tuple(
         out.slice(bounds[i], bounds[i + 1] - bounds[i])
@@ -263,16 +389,13 @@ def _distinct_split_impl(nbuckets: int, cols: list[str], *tbls: pa.Table):
 
 
 def _distinct_bucket_impl(cols: list[str], *parts: pa.Table):
-    base = pa.concat_tables(list(parts)).combine_chunks()
+    base = pa.concat_tables(list(parts))
     if base.num_rows <= 1:
         return base
     h = _row_hash(base, cols)
     order = np.argsort(h, kind="stable")
-    s = base.take(pa.array(order))
-    keep = _hash_keep_mask(
-        s, h[order], id_cols=cols, sort_keys=[(c, "ascending") for c in cols]
-    )
-    return s.filter(pa.array(keep))
+    kept = _keep_rows(base, order, h, id_cols=cols, witness_cols=None)
+    return base.take(pa.array(kept))
 
 
 def distinct_rows_fast(ds, nbuckets: int | None = None):

@@ -392,7 +392,18 @@ class _DistShacl(ShaclValidator):
 # the one-time shuffle: split triple blocks into per-bucket sub-tables
 
 @ray.remote
-def _split_block(nbuckets: int, include_inverse: bool, *tbls: pa.Table):
+def _split_block_files(nbuckets: int, include_inverse: bool, files: list):
+    """Split variant reading parquet shards DIRECTLY from storage (arc
+    columns only) — the exchange input never stages through the object
+    store."""
+    import pyarrow.parquet as pq
+
+    cols = ["subj", "pred", "obj_kind", "obj_lex", "obj_dt", "obj_lang"]
+    tbls = [pq.read_table(f, columns=cols) for f in files]
+    return _split_block_plain(nbuckets, include_inverse, *tbls)
+
+
+def _split_block_plain(nbuckets: int, include_inverse: bool, *tbls: pa.Table):
     """A group of triples blocks -> nbuckets sub-tables. Each sub-table
     carries a 'rev' column: false = outgoing arc stored at its subject's
     bucket, true = reversed copy stored at its (IRI/bnode) object's
@@ -682,6 +693,9 @@ _NODEKIND_ALLOWED = {
     _SH + "BlankNodeOrLiteral": ("bnode", "literal"),
     _SH + "IRIOrLiteral": ("iri", "literal"),
 }
+
+
+_split_block = ray.remote(_split_block_plain)
 
 
 def flat_shacl_profile(schema: dict) -> dict[str, list]:
@@ -1826,6 +1840,7 @@ def distributed_validate(
     max_rounds: int = 12,
     output_dir: str | None = None,
     spill_rows: int | None = None,
+    parquet_path: str | None = None,
 ):
     """Run the BSP typing fixpoint.
 
@@ -1877,17 +1892,35 @@ def distributed_validate(
     warmups = [w.ping.remote() for w in workers]
 
     # ---- one-time shuffle: block groups -> per-bucket parts -> actors
-    mat = triples_ds.materialize()
-    block_refs = mat.to_arrow_refs()
-    _mark("materialize")
-    ngroups = max(1, min(len(block_refs), nbuckets))
-    groups = [block_refs[g::ngroups] for g in range(ngroups)]
-    split_refs = [
-        _split_block.options(num_returns=nbuckets).remote(
-            nbuckets, include_inverse, *grp
-        )
-        for grp in groups
-    ]
+    if parquet_path is not None:
+        # file-granular exchange: split tasks read their parquet shards
+        # directly (storage → task heap, no object-store staging)
+        import glob as _glob
+
+        files = sorted(_glob.glob(f"{parquet_path}/*.parquet"))
+        if not files:
+            raise FileNotFoundError(f"no parquet shards under {parquet_path}")
+        _mark("materialize")
+        ngroups = max(1, min(len(files), nbuckets))
+        fgroups = [files[g::ngroups] for g in range(ngroups)]
+        split_refs = [
+            _split_block_files.options(num_returns=nbuckets).remote(
+                nbuckets, include_inverse, grp
+            )
+            for grp in fgroups
+        ]
+    else:
+        mat = triples_ds.materialize()
+        block_refs = mat.to_arrow_refs()
+        _mark("materialize")
+        ngroups = max(1, min(len(block_refs), nbuckets))
+        groups = [block_refs[g::ngroups] for g in range(ngroups)]
+        split_refs = [
+            _split_block.options(num_returns=nbuckets).remote(
+                nbuckets, include_inverse, *grp
+            )
+            for grp in groups
+        ]
     if nbuckets == 1:
         split_refs = [[r] for r in split_refs]
     ray.wait(
