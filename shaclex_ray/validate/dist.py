@@ -1051,8 +1051,12 @@ def flat_eval_kernel(
     blocked: dict[int, set] = {}  # node position -> unresolved deps
     reports: list[list] = [[] for _ in range(n)]
     inst_memo: dict[tuple[str, str], object] = {}
+    # pos -> [(value, class param, profile index)] for dep-unresolved class
+    # checks: lets later rounds resolve JUST the deps from a stored partial
+    # instead of re-running the whole kernel (see BucketWorker._flat_eval)
+    pending_class: dict[int, list] = {}
 
-    for prof in profile:
+    for prof_i, prof in enumerate(profile):
         pred = prof["pred"]
         if pred_np is not None:
             pmask = pc.equal(pred_np, pred).to_numpy(zero_copy_only=False)
@@ -1174,11 +1178,14 @@ def flat_eval_kernel(
                         inst_memo[memo_key] = st
                     if st == "dep":
                         blocked.setdefault(pos, set()).add((v, "class:" + param))
+                        pending_class.setdefault(pos, []).append(
+                            (v, param, prof_i)
+                        )
                     elif st is False:
                         viol[pos] = True
                         emit_rows([pos], "Class", values=[v])
 
-    return viol, blocked, reports
+    return viol, blocked, reports, pending_class
 
 
 @ray.remote
@@ -1222,6 +1229,9 @@ class BucketWorker:
         # vectorizable-shape profiles (computed lazily once per actor)
         self._flat_profiles: dict[str, list] | None = None
         self._flat_shex_profiles: dict[str, list] | None = None
+        # flat pair -> (viol_so_far, report rows, unresolved class deps):
+        # later rounds finish from here instead of re-running the kernel
+        self._flat_partial: dict[tuple[str, str], tuple] = {}
 
     def load(self, *parts: pa.Table) -> int:
         n = 0
@@ -1369,7 +1379,7 @@ class BucketWorker:
         state). Produces identical verdicts and report rows (multiset) to
         ShaclValidator.validate_shape — pinned by tests comparing against
         the local path and fuzzed in tests/test_property.py."""
-        viol, blocked, reports = flat_eval_kernel(
+        viol, blocked, reports, pending_class = flat_eval_kernel(
             self._flat_profiles[shape_key],
             node_keys,
             self.graph,
@@ -1379,7 +1389,9 @@ class BucketWorker:
         )
         # decide the unblocked; register deps for the blocked (identical
         # dep combinations share ONE set object — millions of pairs block
-        # on a handful of hub values)
+        # on a handful of hub values). Blocked pairs keep a PARTIAL result
+        # (violation state so far + report rows + unresolved class deps):
+        # later rounds resolve just the deps, never re-running the kernel.
         interned: dict[tuple, set] = {}
         for pos, nk in enumerate(node_keys):
             key = (nk, shape_key)
@@ -1390,11 +1402,55 @@ class BucketWorker:
                     shared = interned[sig] = set(sig)
                     all_deps |= {d for d in shared if d not in self.assumptions}
                 self.blocked_on[key] = shared
+                self._flat_partial[key] = (
+                    bool(viol[pos]),
+                    reports[pos],
+                    pending_class.get(pos, []),
+                )
                 continue
             self.typing[key] = "notConforms" if viol[pos] else "conforms"
             decided.append(key)
             if key in self.focus_flags:
                 self.reports.extend(reports[pos])
+
+    def _flat_resolve_partial(self, key, decided, all_deps):
+        """Finish a flat-SHACL pair from its stored partial: resolve the
+        remaining class deps against assumptions (emitting the same Class
+        report rows the kernel would), re-block on any still-unanswered
+        dep. Verdict/report parity with a full kernel re-run is pinned by
+        tests/test_dist_regressions.py."""
+        viol_so_far, rows, pend = self._flat_partial[key]
+        profile = self._flat_profiles[key[1]]
+        still = []
+        for v, param, prof_i in pend:
+            a = self.assumptions.get((v, "class:" + param))
+            if a is None:
+                still.append((v, param, prof_i))
+            elif not a:
+                viol_so_far = True
+                prof = profile[prof_i]
+                rows.append(
+                    {
+                        "focus": key[0],
+                        "path": prof["pred"],
+                        "value": v,
+                        "component": _component_iri("Class"),
+                        "severity": prof["severity"],
+                        "source": prof["key"],
+                        "message": prof["message"],
+                    }
+                )
+        if still:
+            self._flat_partial[key] = (viol_so_far, rows, still)
+            deps = {(v, "class:" + p) for v, p, _ in still}
+            self.blocked_on[key] = deps
+            all_deps |= deps
+            return
+        del self._flat_partial[key]
+        self.typing[key] = "notConforms" if viol_so_far else "conforms"
+        decided.append(key)
+        if key in self.focus_flags:
+            self.reports.extend(rows)
 
     def _shex_ref_probe(self, vkey: str, label: str, is_local_key):
         """Resolve a flat-ShEx ref valueExpr for one distinct value:
@@ -1521,6 +1577,12 @@ class BucketWorker:
                     continue
                 nk_, sk_ = key
                 if sk_ in profiles:
+                    if key in self._flat_partial:
+                        # deps answered: finish from the stored partial
+                        # (no kernel re-run over the pair's arcs)
+                        self._flat_resolve_partial(key, decided, all_deps)
+                        flat_handled.add(key)
+                        continue
                     by_shape.setdefault(sk_, []).append(nk_)
                     flat_handled.add(key)
             if (
@@ -1721,6 +1783,7 @@ class BucketWorker:
                 n += 1
         self.pending.clear()
         self.blocked_on.clear()
+        self._flat_partial.clear()
         return n
 
     def assume_deps(self, deps: list):

@@ -393,3 +393,68 @@ def test_inline_shape_dep_routed_to_home_bucket(ray_session):
         )
         f = typing.filter(typing.column("is_focus"))
         assert f.column("val")[0].as_py() == "notConforms", nb
+
+
+def test_flat_partial_class_violation_rows(ray_session):
+    """A class dep that FAILS cross-bucket resolves through the stored
+    flat partial in a later round and must emit the same Class report
+    rows (and verdicts) as the per-focus fallback path."""
+    import ray.data as rd
+
+    from shaclex_ray.rdfio import parse_turtle
+    from shaclex_ray.shapes.shacl import compile_shacl
+    from shaclex_ray.validate.dist import distributed_validate, resolve_shacl_targets
+
+    ttl = """
+    @prefix sh: <http://www.w3.org/ns/shacl#> .
+    @prefix ex: <http://ex.org/> .
+    ex:DocShape a sh:NodeShape ;
+      sh:targetClass ex:Document ;
+      sh:property [ sh:path ex:mentions ; sh:class ex:Entity ; sh:minCount 1 ] .
+    """
+    data = """
+    @prefix ex: <http://ex.org/> .
+    @prefix rdf: <http://www.w3.org/1999/02/22-rdf-syntax-ns#> .
+    ex:d1 rdf:type ex:Document ; ex:mentions ex:e1 ; ex:mentions ex:bad1 .
+    ex:d2 rdf:type ex:Document ; ex:mentions ex:bad2 .
+    ex:d3 rdf:type ex:Document ; ex:mentions ex:e1 .
+    ex:e1 rdf:type ex:Entity .
+    ex:bad1 rdf:type ex:Other .
+    ex:bad2 ex:p ex:q .
+    """
+    from shaclex_ray.terms import triples_to_table
+
+    tbl = triples_to_table(parse_turtle(data))
+    ds = rd.from_arrow(tbl)
+
+    def run(no_flat):
+        schema = compile_shacl(parse_turtle(ttl))
+        if no_flat:
+            schema["_no_flat"] = True
+        focus = resolve_shacl_targets(ds, schema)
+        return distributed_validate(ds, "shacl", schema, focus, nbuckets=4)
+
+    t1, r1 = run(False)
+    t2, r2 = run(True)
+
+    def nr(r):
+        return sorted(
+            zip(
+                r.column("focus_node").to_pylist(),
+                r.column("path").to_pylist(),
+                r.column("value_lex").to_pylist(),
+                r.column("component").to_pylist(),
+            )
+        )
+
+    def nt(t):
+        return sorted(
+            zip(t.column("node").to_pylist(), t.column("shape").to_pylist(),
+                t.column("val").to_pylist())
+        )
+
+    assert nt(t1) == nt(t2)
+    assert nr(r1) == nr(r2)
+    # both bad mentions produced a Class violation row
+    comps = [c for _, _, _, c in nr(r1)]
+    assert sum("ClassConstraintComponent" in c for c in comps) == 2

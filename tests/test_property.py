@@ -263,7 +263,7 @@ def test_flat_shacl_kernel_matches_validator(props, arcs, typed):
                 return True
         return False
 
-    viol, blocked, reports = flat_eval_kernel(
+    viol, blocked, reports, _pending = flat_eval_kernel(
         profiles["Ihttp://e/S"],
         [term_key(focus)],
         g,
