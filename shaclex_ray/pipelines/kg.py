@@ -93,10 +93,18 @@ def run_kg_pipeline(
     digest = f"{sf_dir}|nb={nbuckets}|rev={rev}"
 
     def produce_raw(path):
+        # extract streams straight into the parquet checkpoint (no pinned
+        # materialize of the raw table); count comes from file metadata
         docs = read_documents(sf_dir)
-        raw = extract_triples(docs).materialize()
-        raw.write_parquet(path)
-        return raw.count()
+        extract_triples(docs).write_parquet(path)
+        import glob as _glob
+
+        import pyarrow.parquet as _pq
+
+        return sum(
+            _pq.ParquetFile(f).metadata.num_rows
+            for f in _glob.glob(f"{path}/*.parquet")
+        )
 
     raw = runner.run("triples_raw", digest, produce_raw, lambda p: rd.read_parquet(p))
 
@@ -104,7 +112,11 @@ def run_kg_pipeline(
         import os as _os3
 
         _os3.makedirs(f"{path}/shards", exist_ok=True)
-        links = build_entity_links(raw)
+        # mention harvesting touches only (pred, obj_lex): prune at the read
+        raw_pruned = rd.read_parquet(
+            f"{out_dir}/triples_raw", columns=["pred", "obj_lex"]
+        )
+        links = build_entity_links(raw_pruned)
         if isinstance(links, pa.Table):
             import pyarrow.parquet as pq
 
