@@ -59,10 +59,20 @@ def kg_schema() -> dict:
 
 def build_triples(sf_dir: str):
     """documents → canonical deduped triple Dataset (no checkpointing —
-    the streaming composition used by queries()/tests)."""
+    the streaming composition used by queries()/tests). Broadcast-size
+    link tables take the fused canonicalize+dedup exchange (same rows,
+    pinned by tests/test_dedup_kernel.py)."""
     docs = read_documents(sf_dir)
     raw = extract_triples(docs).materialize()
     links = build_entity_links(raw)
+    if isinstance(links, pa.Table):
+        from shaclex_ray.stages.link import entity_triples
+
+        t1, t2 = entity_triples(links)
+        dd = dedup_triples_fast(
+            raw, canonicalize_with=links, extra_tables=[t1, t2]
+        )
+        return dd, links
     cano = canonicalize_triples(raw, links)
     return dedup_triples(cano), links
 

@@ -323,8 +323,6 @@ def dedup_triples_fast(
     import ray
     import ray.data as rd
 
-    if nbuckets is None:
-        nbuckets = max(8, int(ray.cluster_resources().get("CPU", 8)))
     split_task = ray.remote(_dedup_split_impl)
     bucket_task = ray.remote(_dedup_bucket_impl)
 
@@ -333,6 +331,10 @@ def dedup_triples_fast(
     )
     mat = triples_ds.materialize()
     refs = mat.to_arrow_refs()
+    if nbuckets is None:
+        # size the exchange to the data (see distinct_rows_fast)
+        ncpu = int(ray.cluster_resources().get("CPU", 8))
+        nbuckets = max(1, min(ncpu, mat.count() // 200_000 + 1))
     ngroups = max(1, min(len(refs), nbuckets))
     groups = [list(refs[g::ngroups]) for g in range(ngroups)]
     extra_refs = [ray.put(t) for t in (extra_tables or [])]
@@ -405,11 +407,15 @@ def distinct_rows_fast(ds, nbuckets: int | None = None):
     import ray
     import ray.data as rd
 
-    if nbuckets is None:
-        nbuckets = max(8, int(ray.cluster_resources().get("CPU", 8)))
     mat = ds.materialize()
     refs = mat.to_arrow_refs()
     cols = mat.schema().names
+    if nbuckets is None:
+        # size the exchange to the DATA, not the cluster: a tiny distinct
+        # must not fan out cpus x cpus near-empty objects (a 32x32 grid of
+        # ~0-row slices costs seconds of dispatch for nothing)
+        ncpu = int(ray.cluster_resources().get("CPU", 8))
+        nbuckets = max(1, min(ncpu, mat.count() // 200_000 + 1))
     split_task = ray.remote(_distinct_split_impl)
     bucket_task = ray.remote(_distinct_bucket_impl)
     ngroups = max(1, min(len(refs), nbuckets))
