@@ -214,7 +214,7 @@ def main():
     # in BASELINE.md); min-of-2 measures the pipeline, not the daemon
     runs = [
         run_headline(sf_dir, f"{bench_base}/graft_bench/{num_cpus}")
-        for _ in range(2)
+        for _ in range(int(os.environ.get("GRAFT_HEADLINE_RUNS", "2")))
     ]
     headline = min(runs, key=lambda h: h["wall_sec"])
     out = {

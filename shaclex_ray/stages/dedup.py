@@ -127,11 +127,21 @@ def _keep_rows(
     sub_rows = order[sub_pos]  # rows in base
     h_sub = hso[sub_pos]
     if witness_cols:
-        wit = [
-            base.column(c).take(pa.array(sub_rows)).to_numpy(zero_copy_only=False)
-            for c in reversed(witness_cols)
-        ]
-        idx = np.lexsort((*wit, h_sub))
+        # hash-then-witness sort of the dup subset via Arrow's C multi-key
+        # sort (doc_id is a STRING column — np.lexsort would fall back to
+        # object-dtype Python comparisons)
+        sub_rows_pa = pa.array(sub_rows)
+        wt = pa.table(
+            {
+                "_h": pa.array(h_sub),
+                **{c: base.column(c).take(sub_rows_pa) for c in witness_cols},
+            }
+        )
+        idx = pc.sort_indices(
+            wt,
+            sort_keys=[("_h", "ascending")]
+            + [(c, "ascending") for c in witness_cols],
+        ).to_numpy()
     else:
         idx = np.arange(len(sub_pos))
     sr = sub_rows[idx]
@@ -283,7 +293,20 @@ def dedup_triples_fast_from_parquet(
     link_ref = (
         ray.put(canonicalize_with) if canonicalize_with is not None else None
     )
-    ngroups = max(1, min(len(files), nbuckets))
+    # bound rows per split group, NOT groups per cpu: a group must fit a
+    # task heap (~2M rows ≈ 300MB + working copies) regardless of input
+    # volume — at 10-100x the corpus, cpu-count-sized groups balloon to
+    # gigabytes each and the concurrent peak thrashes the node
+    import math as _math
+    import os as _os
+
+    import pyarrow.parquet as _pq
+
+    total_rows = sum(
+        _pq.ParquetFile(f).metadata.num_rows for f in files
+    )
+    target = int(_os.environ.get("SHACLEX_SPLIT_ROWS", "2000000"))
+    ngroups = max(1, min(len(files), _math.ceil(total_rows / target)))
     groups = [files[g::ngroups] for g in range(ngroups)]
     split_refs = [
         split_task.options(num_returns=nbuckets).remote(nbuckets, link_ref, grp)
@@ -331,11 +354,18 @@ def dedup_triples_fast(
     )
     mat = triples_ds.materialize()
     refs = mat.to_arrow_refs()
+    total_rows = mat.count()
     if nbuckets is None:
         # size the exchange to the data (see distinct_rows_fast)
         ncpu = int(ray.cluster_resources().get("CPU", 8))
-        nbuckets = max(1, min(ncpu, mat.count() // 200_000 + 1))
-    ngroups = max(1, min(len(refs), nbuckets))
+        nbuckets = max(1, min(ncpu, total_rows // 200_000 + 1))
+    import math as _math
+    import os as _os2
+
+    target = int(_os2.environ.get("SHACLEX_SPLIT_ROWS", "2000000"))
+    ngroups = max(
+        1, min(len(refs), max(nbuckets, _math.ceil(total_rows / target)))
+    )
     groups = [list(refs[g::ngroups]) for g in range(ngroups)]
     extra_refs = [ray.put(t) for t in (extra_tables or [])]
     split_refs = [
@@ -418,7 +448,14 @@ def distinct_rows_fast(ds, nbuckets: int | None = None):
         nbuckets = max(1, min(ncpu, mat.count() // 200_000 + 1))
     split_task = ray.remote(_distinct_split_impl)
     bucket_task = ray.remote(_distinct_bucket_impl)
-    ngroups = max(1, min(len(refs), nbuckets))
+    import math as _math
+    import os as _os3
+
+    target = int(_os3.environ.get("SHACLEX_SPLIT_ROWS", "2000000"))
+    ngroups = max(
+        1,
+        min(len(refs), max(nbuckets, _math.ceil(mat.count() / target))),
+    )
     groups = [refs[g::ngroups] for g in range(ngroups)]
     split_refs = [
         split_task.options(num_returns=nbuckets).remote(nbuckets, cols, *grp)

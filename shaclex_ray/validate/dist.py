@@ -1964,7 +1964,15 @@ def distributed_validate(
         if not files:
             raise FileNotFoundError(f"no parquet shards under {parquet_path}")
         _mark("materialize")
-        ngroups = max(1, min(len(files), nbuckets))
+        # bound rows per split group (not groups per cpu): task heap must
+        # hold a group + working copies at ANY corpus scale
+        import math as _math
+
+        import pyarrow.parquet as _pq
+
+        total_rows = sum(_pq.ParquetFile(f).metadata.num_rows for f in files)
+        target = int(_os.environ.get("SHACLEX_SPLIT_ROWS", "2000000"))
+        ngroups = max(1, min(len(files), _math.ceil(total_rows / target)))
         fgroups = [files[g::ngroups] for g in range(ngroups)]
         split_refs = [
             _split_block_files.options(num_returns=nbuckets).remote(
