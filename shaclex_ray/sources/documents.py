@@ -138,6 +138,166 @@ def build_spans_batch(batch: pa.Table) -> pa.Table:
     )
 
 
+def build_spans_batch_vec(batch: pa.Table) -> pa.Table:
+    """Vectorized span builder — identical output to ``build_spans_batch``
+    (pinned by tests/test_spans_vec.py) built from Arrow/numpy kernels:
+
+      tokens   = one split_pattern; chunk texts = one binary_join over a
+                 re-windowed ListArray (split-on-single-space and join are
+                 inverses, so chunk text == original slice)
+      entities = is_in over the flat token array; case variants from
+                 utf8_upper / first-char-upper via slice+join
+      media    = modular arithmetic on the (doc, chunk) grid; md5 loop
+                 only over the qualifying ~1/MEDIA_EVERY of chunks
+      order    = one integer lexsort over (doc, chunk, rank, token-pos)
+
+    Falls back to the per-row builder for batches containing empty texts
+    (the split/join inverse needs ≥1 token per doc)."""
+    import numpy as np
+    import pyarrow.compute as pc
+
+    ndocs = batch.num_rows
+    if ndocs == 0:
+        return build_spans_batch(batch)
+    texts = batch.column("text").combine_chunks()
+    if pc.any(pc.equal(pc.utf8_length(texts), 0)).as_py() or texts.null_count:
+        return build_spans_batch(batch)
+    doc_ids = batch.column("doc_id").combine_chunks().to_numpy()
+
+    toks_list = pc.split_pattern(texts, " ")
+    lens = np.asarray(toks_list.value_lengths())
+    flat = pc.list_flatten(toks_list)
+    T = len(flat)
+    doc_starts = np.concatenate([[0], np.cumsum(lens)])
+    doc_of_tok = np.repeat(np.arange(ndocs, dtype=np.int64), lens)
+    pos_in_doc = np.arange(T, dtype=np.int64) - np.repeat(doc_starts[:-1], lens)
+    chunk_of_tok = pos_in_doc // CHUNK
+
+    # ---- text spans: re-window the flat tokens at CHUNK boundaries and
+    # join each window (one C pass)
+    chunk_start_tok = np.flatnonzero(pos_in_doc % CHUNK == 0)
+    chunk_offsets = np.concatenate([chunk_start_tok, [T]]).astype(np.int32)
+    chunk_lists = pa.ListArray.from_arrays(pa.array(chunk_offsets), flat)
+    chunk_texts = pc.binary_join(chunk_lists, " ")
+    nchunks = (lens + CHUNK - 1) // CHUNK
+    doc_of_chunk = np.repeat(np.arange(ndocs, dtype=np.int64), nchunks)
+    chunk_starts = np.concatenate([[0], np.cumsum(nchunks)])
+    chunk_idx = (
+        np.arange(len(chunk_offsets) - 1, dtype=np.int64)
+        - np.repeat(chunk_starts[:-1], nchunks)
+    )
+
+    # ---- entity spans
+    ent_sel = np.flatnonzero(
+        pc.is_in(flat, value_set=pa.array(list(_ENTITY_SET)))
+        .to_numpy(zero_copy_only=False)
+    )
+    tok_e = flat.take(pa.array(ent_sel))
+    ent_doc = doc_of_tok[ent_sel]
+    ent_pos = pos_in_doc[ent_sel]
+    variant = (doc_ids[ent_doc] + ent_pos) % 3
+    upper = pc.utf8_upper(tok_e)
+    cap = pc.binary_join_element_wise(
+        pc.utf8_upper(pc.utf8_slice_codeunits(tok_e, 0, 1)),
+        pc.utf8_slice_codeunits(tok_e, 1, 2**30),
+        "",
+    )
+    var_pa = pa.array(variant)
+    ent_surface = pc.if_else(
+        pc.equal(var_pa, 1), upper, pc.if_else(pc.equal(var_pa, 2), cap, tok_e)
+    )
+
+    # ---- media spans: qualifying cells of the (doc, chunk) grid
+    med_sel = np.flatnonzero((doc_ids[doc_of_chunk] + chunk_idx) % MEDIA_EVERY == 0)
+    med_doc = doc_of_chunk[med_sel]
+    med_refs = [
+        "media://h/"
+        + hashlib.md5(f"{doc_id_str(d)}/{c}".encode()).hexdigest()
+        for d, c in zip(doc_ids[med_doc], chunk_idx[med_sel])
+    ]
+
+    # ---- interleave: (doc, chunk, rank, token-pos); text=0 entity=1 media=2
+    n_text, n_ent, n_med = len(chunk_texts), len(ent_sel), len(med_sel)
+    key_doc = np.concatenate([doc_of_chunk, ent_doc, med_doc])
+    key_chunk = np.concatenate(
+        [chunk_idx, chunk_of_tok[ent_sel], chunk_idx[med_sel]]
+    )
+    key_rank = np.concatenate(
+        [
+            np.zeros(n_text, np.int64),
+            np.ones(n_ent, np.int64),
+            np.full(n_med, 2, np.int64),
+        ]
+    )
+    key_pos = np.concatenate(
+        [np.zeros(n_text, np.int64), ent_pos, np.zeros(n_med, np.int64)]
+    )
+    order = np.lexsort((key_pos, key_rank, key_chunk, key_doc))
+
+    kinds_all = pa.concat_arrays(
+        [
+            pa.array(["text"] * n_text, pa.string()),
+            pa.array(["entity"] * n_ent, pa.string()),
+            pa.array(["image"] * n_med, pa.string()),
+        ]
+    )
+    texts_all = pa.concat_arrays(
+        [
+            chunk_texts.combine_chunks()
+            if isinstance(chunk_texts, pa.ChunkedArray)
+            else chunk_texts,
+            ent_surface.combine_chunks()
+            if isinstance(ent_surface, pa.ChunkedArray)
+            else ent_surface,
+            pa.array([""] * n_med, pa.string()),
+        ]
+    )
+    refs_all = pa.concat_arrays(
+        [
+            pa.array([""] * n_text, pa.string()),
+            pa.array([""] * n_ent, pa.string()),
+            pa.array(med_refs, pa.string()),
+        ]
+    )
+    order_pa = pa.array(order)
+    sorted_doc = key_doc[order]
+    # per-doc span ordinal (offset column)
+    total = n_text + n_ent + n_med
+    span_counts = np.bincount(sorted_doc, minlength=ndocs)
+    span_starts = np.concatenate([[0], np.cumsum(span_counts)])
+    ordinals = np.arange(total, dtype=np.int64) - np.repeat(
+        span_starts[:-1], span_counts
+    )
+
+    spans = pa.ListArray.from_arrays(
+        pa.array(span_starts, pa.int32()),
+        pa.StructArray.from_arrays(
+            [
+                kinds_all.take(order_pa),
+                texts_all.take(order_pa),
+                refs_all.take(order_pa),
+                pa.array(ordinals, pa.int32()),
+            ],
+            fields=list(SPAN_STRUCT),
+        ),
+    )
+    out_ids = pc.binary_join_element_wise(
+        "doc-",
+        pc.utf8_lpad(pc.cast(batch.column("doc_id"), pa.string()), 8, "0"),
+        "",
+    )
+    return pa.table(
+        {
+            "doc_id": out_ids.combine_chunks()
+            if isinstance(out_ids, pa.ChunkedArray)
+            else out_ids,
+            "spans": spans,
+            "lang": batch.column("lang"),
+            "source": batch.column("source"),
+        }
+    )
+
+
 def read_documents(sf_dir: str, parallelism: int = 32) -> "ray.data.Dataset":
     """sf_dir/documents.parquet -> interleaved-span documents Dataset.
 
@@ -163,4 +323,4 @@ def read_documents(sf_dir: str, parallelism: int = 32) -> "ray.data.Dataset":
         ds = ray.data.read_parquet(
             path, columns=["doc_id", "text", "lang", "source"]
         )
-    return ds.map_batches(build_spans_batch, batch_format="pyarrow")
+    return ds.map_batches(build_spans_batch_vec, batch_format="pyarrow")
