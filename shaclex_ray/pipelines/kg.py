@@ -194,13 +194,26 @@ def run_kg_pipeline(
 
         def produce_validation(path):
             schema = kg_schema()
+            # size the actor fleet to the DATA: a 100k-triple corpus must
+            # not pay 32 actor spawns (cluster-sized nbuckets stays the
+            # cap so big corpora use the whole cluster)
+            import glob as _glob
+            import math as _math
+
+            import pyarrow.parquet as _pq
+
+            canon_rows = sum(
+                _pq.ParquetFile(f).metadata.num_rows
+                for f in _glob.glob(f"{out_dir}/triples_canonical/*.parquet")
+            )
+            nb = max(8, min(nbuckets, _math.ceil(canon_rows / 100_000)))
             # targets derive in-bucket (focus="shacl-targets"): the split
             # scan is the ONLY pass over the triples; bucket actors write
             # their own typing/report shards — the full tables never
             # concat on the driver
             typing_ds, _report_ds = distributed_validate(
                 triples, "shacl", schema, "shacl-targets",
-                nbuckets=nbuckets, output_dir=path,
+                nbuckets=nb, output_dir=path,
                 parquet_path=f"{out_dir}/triples_canonical",
             )
             stats = distributed_validate.last_stats
