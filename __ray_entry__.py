@@ -220,22 +220,16 @@ def _q_kg_doc_entity_counts(sf_dir: str):
         m = batch.filter(pc.equal(batch.column("pred"), P_MENTIONS))
         return pa.table({"subj": m.column("subj"), "ent": m.column("obj_lex")})
 
-    def per_doc(group: pa.Table) -> pa.Table:
-        import pyarrow.compute as pc
+    from shaclex_ray.stages.groupagg import grouped_aggregate_fast
 
-        return pa.table(
-            {
-                "subj": group.column("subj").slice(0, 1),
-                "n_entities": pa.array(
-                    [len(pc.unique(group.column("ent").combine_chunks()))], pa.int64()
-                ),
-            }
-        )
-
-    return (
-        ds.map_batches(project, batch_format="pyarrow")
-        .groupby("subj")
-        .map_groups(per_doc, batch_format="pyarrow")
+    # COUNT(DISTINCT ent) per subj via the one-move key-partitioned
+    # exchange (map-side distinct combiner, Arrow count_distinct per
+    # bucket — no per-document Python call)
+    return grouped_aggregate_fast(
+        ds.map_batches(project, batch_format="pyarrow"),
+        ["subj"],
+        [("ent", "count_distinct")],
+        ["n_entities"],
     )
 
 

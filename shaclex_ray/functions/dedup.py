@@ -67,21 +67,15 @@ def exact_groups(sf_dir: str):
             {"fingerprint": pa.array(hs, pa.string()), "doc_id": batch.column("doc_id")}
         )
 
-    def combine(group: pa.Table) -> pa.Table:
-        ids = group.column("doc_id")
-        return pa.table(
-            {
-                "fingerprint": group.column("fingerprint").slice(0, 1),
-                "canonical_doc_id": pa.array([pc.min(ids).as_py()], pa.int64()),
-                "n_dups": pa.array([group.num_rows], pa.int64()),
-            }
-        )
+    from shaclex_ray.stages.groupagg import grouped_aggregate_fast
 
-    return (
-        _read_docs(sf_dir)
-        .map_batches(fp, batch_format="pyarrow")
-        .groupby("fingerprint")
-        .map_groups(combine, batch_format="pyarrow")
+    # vectorized one-move group reduction (Arrow group_by min/count —
+    # no per-distinct-text Python call)
+    return grouped_aggregate_fast(
+        _read_docs(sf_dir).map_batches(fp, batch_format="pyarrow"),
+        ["fingerprint"],
+        [("doc_id", "min"), ("doc_id", "count")],
+        ["canonical_doc_id", "n_dups"],
     )
 
 
@@ -442,32 +436,20 @@ def simhashes(sf_dir: str):
 
 
 def simhash_groups(sf_dir: str):
-    """SimHash duplicate groups: docs sharing a 64-bit simhash key
-    (the dup-pair reduction over the signatures — hash-partition groupby,
-    map-side nothing needed; groups of size 1 are dropped)."""
+    """SimHash duplicate groups: docs sharing a 64-bit simhash key —
+    the vectorized one-move group reduction (Arrow group_by min/count,
+    zero per-key Python); groups of size 1 are dropped batch-side."""
+    from shaclex_ray.stages.groupagg import grouped_aggregate_fast
 
-    def combine(group: pa.Table) -> pa.Table:
-        if group.num_rows < 2:
-            return pa.table(
-                {
-                    "simhash": pa.array([], pa.string()),
-                    "canonical_doc_id": pa.array([], pa.int64()),
-                    "n_dups": pa.array([], pa.int64()),
-                }
-            )
-        ids = group.column("doc_id")
-        return pa.table(
-            {
-                "simhash": group.column("simhash").slice(0, 1),
-                "canonical_doc_id": pa.array([pc.min(ids).as_py()], pa.int64()),
-                "n_dups": pa.array([group.num_rows], pa.int64()),
-            }
-        )
-
-    return (
-        simhashes(sf_dir)
-        .groupby("simhash")
-        .map_groups(combine, batch_format="pyarrow")
+    groups = grouped_aggregate_fast(
+        simhashes(sf_dir),
+        ["simhash"],
+        [("doc_id", "min"), ("doc_id", "count")],
+        ["canonical_doc_id", "n_dups"],
+    )
+    return groups.map_batches(
+        lambda b: b.filter(pc.greater_equal(b.column("n_dups"), 2)),
+        batch_format="pyarrow",
     )
 
 

@@ -1,0 +1,182 @@
+"""Vectorized grouped aggregation via the one-move hash exchange.
+
+Replaces ``groupby(key).map_groups(fn)`` reductions — which pay one
+Python call per distinct key (per *document* / per *node* at corpus
+scale) plus a sort-based shuffle — with:
+
+  1. split tasks: map-side PARTIAL aggregation (Arrow
+     ``Table.group_by().aggregate()``, all C++), then hash-partition the
+     partials by key
+  2. bucket tasks: final Arrow aggregate per bucket
+
+One data move, zero per-group Python. Mirrors the exchange shape of
+``stages/dedup.distinct_rows_fast`` (volume-bounded split groups via
+``SHACLEX_SPLIT_ROWS``).
+
+Supported agg fns and their partial/final decomposition:
+
+  ======== ================= ===============
+  fn        map-side partial  bucket final
+  ======== ================= ===============
+  min       min               min
+  max       max               max
+  sum       sum               sum
+  count     count             sum
+  ======== ================= ===============
+
+``count_distinct`` is supported only when it is the SOLE aggregation
+(map-side = distinct rows over keys+col, final = count_distinct);
+mixing it with combinable fns would need two passes.
+"""
+
+from __future__ import annotations
+
+import math
+import os
+
+import numpy as np
+import pyarrow as pa
+
+import ray
+import ray.data as rd
+
+from shaclex_ray.stages.dedup import _keep_rows, _row_hash
+
+_FINAL = {"min": "min", "max": "max", "sum": "sum", "count": "sum"}
+
+
+def _partial_agg(tbl: pa.Table, keys: list[str], aggs: list[tuple[str, str]]) -> pa.Table:
+    """Map-side combine: one Arrow group_by pass; output columns are
+    ``{col}_{fn}`` (Arrow's default naming), keys last-to-first preserved."""
+    return tbl.group_by(keys, use_threads=False).aggregate(aggs)
+
+
+def _split_impl(
+    nbuckets: int, keys: list[str], aggs: list[tuple[str, str]], *tbls: pa.Table
+):
+    real = [t for t in tbls if t.num_rows > 0]
+    if not real:
+        empty = _partial_agg(tbls[0], keys, aggs)
+        return empty if nbuckets == 1 else tuple(empty for _ in range(nbuckets))
+    part = _partial_agg(pa.concat_tables(real), keys, aggs)
+    if nbuckets == 1:
+        return part
+    h = _row_hash(part, keys)
+    b = (h % np.uint64(nbuckets)).astype(np.int64)
+    order = np.argsort(b, kind="stable")
+    part = part.take(pa.array(order))
+    bounds = np.searchsorted(b[order], np.arange(nbuckets + 1))
+    return tuple(
+        part.slice(bounds[i], bounds[i + 1] - bounds[i]) for i in range(nbuckets)
+    )
+
+
+def _bucket_impl(
+    keys: list[str],
+    aggs: list[tuple[str, str]],
+    names: list[str],
+    *parts: pa.Table,
+):
+    base = pa.concat_tables(list(parts))
+    final_aggs = [
+        (f"{col}_{fn}", _FINAL[fn]) for col, fn in aggs
+    ]
+    out = base.group_by(keys, use_threads=False).aggregate(final_aggs)
+    # output order: value columns first in Arrow's naming, keys after —
+    # rename + reorder to keys-first with the caller's names
+    val_cols = [f"{col}_{fn}_{_FINAL[fn]}" for col, fn in aggs]
+    arrays = [out.column(k) for k in keys] + [out.column(v) for v in val_cols]
+    return pa.table(dict(zip(list(keys) + list(names), arrays)))
+
+
+def _split_distinct_impl(nbuckets: int, keys: list[str], dcol: str, *tbls: pa.Table):
+    """count_distinct map side: batch-local distinct over keys+dcol
+    (combiner — shrinks the exchange), then partition by KEY hash only
+    so all of a key's rows land in one bucket."""
+    real = [t for t in tbls if t.num_rows > 0]
+    if not real:
+        empty = tbls[0].select(list(keys) + [dcol])
+        return empty if nbuckets == 1 else tuple(empty for _ in range(nbuckets))
+    base = pa.concat_tables(real).select(list(keys) + [dcol])
+    cols = list(keys) + [dcol]
+    h = _row_hash(base, cols)
+    order = np.argsort(h, kind="stable")
+    kept = _keep_rows(base, order, h, id_cols=cols, witness_cols=None)
+    base = base.take(pa.array(kept))
+    if nbuckets == 1:
+        return base
+    hk = _row_hash(base, list(keys))
+    b = (hk % np.uint64(nbuckets)).astype(np.int64)
+    o = np.argsort(b, kind="stable")
+    base = base.take(pa.array(o))
+    bounds = np.searchsorted(b[o], np.arange(nbuckets + 1))
+    return tuple(
+        base.slice(bounds[i], bounds[i + 1] - bounds[i]) for i in range(nbuckets)
+    )
+
+
+def _bucket_distinct_impl(keys: list[str], col: str, name: str, *parts: pa.Table):
+    base = pa.concat_tables(list(parts))
+    out = base.group_by(keys, use_threads=False).aggregate([(col, "count_distinct")])
+    arrays = [out.column(k) for k in keys] + [out.column(f"{col}_count_distinct")]
+    return pa.table(dict(zip(list(keys) + [name], arrays)))
+
+
+def grouped_aggregate_fast(
+    ds,
+    keys: list[str],
+    aggs: list[tuple[str, str]],
+    names: list[str],
+    nbuckets: int | None = None,
+):
+    """GROUP BY ``keys`` computing ``aggs`` = [(col, fn), ...] named
+    ``names`` — fully vectorized, one hash move, map-side combine.
+
+    Returns a Ray Dataset with columns ``keys + names``. fn='count'
+    counts non-null values of its col (use a key col for row counts —
+    keys are never null here).
+    """
+    mat = ds.materialize()
+    refs = mat.to_arrow_refs()
+    nrows = mat.count()
+    if nbuckets is None:
+        ncpu = int(ray.cluster_resources().get("CPU", 8))
+        nbuckets = max(1, min(ncpu, nrows // 200_000 + 1))
+
+    distinct_mode = any(fn == "count_distinct" for _, fn in aggs)
+    if distinct_mode:
+        if len(aggs) != 1:
+            raise ValueError("count_distinct must be the sole aggregation")
+        dcol, dname = aggs[0][0], names[0]
+        split_task = ray.remote(_split_distinct_impl)
+        bucket_task = ray.remote(_bucket_distinct_impl)
+    else:
+        split_task = ray.remote(_split_impl)
+        bucket_task = ray.remote(_bucket_impl)
+
+    target = int(os.environ.get("SHACLEX_SPLIT_ROWS", "2000000"))
+    ngroups = max(1, min(len(refs), max(nbuckets, math.ceil(nrows / target))))
+    groups = [refs[g::ngroups] for g in range(ngroups)]
+    if distinct_mode:
+        split_refs = [
+            split_task.options(num_returns=nbuckets).remote(nbuckets, keys, dcol, *grp)
+            for grp in groups
+        ]
+    else:
+        split_refs = [
+            split_task.options(num_returns=nbuckets).remote(nbuckets, keys, aggs, *grp)
+            for grp in groups
+        ]
+    if nbuckets == 1:
+        split_refs = [[r] for r in split_refs]
+    if distinct_mode:
+        out_refs = [
+            bucket_task.remote(keys, dcol, dname, *[grp[b] for grp in split_refs])
+            for b in range(nbuckets)
+        ]
+    else:
+        out_refs = [
+            bucket_task.remote(keys, aggs, names, *[grp[b] for grp in split_refs])
+            for b in range(nbuckets)
+        ]
+    return rd.from_arrow_refs(out_refs)

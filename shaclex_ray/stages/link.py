@@ -75,9 +75,12 @@ def harvest_mentions(triples_ds):
         tbl = pa.table(
             {"mention_iri": iris, "surface": surfaces, "block_key": block}
         )
-        # batch-local distinct (combiner)
-        df = tbl.to_pandas().drop_duplicates(subset=["mention_iri"], ignore_index=True)
-        return pa.Table.from_pandas(df, preserve_index=False).cast(tbl.schema)
+        # batch-local distinct (combiner) — surface/block_key are pure
+        # functions of mention_iri, so full-row distinct == mention
+        # distinct; Arrow group_by keeps it C++-side (no pandas round-trip)
+        return tbl.group_by(tbl.column_names, use_threads=False).aggregate([]).cast(
+            tbl.schema
+        )
 
     from shaclex_ray.stages.dedup import distinct_rows_fast
 
@@ -115,7 +118,13 @@ def connected_components(edges_ds, max_iters: int = 12):
     lexicographic minimum of the component, exactly the driver union-find's
     rule). Converges in O(component diameter) rounds; the blocking graph is
     a forest of stars, so 2 rounds close it. Returns a Dataset
-    (node, label)."""
+    (node, label).
+
+    The per-round label reduction is the vectorized one-move hash
+    exchange (``grouped_aggregate_fast`` — Arrow group_by min, zero
+    per-node Python), and the propagation joins' partitioning scales
+    with edge count, not a fixed constant."""
+    from shaclex_ray.stages.groupagg import grouped_aggregate_fast
 
     def seed(batch: pa.Table) -> pa.Table:
         a = batch.column("a").combine_chunks()
@@ -128,29 +137,24 @@ def connected_components(edges_ds, max_iters: int = 12):
             }
         )
 
-    def min_label(group: pa.Table) -> pa.Table:
-        return pa.table(
-            {
-                "node": group.column("node").slice(0, 1),
-                "label": pa.array(
-                    [pc.min(group.column("label")).as_py()], pa.string()
-                ),
-            }
-        )
+    def min_label_agg(ds):
+        return grouped_aggregate_fast(ds, ["node"], [("label", "min")], ["label"])
+
+    n_edges = edges_ds.count()
+    ncpu = int(ray.cluster_resources().get("CPU", 8))
+    nparts = max(2, min(max(ncpu // 2, n_edges // 2_000_000 + 1), 512))
 
     labels = edges_ds.map_batches(seed, batch_format="pyarrow")
     edges = edges_ds
     for _ in range(max_iters):
-        labels = (
-            labels.groupby("node").map_groups(min_label, batch_format="pyarrow")
-        ).materialize()
+        labels = min_label_agg(labels).materialize()
         # propagate: each edge forwards min(label_a, label_b) to both ends
         joined = edges.join(
-            labels, "inner", num_partitions=8, on=("a",), right_on=("node",)
+            labels, "inner", num_partitions=nparts, on=("a",), right_on=("node",)
         ).join(
             labels,
             "inner",
-            num_partitions=8,
+            num_partitions=nparts,
             on=("b",),
             right_on=("node",),
             left_suffix="_a",
@@ -194,7 +198,7 @@ def connected_components(edges_ds, max_iters: int = 12):
             f"connected_components did not converge in {max_iters} rounds "
             "(component diameter exceeds max_iters) — raise max_iters"
         )
-    return labels.groupby("node").map_groups(min_label, batch_format="pyarrow")
+    return min_label_agg(labels)
 
 
 def build_entity_links(triples_ds, distributed: bool | None = None):
@@ -305,32 +309,31 @@ def entity_triples(link_tbl: pa.Table) -> pa.Table:
 def entity_triples_ds(links_ds):
     """Dataset variant of ``entity_triples``: canonical-entity metadata
     triples derived from a links *Dataset* — distinct canonicals come from
-    a groupby (one shuffle over the distinct-canonical column only), and
-    the two metadata triples per entity are emitted inside map_groups.
-    The full link table never touches the driver."""
+    the one-move hash-distinct exchange (vectorized, no per-key Python),
+    and the two metadata triples per entity are emitted in one Arrow
+    pass per batch. The full link table never touches the driver."""
+    from shaclex_ray.stages.dedup import distinct_rows_fast
 
-    def emit(group: pa.Table) -> pa.Table:
-        canon = group.column("canonical_iri").slice(0, 1)
-        c = canon[0].as_py()
-        surface = c[len(ENT_NS):]
+    def emit_batch(batch: pa.Table) -> pa.Table:
+        canon = batch.column("canonical_iri").combine_chunks()
+        n = len(canon)
+        surfaces = pc.utf8_replace_slice(canon, 0, len(ENT_NS), "")
+        const = lambda v, m: pa.array([v] * m, pa.string())  # noqa: E731
         return pa.table(
             {
-                "subj": pa.array([c, c], pa.string()),
-                "pred": pa.array([RDF_TYPE, P_SURFACE], pa.string()),
-                "obj_kind": pa.array(["iri", "literal"], pa.string()),
-                "obj_lex": pa.array([C_ENTITY, surface], pa.string()),
-                "obj_dt": pa.array(["", XSD_STRING], pa.string()),
-                "obj_lang": pa.array(["", ""], pa.string()),
-                "doc_id": pa.array(["", ""], pa.string()),
-                "span_idx": pa.array([-1, -1], pa.int32()),
+                "subj": pa.concat_arrays([canon, canon]),
+                "pred": pa.concat_arrays([const(RDF_TYPE, n), const(P_SURFACE, n)]),
+                "obj_kind": pa.concat_arrays([const("iri", n), const("literal", n)]),
+                "obj_lex": pa.concat_arrays([const(C_ENTITY, n), surfaces]),
+                "obj_dt": pa.concat_arrays([const("", n), const(XSD_STRING, n)]),
+                "obj_lang": const("", 2 * n),
+                "doc_id": const("", 2 * n),
+                "span_idx": pa.array([-1] * (2 * n), pa.int32()),
             }
         )
 
-    return (
-        links_ds.select_columns(["canonical_iri"])
-        .groupby("canonical_iri")
-        .map_groups(emit, batch_format="pyarrow")
-    )
+    distinct = distinct_rows_fast(links_ds.select_columns(["canonical_iri"]))
+    return distinct.map_batches(emit_batch, batch_format="pyarrow")
 
 
 def canonicalize_triples_join(triples_ds, links_ds, num_partitions: int | None = None):
