@@ -48,7 +48,7 @@ def validate_shex(
     schema,
     shapemap: str,
     prefixes: dict | None = None,
-    nbuckets: int = 32,
+    nbuckets: int | None = None,
     include_inverse: bool = True,
 ):
     """ShEx validation of a triples Dataset; shapemap in compact syntax.
@@ -67,7 +67,7 @@ def validate_shex(
     return typing, _summary(typing)
 
 
-def validate_shacl(triples_ds, shapes, nbuckets: int = 32):
+def validate_shacl(triples_ds, shapes, nbuckets: int | None = None):
     """SHACL validation (TargetDeclarations trigger — the reference's
     validateTargetDecls, ShaclexSchema.scala:35-42). Returns
     (typing, report, summary)."""
@@ -91,7 +91,7 @@ def validate(
     node: str | None = None,
     shape: str | None = None,
     prefixes: dict | None = None,
-    nbuckets: int = 32,
+    nbuckets: int | None = None,
 ):
     """Unified entry with the reference's four trigger modes
     (ValidationTrigger.findTrigger, ValidationTrigger.scala:57-96):

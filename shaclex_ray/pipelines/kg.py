@@ -206,7 +206,7 @@ def run_kg_pipeline(
                 _pq.ParquetFile(f).metadata.num_rows
                 for f in _glob.glob(f"{out_dir}/triples_canonical/*.parquet")
             )
-            nb = max(8, min(nbuckets, _math.ceil(canon_rows / 100_000)))
+            nb = max(1, min(nbuckets, _math.ceil(canon_rows / 100_000)))
             # targets derive in-bucket (focus="shacl-targets"): the split
             # scan is the ONLY pass over the triples; bucket actors write
             # their own typing/report shards — the full tables never

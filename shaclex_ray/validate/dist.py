@@ -1898,7 +1898,7 @@ def distributed_validate(
     engine: str,
     schema: dict,
     focus_tasks,
-    nbuckets: int = 32,
+    nbuckets: int | None = 32,
     include_inverse: bool = False,
     max_rounds: int = 12,
     output_dir: str | None = None,
@@ -1937,8 +1937,35 @@ def distributed_validate(
     include_inverse = include_inverse or has_inv
     schema_ref = ray.put(schema)
 
-    # spawn the actor fleet FIRST: worker-process startup (the dominant
-    # fixed cost at high bucket counts) overlaps the split below.
+    # size the input FIRST (parquet metadata / materialized block count —
+    # cheap), so an auto fleet (nbuckets=None) scales with data volume:
+    # a 100k-triple corpus pays 1 actor spawn, a 100-TB one the whole
+    # cluster. SHACLEX_BUCKET_ROWS is the per-bucket row target (the cap
+    # is the cluster CPU count — on a real multi-node cluster that is
+    # node_count x cpus, so the fleet grows with the cluster).
+    import math as _math
+
+    if parquet_path is not None:
+        import glob as _glob
+
+        import pyarrow.parquet as _pq
+
+        files = sorted(_glob.glob(f"{parquet_path}/*.parquet"))
+        if not files:
+            raise FileNotFoundError(f"no parquet shards under {parquet_path}")
+        total_rows = sum(_pq.ParquetFile(f).metadata.num_rows for f in files)
+    else:
+        mat = triples_ds.materialize()
+        block_refs = mat.to_arrow_refs()
+        total_rows = mat.count()
+    if nbuckets is None:
+        bucket_rows = int(_os.environ.get("SHACLEX_BUCKET_ROWS", "250000"))
+        ncpu = int(ray.cluster_resources().get("CPU", 8))
+        nbuckets = max(1, min(ncpu, _math.ceil(total_rows / bucket_rows)))
+    _mark("materialize")
+
+    # spawn the actor fleet before the split: worker-process startup (the
+    # dominant fixed cost at high bucket counts) overlaps the split below.
     # default actor semantics: num_cpus=1 for placement, 0 reserved while
     # alive — a large fleet never deadlocks a small cluster
     _actor_cls = BucketWorker
@@ -1955,23 +1982,12 @@ def distributed_validate(
     warmups = [w.ping.remote() for w in workers]
 
     # ---- one-time shuffle: block groups -> per-bucket parts -> actors
+    target = int(_os.environ.get("SHACLEX_SPLIT_ROWS", "2000000"))
     if parquet_path is not None:
         # file-granular exchange: split tasks read their parquet shards
-        # directly (storage → task heap, no object-store staging)
-        import glob as _glob
-
-        files = sorted(_glob.glob(f"{parquet_path}/*.parquet"))
-        if not files:
-            raise FileNotFoundError(f"no parquet shards under {parquet_path}")
-        _mark("materialize")
+        # directly (storage → task heap, no object-store staging).
         # bound rows per split group (not groups per cpu): task heap must
         # hold a group + working copies at ANY corpus scale
-        import math as _math
-
-        import pyarrow.parquet as _pq
-
-        total_rows = sum(_pq.ParquetFile(f).metadata.num_rows for f in files)
-        target = int(_os.environ.get("SHACLEX_SPLIT_ROWS", "2000000"))
         ngroups = max(1, min(len(files), _math.ceil(total_rows / target)))
         fgroups = [files[g::ngroups] for g in range(ngroups)]
         split_refs = [
@@ -1981,10 +1997,20 @@ def distributed_validate(
             for grp in fgroups
         ]
     else:
-        mat = triples_ds.materialize()
-        block_refs = mat.to_arrow_refs()
-        _mark("materialize")
-        ngroups = max(1, min(len(block_refs), nbuckets))
+        # split-group count follows data volume both ways: a small corpus
+        # must not fan out nbuckets x nbuckets near-empty objects, and a
+        # huge one must not exceed SHACLEX_SPLIT_ROWS rows per group (task
+        # heap holds a group + working copies)
+        ngroups = max(
+            1,
+            min(
+                len(block_refs),
+                max(
+                    min(nbuckets, _math.ceil(total_rows / 200_000)),
+                    _math.ceil(total_rows / target),
+                ),
+            ),
+        )
         groups = [block_refs[g::ngroups] for g in range(ngroups)]
         split_refs = [
             _split_block.options(num_returns=nbuckets).remote(
