@@ -17,6 +17,7 @@ from __future__ import annotations
 
 import numpy as np
 import pyarrow as pa
+import pyarrow.compute as pc
 
 import ray
 import ray.data
@@ -28,10 +29,25 @@ def _read_emb(sf_dir: str):
     )
 
 
+def _list_to_matrix(col) -> np.ndarray:
+    """list<float>/fixed_size_list column -> (n, dim) float64 matrix via
+    the flat values buffer (one zero-copy flatten + reshape — never a
+    per-row to_pylist)."""
+    col = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
+    n = len(col)
+    if n == 0:
+        return np.empty((0, 0), np.float64)
+    lens = pc.list_value_length(col).to_numpy(zero_copy_only=False)
+    dim = int(lens[0])
+    if not (lens == dim).all():
+        raise ValueError("ragged embedding column")
+    flat = pc.list_flatten(col).to_numpy(zero_copy_only=False)
+    return flat.reshape(n, dim).astype(np.float64, copy=False)
+
+
 def _to_matrix(batch: pa.Table) -> tuple[np.ndarray, np.ndarray]:
     ids = batch.column("vec_id").to_numpy(zero_copy_only=False)
-    emb = np.array(batch.column("embedding").to_pylist(), dtype=np.float64)
-    return ids, emb
+    return ids, _list_to_matrix(batch.column("embedding"))
 
 
 def _partial_topk(qids, ids, sims, k, out_q, out_v, out_s):
@@ -157,11 +173,14 @@ class LshBucketer:
 def _emb_dim(sf_dir: str) -> int:
     import pyarrow.parquet as pq
 
-    return len(
-        pq.read_table(f"{sf_dir}/embeddings.parquet", columns=["embedding"])
-        .column("embedding")[0]
-        .as_py()
-    )
+    pf = pq.ParquetFile(f"{sf_dir}/embeddings.parquet")
+    # fixed_size_list carries the dim in the schema; otherwise read ONE
+    # batch (never the whole column — at corpus scale that's a full scan)
+    typ = pf.schema_arrow.field("embedding").type
+    if pa.types.is_fixed_size_list(typ):
+        return typ.list_size
+    first = next(pf.iter_batches(batch_size=1, columns=["embedding"]))
+    return len(first.column("embedding")[0])
 
 
 def lsh_buckets(sf_dir: str, nbits: int = 8):

@@ -690,25 +690,35 @@ def embedding_near_dups(
             cand_ids.add(row["doc_a"])
             cand_ids.add(row["doc_b"])
         id_arr = pa.array(sorted(cand_ids), pa.int64())
+        if not cand_ids:
+            import ray.data as _rd
+
+            return _rd.from_arrow(out_schema.empty_table())
 
         def pick(batch: pa.Table) -> pa.Table:
             return batch.filter(pc.is_in(batch.column("vec_id"), value_set=id_arr))
 
-        picked = _read().map_batches(pick, batch_format="pyarrow").take_all()
-        lookup = {
-            r_["vec_id"]: np.asarray(r_["embedding"], dtype=np.float64)
-            for r_ in picked
-        }
-        lookup_ref = ray.put(lookup)
+        picked = pa.concat_tables(
+            pa.Table.from_batches([b]) if isinstance(b, pa.RecordBatch) else b
+            for b in _read()
+            .map_batches(pick, batch_format="pyarrow")
+            .iter_batches(batch_format="pyarrow")
+        )
+        order = pc.sort_indices(picked.column("vec_id"))
+        ids_sorted = (
+            picked.column("vec_id").take(order).to_numpy(zero_copy_only=False)
+        )
+        mat_sorted = _to_matrix(picked.take(order))[1]
+        lookup_ref = ray.put((ids_sorted, mat_sorted))
 
         def verify_bcast(batch: pa.Table) -> pa.Table:
             if batch.num_rows == 0:
                 return out_schema.empty_table()
-            lk = ray.get(lookup_ref)
+            ids_s, M = ray.get(lookup_ref)
             da = batch.column("doc_a").to_numpy(zero_copy_only=False)
             db = batch.column("doc_b").to_numpy(zero_copy_only=False)
-            A = np.stack([lk[i] for i in da])
-            B = np.stack([lk[i] for i in db])
+            A = M[np.searchsorted(ids_s, da)]
+            B = M[np.searchsorted(ids_s, db)]
             keep = _pair_cos(A, B) >= threshold
             return pa.table(
                 {
@@ -728,17 +738,22 @@ def embedding_near_dups(
     )
 
     def to_bytes(batch: pa.Table) -> pa.Table:
-        # Arrow hash joins don't carry list<float> payloads — pack each
-        # vector as float64 bytes (exact) for the ride, unpack in verify
-        vecs = [
-            np.asarray(v, dtype=np.float64).tobytes()
-            for v in batch.column("embedding").to_pylist()
-        ]
+        # Arrow hash joins don't carry list<float> payloads — pack the
+        # vectors as float64 bytes (exact) for the ride, unpack in verify.
+        # One flatten + one memcpy per batch: the binary array is built
+        # straight from the flat values buffer, no per-row Python.
+        from shaclex_ray.functions.ann import _list_to_matrix
+
+        mat = _list_to_matrix(batch.column("embedding"))
+        n, dim = mat.shape
+        offsets = np.arange(0, (n + 1) * dim * 8, dim * 8, dtype=np.int32)
+        emb_arr = pa.Array.from_buffers(
+            pa.binary(),
+            n,
+            [None, pa.py_buffer(offsets.tobytes()), pa.py_buffer(mat.tobytes())],
+        )
         return pa.table(
-            {
-                "vec_id": batch.column("vec_id"),
-                "emb": pa.array(vecs, pa.binary()),
-            }
+            {"vec_id": batch.column("vec_id"), "emb": emb_arr}
         )
 
     emb_ds = _read().map_batches(to_bytes, batch_format="pyarrow")
@@ -752,17 +767,31 @@ def embedding_near_dups(
             }
         )
 
+    def _unpack(col) -> np.ndarray:
+        """binary column of equal-length float64 payloads -> (n, dim)
+        matrix: one gather over the offsets + one frombuffer — vectorized
+        (never a per-row frombuffer)."""
+        arr = _cc(col)
+        n = len(arr)
+        off = np.frombuffer(arr.buffers()[1], np.int32)[
+            arr.offset : arr.offset + n + 1
+        ].astype(np.int64)
+        data = np.frombuffer(arr.buffers()[2], np.uint8)
+        row_len = int(off[1] - off[0])
+        if not (np.diff(off) == row_len).all():
+            raise ValueError("ragged packed-embedding column")
+        flat = np.frombuffer(
+            data[off[0] : off[-1]].tobytes(), np.float64
+        )
+        return flat.reshape(n, row_len // 8)
+
     def verify_join(batch: pa.Table) -> pa.Table:
         if batch.num_rows == 0:
             return out_schema.empty_table()
         da = batch.column("doc_a").to_numpy(zero_copy_only=False)
         db = batch.column("doc_b").to_numpy(zero_copy_only=False)
-        A = np.stack(
-            [np.frombuffer(b, np.float64) for b in batch.column("emb_a").to_pylist()]
-        )
-        B = np.stack(
-            [np.frombuffer(b, np.float64) for b in batch.column("emb").to_pylist()]
-        )
+        A = _unpack(batch.column("emb_a"))
+        B = _unpack(batch.column("emb"))
         keep = _pair_cos(A, B) >= threshold
         return pa.table(
             {
