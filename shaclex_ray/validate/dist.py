@@ -47,6 +47,7 @@ import ray
 
 from shaclex_ray.terms import RDF_TYPE, key_to_term, obj_key, subj_to_key, term_key
 from shaclex_ray.validate.local import Graph, ShExValidator
+from shaclex_ray.validate.nodecheck import compile_pattern
 from shaclex_ray.validate.shacl_local import (
     RDFS_SUBCLASS,
     ShaclValidator,
@@ -728,7 +729,7 @@ def flat_shacl_profile(schema: dict) -> dict[str, list]:
                 "checks": [],
             }
             for kind, params in psh["components"]:
-                if kind in ("minCount", "maxCount"):
+                if kind in ("minCount", "maxCount", "minLength", "maxLength"):
                     prof["checks"].append((kind, params["n"]))
                 elif kind == "datatype" and params["iri"] in _VEC_DATATYPE_RE:
                     prof["checks"].append((kind, params["iri"]))
@@ -736,6 +737,18 @@ def flat_shacl_profile(schema: dict) -> dict[str, list]:
                     prof["checks"].append((kind, params["iri"]))
                 elif kind == "class":
                     prof["checks"].append((kind, params["cls"]))
+                elif kind == "pattern":
+                    prof["checks"].append(
+                        (kind, (params["pattern"], params.get("flags", "")))
+                    )
+                elif kind in (
+                    "minInclusive", "minExclusive", "maxInclusive", "maxExclusive",
+                ):
+                    prof["checks"].append((kind, params["value"]))
+                elif kind == "in":
+                    prof["checks"].append((kind, list(params["values"])))
+                elif kind == "hasValue":
+                    prof["checks"].append((kind, params["value"]))
                 else:
                     ok = False
                     break
@@ -767,15 +780,55 @@ def _obj_key_col(sub: pa.Table) -> pa.Array:
     )
 
 
+def _arrow_regex_safe(pattern: str, flags: str) -> bool:
+    """True when ``pattern`` is in the dialect subset where Arrow's RE2
+    and Python's ``re`` provably agree: literal chars, anchors,
+    quantifiers, alternation, groups, char classes, and escapes of regex
+    metacharacters only. Shorthand classes (\\d \\w \\s), lookaround,
+    backrefs and the x flag differ (or are unsupported) in RE2 — those
+    take the exact per-distinct Python path instead."""
+    if any(c not in "ims" for c in flags or ""):
+        return False
+    i, n = 0, len(pattern)
+    while i < n:
+        c = pattern[i]
+        if c == "\\":
+            if i + 1 >= n or pattern[i + 1] not in "\\.^$*+?()[]{}|/-":
+                return False
+            i += 2
+            continue
+        if c == "(" and pattern[i : i + 2] == "(?" and pattern[i : i + 3] != "(?:":
+            return False
+        i += 1
+    return True
+
+
+def _num_bound_ok(vk: str, kind: str, blex: str, bdt: str) -> bool:
+    """Exact SHACL range-facet check for one value term-key (the scalar
+    path's _cmp_term_to_bound semantics, shacl_local.py)."""
+    from shaclex_ray.validate.shacl_local import _cmp_term_to_bound
+
+    c = _cmp_term_to_bound(key_to_term(vk), blex, bdt)
+    if c is None:
+        return False
+    return {
+        "minInclusive": c >= 0,
+        "minExclusive": c > 0,
+        "maxInclusive": c <= 0,
+        "maxExclusive": c < 0,
+    }[kind]
+
+
 def flat_shex_profile(schema: dict) -> dict[str, list]:
     """ShEx label -> list of vectorizable TC profiles, for shapes that are
     a plain (optionally EXTRA) flat EachOf of forward TripleConstraints
     with pairwise-distinct predicates — the counting decomposition
-    (SURVEY.md C4) evaluated with Arrow kernels. valueExprs restricted to:
-    None / plain shape refs (probe protocol) / NodeConstraints using only
-    nodeKind, datatype=xsd:string and all-IRI value sets (the facet
-    families whose regex/number semantics could diverge from the Python
-    oracle path stay on the fallback)."""
+    (SURVEY.md C4) evaluated with Arrow kernels. valueExprs: None / plain
+    shape refs (probe protocol) / NodeConstraints over ALL facet families
+    (nodeKind, datatype, value sets, pattern, length, numeric,
+    total/fractiondigits) — the simple subsets run fully Arrow-vectorized,
+    the rest evaluate exactly once per DISTINCT value via the
+    conformance-verified scalar and broadcast by dictionary codes."""
     out: dict[str, list] = {}
     for lbl, se in schema.get("shapes", {}).items():
         if not isinstance(se, dict) or se.get("type") != "Shape":
@@ -821,16 +874,13 @@ def flat_shex_profile(schema: dict) -> dict[str, list]:
             elif isinstance(ve, str):
                 prof["check"] = ("ref", ve)
             elif isinstance(ve, dict) and ve.get("type") == "NodeConstraint":
-                allowed = {"type", "nodeKind", "datatype", "values"}
-                if set(ve) - allowed:
-                    ok = False
-                    break
-                if "datatype" in ve and ve["datatype"] != _XSD + "string":
-                    ok = False
-                    break
-                if "values" in ve and not all(
-                    isinstance(v, str) for v in ve["values"]
-                ):
+                known = {
+                    "type", "nodeKind", "datatype", "values",
+                    "length", "minlength", "maxlength", "pattern", "flags",
+                    "mininclusive", "minexclusive", "maxinclusive",
+                    "maxexclusive", "totaldigits", "fractiondigits",
+                }
+                if set(ve) - known:
                     ok = False
                     break
                 prof["check"] = ("nc", ve)
@@ -915,8 +965,36 @@ def flat_shex_eval_kernel(
             return _vk[0]
 
         check = prof["check"]
+        _nc_fast = (
+            check is not None
+            and check[0] == "nc"
+            and set(check[1]) <= {"type", "nodeKind", "datatype", "values"}
+            and check[1].get("datatype") in (None, _XSD + "string")
+            and all(isinstance(v, str) for v in check[1].get("values", []))
+        )
         if check is None or sel_pa is None:
             sat_local = np.ones(len(sel), dtype=bool)
+        elif check[0] == "nc" and not _nc_fast:
+            # full facet families (pattern / length / numeric / typed
+            # datatypes / literal value sets): exact per-DISTINCT-value
+            # evaluation via the conformance-verified scalar, broadcast
+            # to arcs by dictionary codes — per-vocabulary Python, never
+            # per-row
+            from shaclex_ray.validate.nodecheck import check_node_constraint
+
+            nc = check[1]
+            dic = pc.dictionary_encode(vk_arr())
+            dvals = dic.dictionary.to_pylist()
+            if dvals:
+                dcodes = dic.indices.to_numpy(zero_copy_only=False)
+                okd = np.fromiter(
+                    (check_node_constraint(key_to_term(v), nc) for v in dvals),
+                    dtype=bool,
+                    count=len(dvals),
+                )
+                sat_local = okd[dcodes]
+            else:
+                sat_local = np.ones(0, dtype=bool)
         elif check[0] == "nc":
             nc = check[1]
             ga = None
@@ -1081,6 +1159,19 @@ def flat_eval_kernel(
                 )
             return a
 
+        _vkc: list = []
+
+        def vk_all(_sp=sel_pa, _v=_vkc):
+            """Object term-keys for ALL of this predicate's rows (built
+            once per profile, shared by the value-facet checks)."""
+            if not _v:
+                _v.append(
+                    _obj_key_col(idx._tbl.take(_sp))
+                    if _sp is not None
+                    else pa.array([], pa.string())
+                )
+            return _v[0]
+
         def emit_rows(node_positions, component, values=None):
             for j, pos in enumerate(node_positions):
                 reports[pos].append(
@@ -1184,6 +1275,115 @@ def flat_eval_kernel(
                     elif st is False:
                         viol[pos] = True
                         emit_rows([pos], "Class", values=[v])
+            elif kind in ("minLength", "maxLength"):
+                okind = getpcol("obj_kind")
+                if okind is None:
+                    continue
+                ln = pc.utf8_length(getpcol("obj_lex")).to_numpy(
+                    zero_copy_only=False
+                )
+                good = (ln >= param) if kind == "minLength" else (ln <= param)
+                good &= pc.not_equal(okind, "bnode").to_numpy(zero_copy_only=False)
+                bad_local = np.flatnonzero(~good)
+                if len(bad_local):
+                    bad_rows = sel[bad_local]
+                    viol[subj_of_row[bad_rows]] = True
+                    emit_rows(
+                        subj_of_row[bad_rows],
+                        kind[0].upper() + kind[1:],
+                        values=pc.take(vk_all(), pa.array(bad_local)).to_pylist(),
+                    )
+            elif kind == "pattern":
+                okind = getpcol("obj_kind")
+                if okind is None:
+                    continue
+                pat, pflags = param
+                import re as _re
+
+                try:
+                    rx = compile_pattern(pat, pflags)
+                except _re.error:
+                    rx = None
+                lex = getpcol("obj_lex")
+                if rx is None:
+                    good = np.zeros(len(sel), dtype=bool)
+                elif _arrow_regex_safe(pat, pflags):
+                    apat = ("(?" + pflags + ")" if pflags else "") + pat
+                    good = pc.fill_null(
+                        pc.match_substring_regex(lex, apat), False
+                    ).to_numpy(zero_copy_only=False)
+                else:
+                    # exact per-DISTINCT-lexical Python regex, broadcast
+                    # by dictionary codes (vocabulary-bounded, not per-row)
+                    dic = pc.dictionary_encode(lex)
+                    dvals = dic.dictionary.to_pylist()
+                    okd = np.fromiter(
+                        (rx.search(s) is not None for s in dvals),
+                        dtype=bool,
+                        count=len(dvals),
+                    )
+                    good = okd[dic.indices.to_numpy(zero_copy_only=False)]
+                if rx is not None:
+                    good &= pc.not_equal(okind, "bnode").to_numpy(
+                        zero_copy_only=False
+                    )
+                bad_local = np.flatnonzero(~good)
+                if len(bad_local):
+                    bad_rows = sel[bad_local]
+                    viol[subj_of_row[bad_rows]] = True
+                    emit_rows(
+                        subj_of_row[bad_rows],
+                        "Pattern",
+                        values=pc.take(vk_all(), pa.array(bad_local)).to_pylist(),
+                    )
+            elif kind in (
+                "minInclusive", "minExclusive", "maxInclusive", "maxExclusive",
+            ):
+                if sel_pa is None:
+                    continue
+                blex, bdt = param
+                dic = pc.dictionary_encode(vk_all())
+                dvals = dic.dictionary.to_pylist()
+                if not dvals:
+                    continue
+                okd = np.fromiter(
+                    (_num_bound_ok(v, kind, blex, bdt) for v in dvals),
+                    dtype=bool,
+                    count=len(dvals),
+                )
+                good = okd[dic.indices.to_numpy(zero_copy_only=False)]
+                bad_local = np.flatnonzero(~good)
+                if len(bad_local):
+                    bad_rows = sel[bad_local]
+                    viol[subj_of_row[bad_rows]] = True
+                    emit_rows(
+                        subj_of_row[bad_rows],
+                        kind[0].upper() + kind[1:],
+                        values=pc.take(vk_all(), pa.array(bad_local)).to_pylist(),
+                    )
+            elif kind == "in":
+                if sel_pa is None:
+                    continue
+                good = pc.is_in(
+                    vk_all(), value_set=pa.array(param, pa.string())
+                ).to_numpy(zero_copy_only=False)
+                bad_local = np.flatnonzero(~good)
+                if len(bad_local):
+                    bad_rows = sel[bad_local]
+                    viol[subj_of_row[bad_rows]] = True
+                    emit_rows(
+                        subj_of_row[bad_rows],
+                        "In",
+                        values=pc.take(vk_all(), pa.array(bad_local)).to_pylist(),
+                    )
+            elif kind == "hasValue":
+                has = np.zeros(n, dtype=bool)
+                if sel_pa is not None:
+                    m = pc.equal(vk_all(), param).to_numpy(zero_copy_only=False)
+                    has[subj_of_row[sel[m]]] = True
+                bad = np.flatnonzero(~has)
+                viol[bad] = True
+                emit_rows(bad, "HasValue")
 
     return viol, blocked, reports, pending_class
 

@@ -65,6 +65,9 @@ _OBJS = [
     ("bnode", "b1"),
     ("lit", "x", "http://www.w3.org/2001/XMLSchema#string", ""),
     ("lit", "5", "http://www.w3.org/2001/XMLSchema#integer", ""),
+    ("lit", "abc", "http://www.w3.org/2001/XMLSchema#integer", ""),  # bad lexical
+    ("lit", "-31", "http://www.w3.org/2001/XMLSchema#integer", ""),
+    ("lit", "4.50", "http://www.w3.org/2001/XMLSchema#decimal", ""),
 ]
 
 _value_exprs = st.one_of(
@@ -132,6 +135,15 @@ def test_flat_counting_equals_bitmask_matcher(tcs, arcs, extra):
 
 from shaclex_ray.terms import SH as _SH
 
+from shaclex_ray.terms import term_key as _tk
+
+_XSD_INT = "http://www.w3.org/2001/XMLSchema#integer"
+_IN_KEYS = [
+    _tk(("iri", "http://e/o1")),
+    _tk(("lit", "x", "http://www.w3.org/2001/XMLSchema#string", "")),
+    _tk(("lit", "5", _XSD_INT, "")),
+]
+
 _SHACL_CHECKS = st.lists(
     st.one_of(
         st.tuples(st.just("minCount"), st.integers(0, 2)),
@@ -144,11 +156,47 @@ _SHACL_CHECKS = st.lists(
             st.sampled_from([_SH + "IRI", _SH + "Literal", _SH + "BlankNodeOrIRI"]),
         ),
         st.tuples(st.just("class"), st.just("Ihttp://e/Cls")),
+        # facet families: RE2-safe pattern (Arrow path), \d-style pattern
+        # (per-distinct Python path), lengths, numeric bounds, in, hasValue
+        st.tuples(
+            st.just("pattern"),
+            st.sampled_from(
+                [("^[a-z]+$", ""), ("\\d", ""), ("o", "i"), ("http.*o[12]", "")]
+            ),
+        ),
+        st.tuples(st.just("minLength"), st.integers(0, 5)),
+        st.tuples(st.just("maxLength"), st.integers(0, 12)),
+        st.tuples(
+            st.sampled_from(
+                ["minInclusive", "minExclusive", "maxInclusive", "maxExclusive"]
+            ),
+            st.sampled_from([("3", _XSD_INT), ("5", _XSD_INT), ("5.0", _XSD_INT)]),
+        ),
+        st.tuples(st.just("in"), st.just(list(_IN_KEYS))),
+        st.tuples(st.just("hasValue"), st.sampled_from(_IN_KEYS)),
     ),
     min_size=1,
-    max_size=3,
+    max_size=4,
     unique_by=lambda c: c[0],
 )
+
+
+def _shacl_params(k, v):
+    if k in ("minCount", "maxCount", "minLength", "maxLength"):
+        return {"n": v}
+    if k in ("datatype", "nodeKind"):
+        return {"iri": v}
+    if k == "class":
+        return {"cls": v}
+    if k == "pattern":
+        return {"pattern": v[0], "flags": v[1]}
+    if k in ("minInclusive", "minExclusive", "maxInclusive", "maxExclusive"):
+        return {"value": v}
+    if k == "in":
+        return {"values": v}
+    if k == "hasValue":
+        return {"value": v}
+    raise AssertionError(k)
 
 _SHACL_ARCS = st.lists(
     st.tuples(
@@ -216,11 +264,7 @@ def test_flat_shacl_kernel_matches_validator(props, arcs, typed):
             "targets": [],
             "implicit_class": False,
             "path": {"pred": pred},
-            "components": [
-                (k, {"n": v} if k in ("minCount", "maxCount") else
-                 ({"iri": v} if k in ("datatype", "nodeKind") else {"cls": v}))
-                for k, v in checks
-            ],
+            "components": [(k, _shacl_params(k, v)) for k, v in checks],
             "properties": [],
             "closed": False,
             "ignored": [],
@@ -290,6 +334,20 @@ _SHEX_VE = st.one_of(
     ),
     st.just({"type": "NodeConstraint", "values": ["http://e/o1", "http://e/o2"]}),
     st.just("http://e/Ref"),
+    # facet families (per-distinct exact path in the kernel)
+    st.just({"type": "NodeConstraint", "pattern": "^[a-z0-9]+$"}),
+    st.just({"type": "NodeConstraint", "pattern": "\\d", "flags": "i"}),
+    st.just({"type": "NodeConstraint", "minlength": 1, "maxlength": 3}),
+    st.just({"type": "NodeConstraint", "length": 1}),
+    st.just(
+        {
+            "type": "NodeConstraint",
+            "datatype": "http://www.w3.org/2001/XMLSchema#integer",
+            "mininclusive": 0,
+        }
+    ),
+    st.just({"type": "NodeConstraint", "maxexclusive": 6}),
+    st.just({"type": "NodeConstraint", "totaldigits": 2, "fractiondigits": 0}),
 )
 
 _SHEX_TC = st.builds(
