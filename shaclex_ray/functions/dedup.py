@@ -14,9 +14,11 @@ bytes little-endian) so a DuckDB oracle can reproduce every stage
 end-to-end. Deterministic across runs, workers and retries.
 
 Scale notes (the 100-TB cost centers):
-  * hashing is BATCH-vectorized: token n-grams are built with Arrow
-    kernels and hashed by the numpy MD5 in functions/md5batch.py — no
-    per-shingle Python call anywhere
+  * hashing is BATCH-organized: token n-grams are built with Arrow
+    kernels (no per-gram Python for gram CONSTRUCTION); the md5 itself
+    is one hashlib C call per gram via functions/md5batch.py — measured
+    10-30x faster than a numpy lane-parallel md5 (see md5batch.py's
+    docstring for the benchmark; the decision is test-pinned)
   * the LSH band shuffle carries per row only (doc_id, band, band_key
     u64, earlier-band keys ≤bands u64) — the 64-perm signature (and, for
     jaccard, the shingle set) never rides the band rows; earlier-band
