@@ -144,14 +144,28 @@ def connected_components(edges_ds, max_iters: int = 12):
     ncpu = int(ray.cluster_resources().get("CPU", 8))
     nparts = max(2, min(max(ncpu // 2, n_edges // 2_000_000 + 1), 512))
 
+    def _fix_schema(cols):
+        """Ray joins emit empty partitions with a degenerate schema (same
+        workaround as canonicalize_triples_join) — restore the canonical
+        column set so the next join/map sees stable fields."""
+        target = pa.schema([(c, pa.string()) for c in cols])
+
+        def fix(batch: pa.Table) -> pa.Table:
+            if not set(cols) <= set(batch.column_names):
+                return target.empty_table()
+            return batch.select(cols).cast(target)
+
+        return fix
+
     labels = edges_ds.map_batches(seed, batch_format="pyarrow")
     edges = edges_ds
     for _ in range(max_iters):
         labels = min_label_agg(labels).materialize()
         # propagate: each edge forwards min(label_a, label_b) to both ends
-        joined = edges.join(
+        j1 = edges.join(
             labels, "inner", num_partitions=nparts, on=("a",), right_on=("node",)
-        ).join(
+        ).map_batches(_fix_schema(["a", "b", "label"]), batch_format="pyarrow")
+        joined = j1.join(
             labels,
             "inner",
             num_partitions=nparts,
@@ -162,6 +176,11 @@ def connected_components(edges_ds, max_iters: int = 12):
         )
 
         def fwd(batch: pa.Table) -> pa.Table:
+            if not {"a", "b", "label_a", "label_b"} <= set(batch.column_names):
+                return pa.schema(
+                    [("node", pa.string()), ("label", pa.string()),
+                     ("changed", pa.bool_())]
+                ).empty_table()
             la = batch.column("label_a").combine_chunks()
             lb = batch.column("label_b").combine_chunks()
             m = pc.min_element_wise(la, lb)
