@@ -87,6 +87,64 @@ def _cc(arr):
     return arr.combine_chunks() if isinstance(arr, pa.ChunkedArray) else arr
 
 
+def _ragged_arange(lens: np.ndarray) -> np.ndarray:
+    """[0..l0) ++ [0..l1) ++ … as one array (vectorized ragged ranges)."""
+    total = int(lens.sum())
+    starts = np.cumsum(lens) - lens
+    return np.arange(total) - np.repeat(starts, lens)
+
+
+def _bin_col_u64(col) -> tuple[np.ndarray, np.ndarray]:
+    """binary column of uint64-set payloads -> (lens: int64[n],
+    flat: uint64 concatenated in row order). One frombuffer over the
+    contiguous values buffer — never a per-row frombuffer."""
+    arr = _cc(col)
+    n = len(arr)
+    if n == 0:
+        return np.zeros(0, np.int64), np.zeros(0, np.uint64)
+    off = np.frombuffer(arr.buffers()[1], np.int32)[
+        arr.offset : arr.offset + n + 1
+    ].astype(np.int64)
+    data = np.frombuffer(arr.buffers()[2], np.uint8)
+    flat = np.frombuffer(data[off[0] : off[-1]].tobytes(), np.uint64)
+    return np.diff(off) // 8, flat
+
+
+_JACCARD_SCHEMA = pa.schema(
+    [("doc_a", pa.int64()), ("doc_b", pa.int64()), ("jaccard", pa.float64())]
+)
+
+
+def _jaccard_table(da, db, la, fa, lb, fb, threshold: float) -> pa.Table:
+    """Jaccard over many (set_a, set_b) pairs at once: concatenate each
+    pair's two (internally-distinct) hash sets, one lexsort groups equal
+    hashes within a pair adjacently, |intersection| = adjacent-dup count.
+    Pairs with an empty side are skipped (the scalar spec's behavior)."""
+    npairs = len(da)
+    tot = la + lb
+    tgt = np.zeros(npairs + 1, np.int64)
+    np.cumsum(tot, out=tgt[1:])
+    h = np.empty(int(tgt[-1]), np.uint64)
+    h[np.repeat(tgt[:-1], la) + _ragged_arange(la)] = fa
+    h[np.repeat(tgt[:-1] + la, lb) + _ragged_arange(lb)] = fb
+    p = np.repeat(np.arange(npairs), tot)
+    order = np.lexsort((h, p))
+    hs, ps = h[order], p[order]
+    dup = (hs[1:] == hs[:-1]) & (ps[1:] == ps[:-1])
+    inter = np.bincount(ps[1:][dup], minlength=npairs)
+    union = tot - inter
+    with np.errstate(divide="ignore", invalid="ignore"):
+        j = np.where(union > 0, inter / np.maximum(union, 1), 0.0)
+    keep = (la > 0) & (lb > 0) & (j >= threshold)
+    return pa.table(
+        {
+            "doc_a": pa.array(da[keep], pa.int64()),
+            "doc_b": pa.array(db[keep], pa.int64()),
+            "jaccard": pa.array(j[keep], pa.float64()),
+        }
+    )
+
+
 def _batch_gram_hashes(texts, shingle: int) -> tuple[np.ndarray, np.ndarray]:
     """All token n-gram hashes (md5_number_lower) of a batch, doc-major.
 
@@ -523,30 +581,13 @@ def ngram_jaccard_dups(
         )
 
     def verify(batch: pa.Table) -> pa.Table:
-        a_out, b_out, j_out = [], [], []
-        for da, db, ba, bb in zip(
-            batch.column("doc_a").to_pylist(),
-            batch.column("doc_b").to_pylist(),
-            batch.column("sh_a").to_pylist(),
-            batch.column("shingles").to_pylist(),
-        ):
-            sa = np.frombuffer(ba, dtype=np.uint64)
-            sb = np.frombuffer(bb, dtype=np.uint64)
-            if len(sa) == 0 or len(sb) == 0:
-                continue
-            inter = len(np.intersect1d(sa, sb, assume_unique=True))
-            j = inter / (len(sa) + len(sb) - inter)
-            if j >= threshold:
-                a_out.append(da)
-                b_out.append(db)
-                j_out.append(j)
-        return pa.table(
-            {
-                "doc_a": pa.array(a_out, pa.int64()),
-                "doc_b": pa.array(b_out, pa.int64()),
-                "jaccard": pa.array(j_out, pa.float64()),
-            }
-        )
+        if batch.num_rows == 0:
+            return _JACCARD_SCHEMA.empty_table()
+        da = batch.column("doc_a").to_numpy(zero_copy_only=False)
+        db = batch.column("doc_b").to_numpy(zero_copy_only=False)
+        la, fa = _bin_col_u64(batch.column("sh_a"))
+        lb, fb = _bin_col_u64(batch.column("shingles"))
+        return _jaccard_table(da, db, la, fa, lb, fb, threshold)
 
     prep_ds = _read_docs(sf_dir).map_batches(prep, batch_format="pyarrow").materialize()
     # join fan-out scales with the data (≈100k docs per partition),
@@ -578,38 +619,41 @@ def ngram_jaccard_dups(
         for row in cand.take_all():
             cand_ids.add(row["doc_a"])
             cand_ids.add(row["doc_b"])
+        if not cand_ids:
+            import ray.data as _rd
+
+            return _rd.from_arrow(_JACCARD_SCHEMA.empty_table())
         id_arr = pa.array(sorted(cand_ids), pa.int64())
 
         def pick(batch: pa.Table) -> pa.Table:
             return batch.filter(pc.is_in(batch.column("doc_id"), value_set=id_arr))
 
         picked = sh_ds.map_batches(pick, batch_format="pyarrow").take_all()
-        lookup = {r["doc_id"]: r["shingles"] for r in picked}
-        lookup_ref = ray.put(lookup)
+        picked.sort(key=lambda r: r["doc_id"])
+        # indexable shingle store: (sorted ids, segment bounds, flat
+        # uint64 hashes) — per-pair sets gather by searchsorted + the
+        # ragged-arange trick, no per-pair dict lookups
+        ids_sorted = np.array([r["doc_id"] for r in picked], np.int64)
+        lens = np.array(
+            [len(r["shingles"]) // 8 for r in picked], np.int64
+        )
+        starts = np.zeros(len(lens) + 1, np.int64)
+        np.cumsum(lens, out=starts[1:])
+        flat = np.frombuffer(b"".join(r["shingles"] for r in picked), np.uint64)
+        lookup_ref = ray.put((ids_sorted, starts, lens, flat))
 
         def verify_bcast(batch: pa.Table) -> pa.Table:
-            lk = ray.get(lookup_ref)
-            a_out, b_out, j_out = [], [], []
-            for da, db in zip(
-                batch.column("doc_a").to_pylist(), batch.column("doc_b").to_pylist()
-            ):
-                sa = np.frombuffer(lk[da], dtype=np.uint64)
-                sb = np.frombuffer(lk[db], dtype=np.uint64)
-                if len(sa) == 0 or len(sb) == 0:
-                    continue
-                inter = len(np.intersect1d(sa, sb, assume_unique=True))
-                j = inter / (len(sa) + len(sb) - inter)
-                if j >= threshold:
-                    a_out.append(da)
-                    b_out.append(db)
-                    j_out.append(j)
-            return pa.table(
-                {
-                    "doc_a": pa.array(a_out, pa.int64()),
-                    "doc_b": pa.array(b_out, pa.int64()),
-                    "jaccard": pa.array(j_out, pa.float64()),
-                }
-            )
+            if batch.num_rows == 0:
+                return _JACCARD_SCHEMA.empty_table()
+            ids_s, st, ln, fl = ray.get(lookup_ref)
+            da = batch.column("doc_a").to_numpy(zero_copy_only=False)
+            db = batch.column("doc_b").to_numpy(zero_copy_only=False)
+            ia = np.searchsorted(ids_s, da)
+            ib = np.searchsorted(ids_s, db)
+            la, lb = ln[ia], ln[ib]
+            fa = fl[np.repeat(st[ia], la) + _ragged_arange(la)]
+            fb = fl[np.repeat(st[ib], lb) + _ragged_arange(lb)]
+            return _jaccard_table(da, db, la, fa, lb, fb, threshold)
 
         return cand.map_batches(verify_bcast, batch_format="pyarrow")
 
