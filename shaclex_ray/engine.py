@@ -19,13 +19,40 @@ import pyarrow as pa
 
 from shaclex_ray.rdfio import parse_turtle
 from shaclex_ray.shapes.shacl import compile_shacl
-from shaclex_ray.shapes.shapemap import fix_shapemap, parse_shapemap
+from shaclex_ray.shapes.shapemap import parse_shapemap
 from shaclex_ray.shapes.shexc import parse_shexc
 from shaclex_ray.shapes.shexj import load_shexj
 from shaclex_ray.terms import key_to_term, term_key
 from shaclex_ray.validate.dist import distributed_validate
 
 ENGINES = ("shex", "shacl")  # the registry (reference: ShEx, SHACLex, …)
+
+
+def _split_shapemap(assocs: list[dict]):
+    """Concrete node selectors → a small (node, shape) table; pattern
+    selectors ({FOCUS p o} / {s p FOCUS}) → resolved IN-BUCKET by the
+    validators (BucketWorker.derive_focus), so the input Dataset is
+    scanned exactly once — by the bucket split. Returns either the
+    concrete table or ("shex-patterns", pattern_assocs, concrete)."""
+    pairs: set[tuple[str, str]] = set()
+    patterns = []
+    for a in assocs:
+        if a["kind"] == "node":
+            if a["node"] is None:
+                raise ValueError("START node selector needs a concrete node")
+            pairs.add((term_key(a["node"]), a["shape"]))
+        else:
+            patterns.append(a)
+    sp = sorted(pairs)
+    concrete = pa.table(
+        {
+            "node": pa.array([p[0] for p in sp], pa.string()),
+            "shape": pa.array([p[1] for p in sp], pa.string()),
+        }
+    )
+    if patterns:
+        return ("shex-patterns", patterns, concrete)
+    return concrete
 
 
 def compile_schema(engine: str, schema) -> dict:
@@ -55,7 +82,7 @@ def validate_shex(
     Returns (typing: pa.Table(node, shape, val, is_focus), summary dict)."""
     compiled = compile_schema("shex", schema)
     assocs = parse_shapemap(shapemap, prefixes or compiled.get("prefixes"))
-    focus = fix_shapemap(triples_ds, assocs)
+    focus = _split_shapemap(assocs)
     typing, _report = distributed_validate(
         triples_ds,
         "shex",

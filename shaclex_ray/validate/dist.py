@@ -1530,6 +1530,65 @@ class BucketWorker:
             }
         )
 
+    def derive_focus(self, assocs: list[dict]) -> pa.Table:
+        """In-bucket shapemap pattern resolution (fixShapeMap,
+        ShapeMaps.scala semantics): ``{FOCUS p o}`` matches are SUBJECTS of
+        local arcs — every outgoing arc lives in its subject's home
+        bucket, so they enqueue locally and completely. ``{s p FOCUS}``
+        matches are OBJECTS, whose home bucket may differ — those pairs
+        return to the driver for routing (mirrors targetObjectsOf in
+        derive_targets). Replaces a full second scan of the input
+        Dataset with a scan of the already-resident bucket index."""
+        from shaclex_ray.terms import obj_cols, term_key
+
+        idx_obj = self.graph._fwd
+        t = idx_obj.table
+        pred = t.column("pred")
+        remote: list[tuple[str, str]] = []
+        for a in assocs:
+            mask = pc.equal(pred, a["pred"])
+            if a["kind"] == "focus_subj":
+                if a.get("obj") is not None:
+                    k, lx, _dt, _lg = obj_cols(a["obj"])
+                    mask = pc.and_(mask, pc.equal(t.column("obj_kind"), k))
+                    mask = pc.and_(mask, pc.equal(t.column("obj_lex"), lx))
+                rows = np.nonzero(
+                    mask.combine_chunks().to_numpy(zero_copy_only=False)
+                )[0]
+                keys = idx_obj.keys_of_rows(rows)
+                self.submit(
+                    pa.table(
+                        {
+                            "node": keys,
+                            "shape": pa.array([a["shape"]] * len(keys), pa.string()),
+                        }
+                    ),
+                    True,
+                )
+            else:  # focus_obj
+                rows = np.nonzero(
+                    mask.combine_chunks().to_numpy(zero_copy_only=False)
+                )[0]
+                if a.get("subj") is not None:
+                    skey = term_key(a["subj"])
+                    keys = idx_obj.keys_of_rows(rows)
+                    keep = pc.equal(keys, skey).to_numpy(zero_copy_only=False)
+                    rows = rows[keep]
+                sub = t.take(pa.array(rows))
+                for k, lx, dt, lg in zip(
+                    sub.column("obj_kind").to_pylist(),
+                    sub.column("obj_lex").to_pylist(),
+                    sub.column("obj_dt").to_pylist(),
+                    sub.column("obj_lang").to_pylist(),
+                ):
+                    remote.append((obj_key(k, lx, dt, lg), a["shape"]))
+        return pa.table(
+            {
+                "node": pa.array([r[0] for r in remote], pa.string()),
+                "shape": pa.array([r[1] for r in remote], pa.string()),
+            }
+        )
+
     def submit(self, tasks: pa.Table, is_focus: bool) -> list:
         """Enqueue (node, shape) pairs; idempotent (already-known pairs are
         skipped), so upstream dedup of focus pairs is unnecessary — the
@@ -2272,6 +2331,24 @@ def distributed_validate(
                 ]
             )
         _mark("targets+submit")
+    elif isinstance(focus_tasks, tuple) and focus_tasks[0] == "shex-patterns":
+        # in-bucket shapemap pattern resolution: subject-side matches
+        # enqueue where they live; only object-side matches (plus the
+        # concrete node-selector pairs) cross the driver. No second scan
+        # of the input Dataset.
+        _, passocs, concrete = focus_tasks
+        ray.get(load_refs)
+        _mark("load")
+        remote_parts = ray.get([w.derive_focus.remote(passocs) for w in workers])
+        routed = pa.concat_tables([concrete] + remote_parts)
+        if routed.num_rows:
+            ray.get(
+                [
+                    workers[b].submit.remote(tbl, True)
+                    for b, tbl in _route_tasks(routed, nbuckets).items()
+                ]
+            )
+        _mark("focus+submit")
     elif isinstance(focus_tasks, pa.Table):
         ray.get(
             [

@@ -170,3 +170,52 @@ def test_ntriples_roundtrip(rd, tmp_path):
         for r in ds.take_all()
     }
     assert got == want
+
+
+def test_pattern_shapemap_in_bucket_focus(rd):
+    """Pattern selectors resolve IN-BUCKET (BucketWorker.derive_focus):
+    {FOCUS p o} matches subjects locally; {s p FOCUS} matches objects and
+    routes via the driver. Pins both directions plus mixing with a
+    concrete node selector (reference fixShapeMap, ShapeMaps semantics)."""
+    from shaclex_ray.engine import validate_shex
+
+    ttl = """
+    @prefix : <http://example.org/> .
+    @prefix xsd: <http://www.w3.org/2001/XMLSchema#> .
+    :alice a :Person ; :name "Alice" ; :knows :bob .
+    :bob a :Person ; :name "Bob" .
+    :carol a :Robot ; :name "Carol" .
+    :dave :name "Dave" .
+    """
+    schema = """
+    prefix : <http://example.org/>
+    prefix xsd: <http://www.w3.org/2001/XMLSchema#>
+    :S { :name xsd:string }
+    """
+    from shaclex_ray.rdfio import parse_turtle
+    from shaclex_ray.terms import triples_to_table
+
+    ds = rd.from_arrow(triples_to_table(parse_turtle(ttl)))
+
+    # {FOCUS a :Person} -> alice, bob (subject-side, fully in-bucket)
+    typing, summary = validate_shex(
+        ds,
+        schema,
+        "{FOCUS a :Person}@:S",
+        prefixes={"": "http://example.org/"},
+    )
+    foci = {r["node"] for r in typing.to_pylist() if r["is_focus"]}
+    assert foci == {"Ihttp://example.org/alice", "Ihttp://example.org/bob"}
+    assert summary["conformant"] == 2
+
+    # {:alice :knows FOCUS} -> bob (object-side, routed via the driver),
+    # unioned with a concrete node selector (:dave)
+    typing, summary = validate_shex(
+        ds,
+        schema,
+        "{:alice :knows FOCUS}@:S, :dave@:S",
+        prefixes={"": "http://example.org/"},
+    )
+    foci = {r["node"] for r in typing.to_pylist() if r["is_focus"]}
+    assert foci == {"Ihttp://example.org/bob", "Ihttp://example.org/dave"}
+    assert summary["conformant"] == 2
