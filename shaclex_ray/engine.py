@@ -76,10 +76,15 @@ def validate_shex(
     shapemap: str,
     prefixes: dict | None = None,
     nbuckets: int | None = None,
-    include_inverse: bool = True,
+    include_inverse: bool = False,
 ):
     """ShEx validation of a triples Dataset; shapemap in compact syntax.
-    Returns (typing: pa.Table(node, shape, val, is_focus), summary dict)."""
+    Returns (typing: pa.Table(node, shape, val, is_focus), summary dict).
+
+    ``include_inverse=False`` defers to ``schema_has_inverse`` detection
+    inside distributed_validate (same contract validate_shacl already
+    uses): reversed arc copies — which double the split exchange volume —
+    are built only when the schema actually contains ``^p`` constraints."""
     compiled = compile_schema("shex", schema)
     assocs = parse_shapemap(shapemap, prefixes or compiled.get("prefixes"))
     focus = _split_shapemap(assocs)
