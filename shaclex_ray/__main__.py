@@ -57,9 +57,12 @@ def main(argv=None):
     sub = ap.add_subparsers(dest="cmd", required=True)
 
     v = sub.add_parser("validate")
-    v.add_argument("--data", required=True)
+    v.add_argument("--data")
+    v.add_argument("--data-url", help="dereference RDF data from a URL (S2; Main.scala --dataUrl)")
+    v.add_argument("--data-format", help="explicit RDF format for --data-url (ntriples/turtle/rdfxml/jsonld/rdfjson)")
     v.add_argument("--engine", default="shacl", choices=("shex", "shacl"))
     v.add_argument("--schema")
+    v.add_argument("--schema-url", help="fetch schema text from a URL (S2; Main.scala --schemaUrl)")
     v.add_argument("--shacl")
     v.add_argument("--shapemap")
     v.add_argument("--trigger", default=None)
@@ -86,13 +89,29 @@ def main(argv=None):
         ray.init(address="local", include_dashboard=False, logging_level="ERROR", log_to_driver=False)
 
     if args.cmd == "validate":
-        ds = _load_triples_ds(args.data)
+        if args.data:
+            ds = _load_triples_ds(args.data)
+        elif args.data_url:
+            from shaclex_ray.sources.url_source import read_rdf_url
+
+            ds = read_rdf_url(args.data_url, fmt=args.data_format)
+        else:
+            ap.error("validate requires --data or --data-url")
         from shaclex_ray.result import report_ntriples, result_json, result_text
+
+        def schema_text(path):
+            if path:
+                return open(path).read()
+            if args.schema_url:
+                from shaclex_ray.sources.url_source import fetch_schema_text
+
+                return fetch_schema_text(args.schema_url)
+            ap.error("validate requires --schema/--shacl or --schema-url")
 
         if args.engine == "shacl":
             from shaclex_ray.engine import validate_shacl
 
-            shapes = open(args.shacl or args.schema).read()
+            shapes = schema_text(args.shacl or args.schema)
             typing, report, summary = validate_shacl(ds, shapes, nbuckets=args.nbuckets)
             if args.result_format == "json":
                 print(result_json(typing, report))
@@ -106,7 +125,7 @@ def main(argv=None):
             if not args.shapemap:
                 ap.error("--engine shex requires --shapemap (e.g. ':node@:Shape')")
             typing, summary = validate_shex(
-                ds, open(args.schema).read(), args.shapemap, nbuckets=args.nbuckets
+                ds, schema_text(args.schema), args.shapemap, nbuckets=args.nbuckets
             )
             print(result_json(typing) if args.result_format == "json" else result_text(typing))
     elif args.cmd == "infer":
