@@ -2221,6 +2221,7 @@ def distributed_validate(
         bucket_rows = int(_os.environ.get("SHACLEX_BUCKET_ROWS", "250000"))
         ncpu = int(ray.cluster_resources().get("CPU", 8))
         nbuckets = max(1, min(ncpu, _math.ceil(total_rows / bucket_rows)))
+    distributed_validate.last_nbuckets = nbuckets
     _mark("materialize")
 
     # spawn the actor fleet before the split: worker-process startup (the

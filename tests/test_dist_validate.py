@@ -296,3 +296,45 @@ def test_in_bucket_targets_equivalence(ray_session):
         zip(rep2.column("focus_node").to_pylist(), rep2.column("component").to_pylist())
     )
     assert r1 == r2 and len(r1) >= 2  # c datatype, b name minCount, d maxCount
+
+
+def test_auto_fleet_sizing(ray_session, monkeypatch):
+    """nbuckets=None sizes the bucket fleet from input rows
+    (SHACLEX_BUCKET_ROWS per bucket, capped at cluster CPUs): a tiny
+    corpus pays ONE actor spawn, and the env knob scales the fleet up."""
+    import ray.data as rd
+
+    from shaclex_ray.rdfio import parse_turtle
+    from shaclex_ray.terms import iri, term_key, triples_to_table
+    from shaclex_ray.validate.dist import distributed_validate
+
+    ttl = "@prefix ex: <http://e/> .\n" + "\n".join(
+        f'ex:n{i} ex:name "x{i}" .' for i in range(10)
+    )
+    schema = {
+        "shapes": {
+            "http://e/S": {
+                "type": "Shape",
+                "expression": {
+                    "type": "TripleConstraint",
+                    "predicate": "http://e/name",
+                    "min": 1,
+                    "max": 1,
+                },
+            }
+        }
+    }
+    ds = rd.from_arrow(triples_to_table(parse_turtle(ttl)))
+    focus = pa.table(
+        {"node": [term_key(iri("http://e/n0"))], "shape": ["http://e/S"]}
+    )
+
+    typing, _ = distributed_validate(ds, "shex", copy.deepcopy(schema), focus, nbuckets=None)
+    assert distributed_validate.last_nbuckets == 1  # 10 rows << 250k/bucket
+    assert "conforms" in typing.column("val").to_pylist()
+
+    # 10 rows at 3 rows/bucket -> ceil(10/3)=4, within the 4-CPU session cap
+    monkeypatch.setenv("SHACLEX_BUCKET_ROWS", "3")
+    typing2, _ = distributed_validate(ds, "shex", copy.deepcopy(schema), focus, nbuckets=None)
+    assert distributed_validate.last_nbuckets == 4
+    assert typing2.column("val").to_pylist() == typing.column("val").to_pylist()
