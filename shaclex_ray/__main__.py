@@ -68,6 +68,8 @@ def main(argv=None):
     v.add_argument("--trigger", default=None)
     v.add_argument("--result-format", default="text", choices=("text", "json", "report-nt"))
     v.add_argument("--nbuckets", type=int, default=8)
+    v.add_argument("--clingo-file", help="write the ASP grounding of the validation problem (Main.scala --clingoFile)")
+    v.add_argument("--show-clingo", action="store_true", help="print the ASP grounding (Main.scala --showClingo)")
 
     i = sub.add_parser("infer")
     i.add_argument("--data", required=True)
@@ -124,8 +126,22 @@ def main(argv=None):
 
             if not args.shapemap:
                 ap.error("--engine shex requires --shapemap (e.g. ':node@:Shape')")
+            schema_str = schema_text(args.schema)
+            if args.clingo_file or args.show_clingo:
+                from shaclex_ray.engine import compile_schema
+                from shaclex_ray.shapes.clingo import validate_to_clingo
+                from shaclex_ray.shapes.shapemap import parse_shapemap
+
+                compiled = compile_schema("shex", schema_str)
+                assocs = parse_shapemap(args.shapemap, compiled.get("prefixes"))
+                program = validate_to_clingo(ds, compiled, assocs)
+                if args.show_clingo:
+                    print(program)
+                if args.clingo_file:
+                    with open(args.clingo_file, "w") as f:
+                        f.write(program)
             typing, summary = validate_shex(
-                ds, schema_text(args.schema), args.shapemap, nbuckets=args.nbuckets
+                ds, schema_str, args.shapemap, nbuckets=args.nbuckets
             )
             print(result_json(typing) if args.result_format == "json" else result_text(typing))
     elif args.cmd == "infer":
