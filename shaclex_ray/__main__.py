@@ -87,7 +87,10 @@ def main(argv=None):
 
     import ray
 
-    if not ray.is_initialized():
+    # only tear down a session we created: callers embedding main() (tests,
+    # notebooks) keep their own Ray session alive
+    owns_ray = not ray.is_initialized()
+    if owns_ray:
         ray.init(address="local", include_dashboard=False, logging_level="ERROR", log_to_driver=False)
 
     if args.cmd == "validate":
@@ -178,7 +181,8 @@ def main(argv=None):
                 "violations": out["report"].num_rows if "report" in out else None,
             }
         )
-    ray.shutdown()
+    if owns_ray:
+        ray.shutdown()
 
 
 if __name__ == "__main__":
