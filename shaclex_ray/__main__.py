@@ -77,7 +77,7 @@ def main(argv=None):
 
     c = sub.add_parser("convert")
     c.add_argument("--schema", required=True)
-    c.add_argument("--to", required=True, choices=("shacl", "shex"))
+    c.add_argument("--to", required=True, choices=("shacl", "shex", "jsonschema"))
 
     k = sub.add_parser("kg")
     k.add_argument("--sf-dir", required=True)
@@ -166,6 +166,12 @@ def main(argv=None):
             import json as _json
 
             print(_json.dumps(shex_to_shacl(parse_shexc(text)), indent=1))
+        elif args.to == "jsonschema":
+            import json as _json
+
+            from shaclex_ray.shapes.convert import shex_to_jsonschema
+
+            print(_json.dumps(shex_to_jsonschema(parse_shexc(text)), indent=1))
         else:
             shex, selectors = shacl_to_shex(compile_shacl(parse_turtle(text)))
             print(render_shexc(shex))

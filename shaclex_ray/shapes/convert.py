@@ -504,3 +504,205 @@ def lint_inline_single_use(schema: dict) -> dict:
         if lbl in schema["shapes"] and lbl not in inlinable:
             schema["shapes"][lbl] = sub_se(schema["shapes"][lbl])
     return schema
+
+
+# ---------------------------------------------------------------------------
+# ShEx -> JSON Schema (C6)
+#
+# The reference DECLARES this converter but leaves it unimplemented
+# (modules/converter/src/main/scala/es/weso/shex/converter/
+# ShEx2JsonSchema.scala:11-15 is a bare `???`); there is no behavior to
+# match, so we define the natural mapping over the same flat fragment
+# FlatShapeConversion accepts (see shex_to_shacl above):
+#
+#   shape label            -> $defs entry (local-name key, IRI on collision)
+#   Shape + TripleConstraints -> {"type":"object", properties, required};
+#     card (0..1/1..1)     -> plain property (+required when min>=1)
+#     card (max>1 or *)    -> {"type":"array","items":...,min/maxItems}
+#     CLOSED               -> additionalProperties: false (EXTRA preds stay
+#                             allowed via their own property entries)
+#   NodeConstraint         -> scalar schema (datatype -> JSON type/format,
+#     string/numeric facets -> pattern/minLength/minimum/... , value sets
+#     -> enum); non-JSON-native datatypes keep an `x-rdf-datatype` marker
+#   @ref                   -> {"$ref": "#/$defs/<key>"}
+#   ShapeAnd/Or/Not        -> allOf / anyOf / not
+#   start                  -> top-level $ref
+
+_DT_TO_JSON = {
+    XSD + "string": {"type": "string"},
+    XSD + "boolean": {"type": "boolean"},
+    XSD + "decimal": {"type": "number"},
+    XSD + "double": {"type": "number"},
+    XSD + "float": {"type": "number"},
+    XSD + "date": {"type": "string", "format": "date"},
+    XSD + "dateTime": {"type": "string", "format": "date-time"},
+    XSD + "time": {"type": "string", "format": "time"},
+    XSD + "anyURI": {"type": "string", "format": "uri"},
+}
+for _it in (
+    "integer", "long", "int", "short", "byte", "nonNegativeInteger",
+    "nonPositiveInteger", "negativeInteger", "positiveInteger",
+    "unsignedLong", "unsignedInt", "unsignedShort", "unsignedByte",
+):
+    _DT_TO_JSON[XSD + _it] = {"type": "integer"}
+
+
+def _local_name(iri: str) -> str:
+    for sep in ("#", "/", ":"):
+        if sep in iri:
+            tail = iri.rsplit(sep, 1)[1]
+            if tail:
+                return tail
+    return iri
+
+
+def _nc_to_jsonschema(nc: dict) -> dict:
+    out: dict = {}
+    if "datatype" in nc:
+        dt = nc["datatype"]
+        out.update(_DT_TO_JSON.get(dt) or {"type": "string", "x-rdf-datatype": dt})
+    if "nodeKind" in nc:
+        nk = nc["nodeKind"]
+        if nk == "iri":
+            out.update({"type": "string", "format": "iri"})
+        elif nk == "bnode":
+            out.update({"type": "string", "pattern": "^_:"})
+        elif nk == "nonliteral":
+            out.setdefault("type", "string")
+        # "literal": any JSON scalar -- unconstrained
+    if "pattern" in nc:
+        if nc.get("flags"):
+            raise ConversionError("regex flags do not convert to JSON Schema")
+        out["pattern"] = nc["pattern"]
+    if "minlength" in nc:
+        out["minLength"] = nc["minlength"]
+    if "maxlength" in nc:
+        out["maxLength"] = nc["maxlength"]
+    if "length" in nc:
+        out["minLength"] = out["maxLength"] = nc["length"]
+    for facet, kw in (
+        ("mininclusive", "minimum"),
+        ("minexclusive", "exclusiveMinimum"),
+        ("maxinclusive", "maximum"),
+        ("maxexclusive", "exclusiveMaximum"),
+    ):
+        if facet in nc:
+            out[kw] = nc[facet]
+            out.setdefault("type", "number")
+    if "values" in nc:
+        enum = []
+        for v in nc["values"]:
+            if isinstance(v, str):
+                enum.append(v)  # IRI -> its string form
+            elif isinstance(v, dict) and "value" in v:
+                dt = v.get("type", "")
+                if dt in _DT_TO_JSON and _DT_TO_JSON[dt].get("type") == "integer":
+                    enum.append(int(v["value"]))
+                elif dt in _DT_TO_JSON and _DT_TO_JSON[dt].get("type") == "number":
+                    enum.append(float(v["value"]))
+                else:
+                    enum.append(v["value"])
+            else:
+                raise ConversionError(f"value-set item not convertible: {v}")
+        out["enum"] = enum
+    return out
+
+
+def shex_to_jsonschema(schema: dict) -> dict:
+    """Flat ShEx schema IR -> a JSON Schema (draft 2020-12) document."""
+    labels = sorted(schema.get("shapes", {}))
+    keys: dict[str, str] = {}
+    seen: dict[str, str] = {}
+    for lbl in labels:
+        k = _local_name(lbl)
+        if k in seen.values():
+            k = lbl
+        keys[lbl] = k
+        seen[lbl] = k
+
+    def ref(label: str) -> dict:
+        if label not in keys:
+            raise ConversionError(f"reference to unknown shape {label}")
+        return {"$ref": f"#/$defs/{keys[label]}"}
+
+    def conv_se(se) -> dict:
+        if isinstance(se, str):
+            return ref(se)
+        t = se.get("type")
+        if t == "NodeConstraint":
+            return _nc_to_jsonschema(se)
+        if t == "ShapeAnd":
+            return {"allOf": [conv_se(s) for s in se["shapeExprs"]]}
+        if t == "ShapeOr":
+            return {"anyOf": [conv_se(s) for s in se["shapeExprs"]]}
+        if t == "ShapeNot":
+            return {"not": conv_se(se["shapeExpr"])}
+        if t == "Shape":
+            expr = se.get("expression")
+            tcs = []
+            if expr is not None:
+                et = expr.get("type") if isinstance(expr, dict) else None
+                if et == "TripleConstraint":
+                    tcs = [expr]
+                elif et == "EachOf":
+                    for sub in expr["expressions"]:
+                        if not (
+                            isinstance(sub, dict)
+                            and sub.get("type") == "TripleConstraint"
+                        ):
+                            raise ConversionError(
+                                "only flat EachOf of TripleConstraints converts"
+                            )
+                        tcs.append(sub)
+                else:
+                    raise ConversionError(
+                        f"non-flat tripleExpr {et} does not convert"
+                    )
+            props: dict = {}
+            required = []
+            for tc in tcs:
+                if tc.get("inverse"):
+                    raise ConversionError("inverse constraints do not convert")
+                pname = _local_name(tc["predicate"])
+                if pname in props:
+                    raise ConversionError(
+                        f"duplicate property name {pname!r} in one shape"
+                    )
+                ve = tc.get("valueExpr")
+                if ve is None:
+                    vschema: dict = {}
+                elif isinstance(ve, str) or isinstance(ve, dict):
+                    vschema = conv_se(ve)
+                else:
+                    raise ConversionError("valueExpr does not convert")
+                mn, mx = tc.get("min", 1), tc.get("max", 1)
+                if mx == 1:
+                    props[pname] = vschema
+                else:
+                    arr: dict = {"type": "array", "items": vschema}
+                    if mn > 0:
+                        arr["minItems"] = mn
+                    if mx != -1:
+                        arr["maxItems"] = mx
+                    props[pname] = arr
+                if mn > 0:
+                    required.append(pname)
+            out: dict = {"type": "object", "properties": props}
+            if required:
+                out["required"] = required
+            if se.get("closed"):
+                out["additionalProperties"] = False
+                for extra in se.get("extra", []):
+                    props.setdefault(_local_name(extra), {})
+            return out
+        raise ConversionError(f"shapeExpr {t} does not convert")
+
+    defs = {keys[lbl]: conv_se(schema["shapes"][lbl]) for lbl in labels}
+    doc: dict = {
+        "$schema": "https://json-schema.org/draft/2020-12/schema",
+        "$defs": defs,
+    }
+    start = schema.get("start")
+    if isinstance(start, str) and start in keys:
+        doc["$ref"] = f"#/$defs/{keys[start]}"
+    return doc

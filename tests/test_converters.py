@@ -1,6 +1,8 @@
 """Schema converters (SURVEY.md C1/C2/C3): cross-language equivalence on
 the reference's example fixtures."""
 
+import pytest
+
 from shaclex_ray.rdfio import parse_turtle
 from shaclex_ray.shapes.convert import (
     count_usages,
@@ -89,3 +91,84 @@ def test_facet_bound_exponent_and_garbage():
     shex, _sel = shacl_to_shex(compile_shacl(parse_turtle(ttl)))
     tc = shex["shapes"]["http://ex.org/S"]["expression"]
     assert tc["valueExpr"]["mininclusive"] == 100.0
+
+
+# ---------------------------------------------------------------- C6
+
+
+def test_shex_to_jsonschema_flat_shape():
+    """C6: the reference declares ShEx->JSON Schema but leaves it `???`
+    (ShEx2JsonSchema.scala:11-15); we define the natural mapping over the
+    flat fragment and pin it with the real jsonschema validator."""
+    import jsonschema
+
+    from shaclex_ray.shapes.convert import shex_to_jsonschema
+    from shaclex_ray.shapes.shexc import parse_shexc
+
+    sch = parse_shexc(
+        "PREFIX ex: <http://e/>\n"
+        "PREFIX xsd: <http://www.w3.org/2001/XMLSchema#>\n"
+        "start = @ex:Person\n"
+        "ex:Person CLOSED {\n"
+        "  ex:name xsd:string MINLENGTH 1 ;\n"
+        "  ex:age xsd:integer MININCLUSIVE 0 ;\n"
+        "  ex:email xsd:string /@/ ? ;\n"
+        "  ex:knows @ex:Person *\n"
+        "}\n"
+    )
+    js = shex_to_jsonschema(sch)
+    assert js["$ref"] == "#/$defs/Person"
+    person = js["$defs"]["Person"]
+    assert person["additionalProperties"] is False
+    assert sorted(person["required"]) == ["age", "name"]
+    assert person["properties"]["knows"] == {
+        "type": "array",
+        "items": {"$ref": "#/$defs/Person"},
+    }
+
+    ok = {"name": "Ada", "age": 36, "knows": [{"name": "Bob", "age": 1}]}
+    jsonschema.validate(ok, js)
+    for bad in (
+        {"age": 3},                              # name required
+        {"name": "", "age": 3},                  # minLength 1
+        {"name": "x", "age": -1},                # minimum 0
+        {"name": "x", "age": 3, "email": "no"},  # pattern
+        {"name": "x", "age": 3, "other": 1},     # closed
+        {"name": "x", "age": "3"},               # integer
+    ):
+        with pytest.raises(jsonschema.ValidationError):
+            jsonschema.validate(bad, js)
+
+
+def test_shex_to_jsonschema_logic_and_valuesets():
+    import jsonschema
+
+    from shaclex_ray.shapes.convert import shex_to_jsonschema
+    from shaclex_ray.shapes.shexc import parse_shexc
+
+    sch = parse_shexc(
+        "PREFIX ex: <http://e/>\n"
+        'ex:V IRI OR ["red" "green"]\n'
+        "ex:N NOT IRI\n"
+    )
+    js = shex_to_jsonschema(sch)
+    v = js["$defs"]["V"]
+    assert "anyOf" in v
+    jsonschema.validate("red", v if "$defs" not in v else v)
+    jsonschema.validate("red", {**v, "$defs": js["$defs"]})
+    with pytest.raises(jsonschema.ValidationError):
+        jsonschema.validate(7, {**v, "$defs": js["$defs"]})
+    assert js["$defs"]["N"] == {"not": {"type": "string", "format": "iri"}}
+
+
+def test_shex_to_jsonschema_rejects_nonflat():
+    from shaclex_ray.shapes.convert import ConversionError, shex_to_jsonschema
+    from shaclex_ray.shapes.shexc import parse_shexc
+
+    sch = parse_shexc(
+        "PREFIX ex: <http://e/>\n"
+        "PREFIX xsd: <http://www.w3.org/2001/XMLSchema#>\n"
+        "ex:S { ex:a xsd:string | ex:b xsd:string }\n"
+    )
+    with pytest.raises(ConversionError):
+        shex_to_jsonschema(sch)
