@@ -27,6 +27,8 @@ IEEE expression tree on both sides (cents/100.0, then /n).
 
 from __future__ import annotations
 
+import os
+
 import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
@@ -119,14 +121,28 @@ def _split_by_user_impl(nbuckets: int, *tbls: pa.Table):
     )
 
 
+USER_BUCKET_ROWS = int(os.environ.get("SHACLEX_USER_BUCKET_ROWS", 2_000_000))
+
+
 def _user_exchange(rows_ds, bucket_impl, *bucket_args):
     """ONE hash exchange on user_id, then ``bucket_impl(*bucket_args,
     *tables)`` per bucket (all users of a bucket processed vectorized —
-    the Dataset groupby would call Python once per user)."""
-    nbuckets = max(4, int(ray.cluster_resources().get("CPU", 8)))
+    the Dataset groupby would call Python once per user).
+
+    Bucket count scales with DATA VOLUME, not just cpu count (the
+    SHACLEX_SPLIT_ROWS lesson from the dedup exchange): per-bucket rows
+    are bounded by USER_BUCKET_ROWS so a 100-TB events table fans out to
+    however many bucket tasks the volume demands, while a small table
+    still gets one bucket per cpu for parallelism."""
     split_task = ray.remote(_split_by_user_impl)
     bucket_task = ray.remote(bucket_impl)
-    refs = rows_ds.materialize().to_arrow_refs()
+    mat = rows_ds.materialize()
+    nbuckets = max(
+        4,
+        int(ray.cluster_resources().get("CPU", 8)),
+        -(-mat.count() // USER_BUCKET_ROWS),
+    )
+    refs = mat.to_arrow_refs()
     ngroups = max(1, min(len(refs), nbuckets))
     groups = [refs[g::ngroups] for g in range(ngroups)]
     split_refs = [
