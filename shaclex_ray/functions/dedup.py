@@ -31,6 +31,7 @@ Scale notes (the 100-TB cost centers):
 from __future__ import annotations
 
 import hashlib
+import os
 
 import numpy as np
 import pyarrow as pa
@@ -38,6 +39,8 @@ import pyarrow.compute as pc
 
 import ray
 import ray.data
+
+BAND_BUCKET_ROWS = int(os.environ.get("SHACLEX_BAND_BUCKET_ROWS", 4_000_000))
 
 from shaclex_ray.functions.md5batch import md5_state_batch, md5_u64_batch
 
@@ -408,10 +411,17 @@ def _lsh_candidate_pairs(rows_ds, label: str):
     (doc_a, doc_b)."""
     import ray.data as rd
 
-    nbuckets = max(4, int(ray.cluster_resources().get("CPU", 8)))
     split_task = ray.remote(_band_split_impl)
     bucket_task = ray.remote(_band_bucket_pairs_impl)
     mat = rows_ds.materialize()
+    # bucket count scales with band-row VOLUME (docs x bands), capped per
+    # bucket at BAND_BUCKET_ROWS -- cpu count alone leaves per-bucket rows
+    # unbounded at corpus scale (the SHACLEX_SPLIT_ROWS lesson)
+    nbuckets = max(
+        4,
+        int(ray.cluster_resources().get("CPU", 8)),
+        -(-mat.count() // BAND_BUCKET_ROWS),
+    )
     refs = mat.to_arrow_refs()
     ngroups = max(1, min(len(refs), nbuckets))
     groups = [refs[g::ngroups] for g in range(ngroups)]
@@ -591,12 +601,12 @@ def ngram_jaccard_dups(
 
     prep_ds = _read_docs(sf_dir).map_batches(prep, batch_format="pyarrow").materialize()
     # join fan-out scales with the data (≈100k docs per partition),
-    # capped by cluster width — tiny inputs shouldn't pay 16-way overhead
+    # capped at 512 — tiny inputs still get a 2-way floor, volume drives the rest
     nparts = int(
         np.clip(
             prep_ds.count() // 100_000 + 1,
             2,
-            max(2, int(ray.cluster_resources().get("CPU", 4))),
+            512,
         )
     )
     sh_ds = prep_ds.select_columns(["doc_id", "shingles"])
@@ -779,7 +789,7 @@ def embedding_near_dups(
         np.clip(
             cand.count() // 100_000 + 1,
             2,
-            max(2, int(ray.cluster_resources().get("CPU", 4))),
+            512,
         )
     )
 
