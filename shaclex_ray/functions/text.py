@@ -109,34 +109,68 @@ _LANG_PROFILES: dict[str, dict] = {}
 
 
 class LangID:
-    """Actor-pool stage: profiles built once per actor (__init__)."""
+    """Actor-pool stage: profiles built once per actor (``__init__``),
+    prediction fully vectorized — the whole batch's bigrams are extracted
+    in one numpy pass (UTF-32 codepoint pairs → sorted-vocab searchsorted
+    → one bincount per batch → one matmul), no per-character or per-doc
+    Python in the hot path."""
 
     def __init__(self, profiles: dict[str, dict[str, float]]):
         self.langs = sorted(profiles)
         grams = sorted({g for p in profiles.values() for g in p})
-        self.gram_index = {g: i for i, g in enumerate(grams)}
         self.mat = np.zeros((len(self.langs), len(grams)))
+        gram_index = {g: i for i, g in enumerate(grams)}
         for li, lang in enumerate(self.langs):
             for g, w in profiles[lang].items():
-                self.mat[li, self.gram_index[g]] = w
+                self.mat[li, gram_index[g]] = w
         norms = np.linalg.norm(self.mat, axis=1, keepdims=True)
         self.mat = self.mat / np.maximum(norms, 1e-9)
+        # bigram (c0, c1) -> packed uint64 key, sorted for searchsorted;
+        # vocab_col[j] = column of self.mat for sorted-vocab entry j
+        keys = np.array(
+            [(ord(g[0]) << 21) | ord(g[1]) for g in grams], dtype=np.uint64
+        )
+        order = np.argsort(keys)
+        self.vocab_keys = keys[order]
+        self.vocab_col = np.arange(len(grams))[order]
 
-    def _vec(self, text: str) -> np.ndarray:
-        v = np.zeros(self.mat.shape[1])
-        for i in range(len(text) - 1):
-            g = text[i : i + 2]
-            j = self.gram_index.get(g)
-            if j is not None:
-                v[j] += 1.0
-        n = np.linalg.norm(v)
-        return v / n if n > 0 else v
+    def _batch_vectors(self, texts) -> np.ndarray:
+        """(ndocs, nvocab) L2-normalized bigram-count matrix for the whole
+        batch in a handful of numpy ops."""
+        nvocab = self.mat.shape[1]
+        ndocs = len(texts)
+        blobs = [t.encode("utf-32-le") for t in texts]  # one C call per doc
+        lens = np.fromiter((len(b) >> 2 for b in blobs), np.int64, ndocs)
+        if lens.sum() == 0:
+            return np.zeros((ndocs, nvocab))
+        cps = np.frombuffer(b"".join(blobs), dtype=np.uint32).astype(np.uint64)
+        if len(cps) < 2:
+            return np.zeros((ndocs, nvocab))
+        starts = np.concatenate(([0], np.cumsum(lens)[:-1]))
+        # bigram keys for every adjacent pair; mask pairs crossing doc ends
+        pair_keys = (cps[:-1] << np.uint64(21)) | cps[1:]
+        doc_idx = np.repeat(np.arange(ndocs), lens)[:-1]
+        valid = np.ones(len(pair_keys), dtype=bool)
+        bnd = starts[1:] - 1  # pair index straddling each doc boundary
+        bnd = bnd[(bnd >= 0) & (bnd < len(pair_keys))]
+        valid[bnd] = False
+        pos = np.searchsorted(self.vocab_keys, pair_keys)
+        pos_c = np.minimum(pos, len(self.vocab_keys) - 1)
+        hit = valid & (self.vocab_keys[pos_c] == pair_keys)
+        flat = doc_idx[hit] * nvocab + self.vocab_col[pos_c[hit]]
+        v = np.bincount(flat, minlength=ndocs * nvocab).reshape(ndocs, nvocab)
+        v = v.astype(np.float64)
+        n = np.linalg.norm(v, axis=1, keepdims=True)
+        return v / np.maximum(n, 1e-9)
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        preds = []
-        for t in batch.column("text").to_pylist():
-            sims = self.mat @ self._vec(t)
-            preds.append(self.langs[int(np.argmax(sims))])
+        texts = batch.column("text").to_pylist()
+        if texts:
+            vecs = self._batch_vectors(texts)
+            sims = vecs @ self.mat.T  # (ndocs, nlangs)
+            preds = [self.langs[j] for j in np.argmax(sims, axis=1)]
+        else:
+            preds = []
         return pa.table(
             {
                 "doc_id": batch.column("doc_id"),

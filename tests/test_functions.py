@@ -244,3 +244,40 @@ def test_embedding_near_dups_join_equals_broadcast(ray_session, monkeypatch):
     assert bcast == joined
     assert all(a < b for a, b in bcast)
     assert len(bcast) == len(set(bcast))
+
+
+def test_langid_vectorized_parity():
+    """The batched numpy bigram path must equal the per-char definition
+    exactly (incl. astral-plane codepoints and doc-boundary pairs)."""
+    import numpy as np
+
+    from shaclex_ray.functions.text import LangID
+
+    profiles = {
+        "en": {"th": 5.0, "he": 4.0, "an": 2.0, " t": 1.0},
+        "es": {"el": 5.0, "la": 4.0, "qu": 3.0, "ue": 2.0},
+        "zz": {"éé": 2.0, "\U0001F600a": 1.0},
+    }
+    m = LangID(profiles)
+    gram_index = {
+        g: i
+        for i, g in enumerate(sorted({g for p in profiles.values() for g in p}))
+    }
+
+    def ref_vec(text):
+        v = np.zeros(m.mat.shape[1])
+        for i in range(len(text) - 1):
+            j = gram_index.get(text[i : i + 2])
+            if j is not None:
+                v[j] += 1.0
+        n = np.linalg.norm(v)
+        return v / n if n > 0 else v
+
+    texts = ["the theme", "el que la ue", "", "a", "ééé",
+             "\U0001F600a\U0001F600a", "xyz", "the el"]
+    vecs = m._batch_vectors(texts)
+    for t, v in zip(texts, vecs):
+        assert np.allclose(v, ref_vec(t)), repr(t)
+    # a bigram must never straddle two documents
+    m2 = LangID({"a": {"xt": 1.0}, "b": {"zz": 1.0}})
+    assert np.allclose(m2._batch_vectors(["yx", "ty"]), 0.0)
