@@ -97,7 +97,10 @@ def key_to_term(key: str) -> tuple:
         return ("iri", key[1:])
     if c == "B":
         return ("bnode", key[1:])
-    lex, dt, lang = key[1:].split(SEP)
+    # rsplit: the lexical form may itself contain SEP (control chars are
+    # legal in literals — shexTest STRING_LITERAL1_with_all_controls);
+    # datatype IRIs and language tags never do
+    lex, dt, lang = key[1:].rsplit(SEP, 2)
     return ("lit", lex, dt, lang)
 
 

@@ -33,3 +33,17 @@ def test_obj_cols_roundtrip():
     t = literal("1.5", "http://www.w3.org/2001/XMLSchema#decimal")
     k, lx, dt, lg = obj_cols(t)
     assert obj_key(k, lx, dt, lg) == term_key(t)
+
+
+def test_key_roundtrip_sep_in_lexical_form():
+    """Literal lexical forms may contain the \\x1f key separator (shexTest
+    STRING_LITERAL1_with_all_controls) — key_to_term must rsplit."""
+    from shaclex_ray.terms import key_to_term, literal, term_key
+
+    for t in (
+        literal("a\x1fb"),
+        literal("\x1f\x1f", "http://d"),
+        literal("ctrl\x00\x1f\x1e tail", lang="en"),
+        literal(""),
+    ):
+        assert key_to_term(term_key(t)) == t
