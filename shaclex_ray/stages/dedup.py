@@ -286,8 +286,6 @@ def dedup_triples_fast_from_parquet(
     files = sorted(_glob.glob(f"{path}/*.parquet"))
     if not files:
         raise FileNotFoundError(f"no parquet shards under {path}")
-    if nbuckets is None:
-        nbuckets = max(8, int(ray.cluster_resources().get("CPU", 8)))
     split_task = ray.remote(_dedup_split_files_impl)
     bucket_task = ray.remote(_dedup_bucket_impl)
     link_ref = (
@@ -306,6 +304,18 @@ def dedup_triples_fast_from_parquet(
         _pq.ParquetFile(f).metadata.num_rows for f in files
     )
     target = int(_os.environ.get("SHACLEX_SPLIT_ROWS", "2000000"))
+    if nbuckets is None:
+        # the REDUCE side is volume-bounded too: per-bucket rows ≈
+        # total/nbuckets must fit a task heap, so buckets scale with the
+        # data (≈2×SPLIT_ROWS each), floored at cluster width and capped
+        # at 1024 — the split-output ref matrix is ngroups×nbuckets, and
+        # past ~10^9 rows the right move is a second recursive exchange
+        # level per oversized bucket, not more refs
+        nbuckets = max(
+            8,
+            int(ray.cluster_resources().get("CPU", 8)),
+            min(1024, _math.ceil(total_rows / (2 * target))),
+        )
     ngroups = max(1, min(len(files), _math.ceil(total_rows / target)))
     groups = [files[g::ngroups] for g in range(ngroups)]
     split_refs = [
