@@ -600,15 +600,6 @@ def ngram_jaccard_dups(
         return _jaccard_table(da, db, la, fa, lb, fb, threshold)
 
     prep_ds = _read_docs(sf_dir).map_batches(prep, batch_format="pyarrow").materialize()
-    # join fan-out scales with the data (≈100k docs per partition),
-    # capped at 512 — tiny inputs still get a 2-way floor, volume drives the rest
-    nparts = int(
-        np.clip(
-            prep_ds.count() // 100_000 + 1,
-            2,
-            512,
-        )
-    )
     sh_ds = prep_ds.select_columns(["doc_id", "shingles"])
     cand = _lsh_candidate_pairs(
         prep_ds.select_columns(["doc_id", "keys"]).map_batches(
@@ -624,7 +615,8 @@ def ngram_jaccard_dups(
     import os as _os
 
     bcast_limit = int(_os.environ.get("SHACLEX_JACCARD_BCAST_THRESHOLD", "100000"))
-    if cand.count() <= bcast_limit:
+    n_cand = cand.count()
+    if n_cand <= bcast_limit:
         cand_ids = set()
         for row in cand.take_all():
             cand_ids.add(row["doc_a"])
@@ -667,6 +659,15 @@ def ngram_jaccard_dups(
 
         return cand.map_batches(verify_bcast, batch_format="pyarrow")
 
+    # join fan-out is BYTE-aware, not just row-aware: each hash-join
+    # aggregator holds its whole partition, and every candidate pair
+    # carries ~2 shingle payloads through j2 — row-count sizing alone
+    # OOMs the aggregators once pairs x payload passes a few GB
+    avg_sh = prep_ds.size_bytes() / max(1, prep_ds.count())
+    budget = 256 << 20  # per-partition aggregator budget
+    nparts = int(
+        np.clip(max(n_cand // 100_000, int(n_cand * 2 * avg_sh) // budget) + 1, 2, 512)
+    )
     j1 = cand.join(
         sh_ds, "inner", num_partitions=nparts, on=("doc_a",), right_on=("doc_id",)
     ).map_batches(rename_a, batch_format="pyarrow")
@@ -785,9 +786,12 @@ def embedding_near_dups(
 
         return cand.map_batches(verify_bcast, batch_format="pyarrow")
 
+    n_cand = cand.count()
+    vec_bytes = dim * 8
+    budget = 256 << 20
     nparts = int(
         np.clip(
-            cand.count() // 100_000 + 1,
+            max(n_cand // 100_000, (n_cand * 2 * vec_bytes) // budget) + 1,
             2,
             512,
         )
