@@ -26,6 +26,12 @@ Scale notes (the 100-TB cost centers):
     equality is exactly the SQL oracle's pair condition)
   * pair generation only ever happens inside a bucket (never a global
     cross join), with a degenerate-bucket cap
+  * candidate VERIFICATION is representative-based on duplicate-heavy
+    corpora (``_rep_expand_verify``): docs group by a 128-bit content
+    fingerprint, the payload verifier (jaccard / cosine) runs once per
+    distinct CONTENT pair, and verdicts expand back over candidate
+    pairs with int-only joins — an exact-dup cluster of size m emits
+    O(m^2) candidate pairs but ships its payload O(1) times, not O(m^2)
 """
 
 from __future__ import annotations
@@ -42,7 +48,11 @@ import ray.data
 
 BAND_BUCKET_ROWS = int(os.environ.get("SHACLEX_BAND_BUCKET_ROWS", 4_000_000))
 
-from shaclex_ray.functions.md5batch import md5_state_batch, md5_u64_batch
+from shaclex_ray.functions.md5batch import (
+    md5_state_batch,
+    md5_u64_batch,
+    md5_u128_batch,
+)
 
 # all-pairs cap inside one LSH bucket: a degenerate band bucket (every doc
 # identical) would otherwise emit O(n²) pairs; chaining consecutive ids
@@ -525,6 +535,241 @@ def simhash_groups(sf_dir: str):
 
 # ------------------------------------------------------- ngram jaccard
 
+# ------------------------------------ representative-based verification
+
+def _join_parts(rows: int, bytes_per_row: int) -> int:
+    """Hash-join fan-out bounded by per-aggregator BYTES (256MB budget)
+    with a row-count floor — the same sizing rule as the payload joins."""
+    budget = 256 << 20
+    return int(
+        np.clip(max(rows // 2_000_000, rows * bytes_per_row // budget) + 1, 2, 512)
+    )
+
+
+def _rep_expand_verify(cand, n_cand, docfp_ds, verify_direct, out_schema, self_vals):
+    """Verify LSH candidates through content REPRESENTATIVES.
+
+    The verification predicate (jaccard / cosine) is a pure function of
+    the two docs' content, so identical-content docs are interchangeable:
+    group docs by a 128-bit content fingerprint, run the payload verifier
+    only on DISTINCT representative pairs, then expand the verdicts back
+    over the candidate pairs with int-only joins. Payload bytes moved
+    scale with |distinct content| x near-dup degree instead of
+    |candidate pairs| — on a duplicate-heavy web corpus an exact-dup
+    cluster of size m yields O(m^2) candidate pairs that all share ONE
+    verdict, so the direct path re-ships the same payload m^2 times.
+
+    cand:          materialized Dataset (doc_a, doc_b)
+    docfp_ds:      Dataset (doc_id, fp_hi, fp_lo, self_ok) — content
+                   fingerprint per doc; self_ok = whether a pair of
+                   identical-content docs passes verification
+    verify_direct: fn(cand_ds, n_pairs) -> Dataset in out_schema — the
+                   payload verifier, run only on representative pairs
+    out_schema:    output schema; fields [0:2] are the pair id columns
+    self_vals:     constants for out_schema's value columns on
+                   identical-content pairs (e.g. jaccard=1.0)
+
+    Returns None when the corpus is not duplicate-heavy enough
+    (|reps|/|docs| > SHACLEX_REP_DUP_RATIO): there the rep detour is pure
+    overhead — rep pairs ≈ candidate pairs — and the caller's direct
+    path is the right shape already.
+    """
+    from shaclex_ray.stages.dedup import distinct_rows_fast
+    from shaclex_ray.stages.groupagg import grouped_aggregate_fast
+
+    ida, idb = out_schema.names[0], out_schema.names[1]
+    val_names = out_schema.names[2:]
+    dup_ratio = float(os.environ.get("SHACLEX_REP_DUP_RATIO", "0.5"))
+    verdict_bcast_rows = int(
+        os.environ.get("SHACLEX_REP_VERDICT_BCAST_ROWS", "20000000")
+    )
+
+    n_docs = docfp_ds.count()
+    reps = grouped_aggregate_fast(
+        docfp_ds, ["fp_hi", "fp_lo"], [("doc_id", "min")], ["rep_id"]
+    ).materialize()
+    if reps.count() > n_docs * dup_ratio:
+        return None
+
+    # materialize between joins: a single streaming plan with several
+    # hash joins starts ALL their aggregator fleets concurrently — the
+    # combined CPU reservation deadlocks the scheduler (observed: two
+    # 124-partition joins x 16 CPUs each on a 32-CPU node, zero progress).
+    # Sequential stages keep exactly one aggregator fleet alive at a time,
+    # and doc_rep (consumed by BOTH pair-side joins) is computed once.
+    doc_rep = (
+        docfp_ds.join(
+            reps,
+            "inner",
+            num_partitions=_join_parts(n_docs, 48),
+            on=("fp_hi", "fp_lo"),
+        )
+        .select_columns(["doc_id", "rep_id", "self_ok"])
+        .materialize()
+    )
+
+    def _r1(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "doc_a": batch.column("doc_a"),
+                "doc_b": batch.column("doc_b"),
+                "rep_a": batch.column("rep_id"),
+                "ok_a": batch.column("self_ok"),
+            }
+        )
+
+    def _r2(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "doc_a": batch.column("doc_a"),
+                "doc_b": batch.column("doc_b"),
+                "rep_a": batch.column("rep_a"),
+                "ok_a": batch.column("ok_a"),
+                "rep_b": batch.column("rep_id"),
+            }
+        )
+
+    np_cand = _join_parts(n_cand, 64)
+    half = (
+        cand.join(
+            doc_rep,
+            "inner",
+            num_partitions=np_cand,
+            on=("doc_a",),
+            right_on=("doc_id",),
+        )
+        .map_batches(_r1, batch_format="pyarrow")
+        .materialize()
+    )
+    cand_rep = (
+        half.join(
+            doc_rep,
+            "inner",
+            num_partitions=np_cand,
+            on=("doc_b",),
+            right_on=("doc_id",),
+        )
+        .map_batches(_r2, batch_format="pyarrow")
+        .materialize()
+    )
+
+    def _lohi(batch: pa.Table) -> pa.Table:
+        ra = batch.column("rep_a").to_numpy(zero_copy_only=False)
+        rb = batch.column("rep_b").to_numpy(zero_copy_only=False)
+        m = ra != rb
+        return pa.table(
+            {
+                "doc_a": pa.array(np.minimum(ra[m], rb[m]), pa.int64()),
+                "doc_b": pa.array(np.maximum(ra[m], rb[m]), pa.int64()),
+            }
+        )
+
+    rep_pairs = distinct_rows_fast(
+        cand_rep.map_batches(_lohi, batch_format="pyarrow")
+    ).materialize()
+    verdict = verify_direct(rep_pairs, rep_pairs.count()).materialize()
+    nv = verdict.count()
+
+    if nv <= verdict_bcast_rows:
+        tbls = [ray.get(r) for r in verdict.to_arrow_refs()]
+        vt = (
+            pa.concat_tables(tbls).combine_chunks()
+            if tbls
+            else out_schema.empty_table()
+        )
+        vt = vt.rename_columns(["lo", "hi", *val_names])
+        verd_ref = ray.put(vt)
+
+        def emit(batch: pa.Table) -> pa.Table:
+            if batch.num_rows == 0:
+                return out_schema.empty_table()
+            ra = batch.column("rep_a").to_numpy(zero_copy_only=False)
+            rb = batch.column("rep_b").to_numpy(zero_copy_only=False)
+            oa = batch.column("ok_a").to_numpy(zero_copy_only=False)
+            da = batch.column("doc_a").to_numpy(zero_copy_only=False)
+            db = batch.column("doc_b").to_numpy(zero_copy_only=False)
+            self_m = ra == rb
+            outs = []
+            keep = self_m & oa.astype(bool)
+            if keep.any():
+                cols = {
+                    ida: pa.array(da[keep], pa.int64()),
+                    idb: pa.array(db[keep], pa.int64()),
+                }
+                for c in val_names:
+                    cols[c] = pa.array(
+                        np.full(int(keep.sum()), self_vals[c]),
+                        out_schema.field(c).type,
+                    )
+                outs.append(pa.table(cols).cast(out_schema))
+            cm = ~self_m
+            if cm.any():
+                qt = pa.table(
+                    {
+                        "lo": pa.array(np.minimum(ra[cm], rb[cm]), pa.int64()),
+                        "hi": pa.array(np.maximum(ra[cm], rb[cm]), pa.int64()),
+                        ida: pa.array(da[cm], pa.int64()),
+                        idb: pa.array(db[cm], pa.int64()),
+                    }
+                )
+                j = qt.join(ray.get(verd_ref), keys=["lo", "hi"], join_type="inner")
+                outs.append(j.select(out_schema.names).cast(out_schema))
+            if not outs:
+                return out_schema.empty_table()
+            return pa.concat_tables(outs)
+
+        return cand_rep.map_batches(emit, batch_format="pyarrow")
+
+    # verdict too large to broadcast (near-worst-case rep-pair degree):
+    # expand by a distributed int-only join on (lo, hi)
+    def _self_only(batch: pa.Table) -> pa.Table:
+        ra = batch.column("rep_a").to_numpy(zero_copy_only=False)
+        rb = batch.column("rep_b").to_numpy(zero_copy_only=False)
+        oa = batch.column("ok_a").to_numpy(zero_copy_only=False)
+        keep = (ra == rb) & oa.astype(bool)
+        cols = {
+            ida: batch.column("doc_a").filter(pa.array(keep)),
+            idb: batch.column("doc_b").filter(pa.array(keep)),
+        }
+        for c in val_names:
+            cols[c] = pa.array(
+                np.full(int(keep.sum()), self_vals[c]), out_schema.field(c).type
+            )
+        return pa.table(cols).cast(out_schema)
+
+    def _cross_keyed(batch: pa.Table) -> pa.Table:
+        ra = batch.column("rep_a").to_numpy(zero_copy_only=False)
+        rb = batch.column("rep_b").to_numpy(zero_copy_only=False)
+        m = ra != rb
+        return pa.table(
+            {
+                "lo": pa.array(np.minimum(ra[m], rb[m]), pa.int64()),
+                "hi": pa.array(np.maximum(ra[m], rb[m]), pa.int64()),
+                ida: batch.column("doc_a").filter(pa.array(m)),
+                idb: batch.column("doc_b").filter(pa.array(m)),
+            }
+        )
+
+    def _vt_keyed(batch: pa.Table) -> pa.Table:
+        return batch.rename_columns(["lo", "hi", *val_names])
+
+    crossed = (
+        cand_rep.map_batches(_cross_keyed, batch_format="pyarrow")
+        .join(
+            verdict.map_batches(_vt_keyed, batch_format="pyarrow"),
+            "inner",
+            num_partitions=_join_parts(n_cand, 64),
+            on=("lo", "hi"),
+        )
+        .map_batches(
+            lambda b: b.select(out_schema.names).cast(out_schema),
+            batch_format="pyarrow",
+        )
+    )
+    selfd = cand_rep.map_batches(_self_only, batch_format="pyarrow")
+    return selfd.union(crossed)
+
+
 def ngram_jaccard_dups(
     sf_dir: str,
     shingle: int = 3,
@@ -561,13 +806,22 @@ def ngram_jaccard_dups(
         np.cumsum(cnt, out=bounds[1:])
         raw = dh.tobytes()
         shingles = [raw[bounds[i] * 8 : bounds[i + 1] * 8] for i in range(n)]
+        sh_arr = pa.array(shingles, pa.binary())
+        # content fingerprint over the DISTINCT shingle set (sorted, so
+        # canonical): docs with equal sets — exact dups, and also
+        # shuffled/reordered dups — share a representative
+        fp_hi, fp_lo = md5_u128_batch(sh_arr)
+        self_ok = (np.diff(bounds) > 0) & (1.0 >= threshold)
         return pa.table(
             {
                 "doc_id": batch.column("doc_id"),
                 "keys": pa.FixedSizeListArray.from_arrays(
                     pa.array(keys.ravel(), pa.uint64()), bands
                 ),
-                "shingles": pa.array(shingles, pa.binary()),
+                "shingles": sh_arr,
+                "fp_hi": pa.array(fp_hi, pa.uint64()),
+                "fp_lo": pa.array(fp_lo, pa.uint64()),
+                "self_ok": pa.array(self_ok, pa.bool_()),
             }
         )
 
@@ -615,66 +869,94 @@ def ngram_jaccard_dups(
     import os as _os
 
     bcast_limit = int(_os.environ.get("SHACLEX_JACCARD_BCAST_THRESHOLD", "100000"))
+
+    def verify_direct(cand_ds, n_pairs: int):
+        """The payload verifier over an arbitrary (doc_a, doc_b) pair
+        set: broadcast lookup when small, two hash joins at scale."""
+        if n_pairs <= bcast_limit:
+            cand_ids = set()
+            for row in cand_ds.take_all():
+                cand_ids.add(row["doc_a"])
+                cand_ids.add(row["doc_b"])
+            if not cand_ids:
+                import ray.data as _rd
+
+                return _rd.from_arrow(_JACCARD_SCHEMA.empty_table())
+            id_arr = pa.array(sorted(cand_ids), pa.int64())
+
+            def pick(batch: pa.Table) -> pa.Table:
+                return batch.filter(
+                    pc.is_in(batch.column("doc_id"), value_set=id_arr)
+                )
+
+            picked = sh_ds.map_batches(pick, batch_format="pyarrow").take_all()
+            picked.sort(key=lambda r: r["doc_id"])
+            # indexable shingle store: (sorted ids, segment bounds, flat
+            # uint64 hashes) — per-pair sets gather by searchsorted + the
+            # ragged-arange trick, no per-pair dict lookups
+            ids_sorted = np.array([r["doc_id"] for r in picked], np.int64)
+            lens = np.array(
+                [len(r["shingles"]) // 8 for r in picked], np.int64
+            )
+            starts = np.zeros(len(lens) + 1, np.int64)
+            np.cumsum(lens, out=starts[1:])
+            flat = np.frombuffer(
+                b"".join(r["shingles"] for r in picked), np.uint64
+            )
+            lookup_ref = ray.put((ids_sorted, starts, lens, flat))
+
+            def verify_bcast(batch: pa.Table) -> pa.Table:
+                if batch.num_rows == 0:
+                    return _JACCARD_SCHEMA.empty_table()
+                ids_s, st, ln, fl = ray.get(lookup_ref)
+                da = batch.column("doc_a").to_numpy(zero_copy_only=False)
+                db = batch.column("doc_b").to_numpy(zero_copy_only=False)
+                ia = np.searchsorted(ids_s, da)
+                ib = np.searchsorted(ids_s, db)
+                la, lb = ln[ia], ln[ib]
+                fa = fl[np.repeat(st[ia], la) + _ragged_arange(la)]
+                fb = fl[np.repeat(st[ib], lb) + _ragged_arange(lb)]
+                return _jaccard_table(da, db, la, fa, lb, fb, threshold)
+
+            return cand_ds.map_batches(verify_bcast, batch_format="pyarrow")
+
+        # join fan-out is BYTE-aware, not just row-aware: each hash-join
+        # aggregator holds its whole partition, and every candidate pair
+        # carries ~2 shingle payloads through j2 — row-count sizing alone
+        # OOMs the aggregators once pairs x payload passes a few GB
+        avg_sh = prep_ds.size_bytes() / max(1, prep_ds.count())
+        budget = 256 << 20  # per-partition aggregator budget
+        nparts = int(
+            np.clip(
+                max(n_pairs // 100_000, int(n_pairs * 2 * avg_sh) // budget) + 1,
+                2,
+                512,
+            )
+        )
+        j1 = cand_ds.join(
+            sh_ds, "inner", num_partitions=nparts, on=("doc_a",), right_on=("doc_id",)
+        ).map_batches(rename_a, batch_format="pyarrow")
+        j2 = j1.join(
+            sh_ds, "inner", num_partitions=nparts, on=("doc_b",), right_on=("doc_id",)
+        )
+        return j2.map_batches(verify, batch_format="pyarrow")
+
     n_cand = cand.count()
     if n_cand <= bcast_limit:
-        cand_ids = set()
-        for row in cand.take_all():
-            cand_ids.add(row["doc_a"])
-            cand_ids.add(row["doc_b"])
-        if not cand_ids:
-            import ray.data as _rd
-
-            return _rd.from_arrow(_JACCARD_SCHEMA.empty_table())
-        id_arr = pa.array(sorted(cand_ids), pa.int64())
-
-        def pick(batch: pa.Table) -> pa.Table:
-            return batch.filter(pc.is_in(batch.column("doc_id"), value_set=id_arr))
-
-        picked = sh_ds.map_batches(pick, batch_format="pyarrow").take_all()
-        picked.sort(key=lambda r: r["doc_id"])
-        # indexable shingle store: (sorted ids, segment bounds, flat
-        # uint64 hashes) — per-pair sets gather by searchsorted + the
-        # ragged-arange trick, no per-pair dict lookups
-        ids_sorted = np.array([r["doc_id"] for r in picked], np.int64)
-        lens = np.array(
-            [len(r["shingles"]) // 8 for r in picked], np.int64
-        )
-        starts = np.zeros(len(lens) + 1, np.int64)
-        np.cumsum(lens, out=starts[1:])
-        flat = np.frombuffer(b"".join(r["shingles"] for r in picked), np.uint64)
-        lookup_ref = ray.put((ids_sorted, starts, lens, flat))
-
-        def verify_bcast(batch: pa.Table) -> pa.Table:
-            if batch.num_rows == 0:
-                return _JACCARD_SCHEMA.empty_table()
-            ids_s, st, ln, fl = ray.get(lookup_ref)
-            da = batch.column("doc_a").to_numpy(zero_copy_only=False)
-            db = batch.column("doc_b").to_numpy(zero_copy_only=False)
-            ia = np.searchsorted(ids_s, da)
-            ib = np.searchsorted(ids_s, db)
-            la, lb = ln[ia], ln[ib]
-            fa = fl[np.repeat(st[ia], la) + _ragged_arange(la)]
-            fb = fl[np.repeat(st[ib], lb) + _ragged_arange(lb)]
-            return _jaccard_table(da, db, la, fa, lb, fb, threshold)
-
-        return cand.map_batches(verify_bcast, batch_format="pyarrow")
-
-    # join fan-out is BYTE-aware, not just row-aware: each hash-join
-    # aggregator holds its whole partition, and every candidate pair
-    # carries ~2 shingle payloads through j2 — row-count sizing alone
-    # OOMs the aggregators once pairs x payload passes a few GB
-    avg_sh = prep_ds.size_bytes() / max(1, prep_ds.count())
-    budget = 256 << 20  # per-partition aggregator budget
-    nparts = int(
-        np.clip(max(n_cand // 100_000, int(n_cand * 2 * avg_sh) // budget) + 1, 2, 512)
+        return verify_direct(cand, n_cand)
+    # big candidate set: if the corpus is duplicate-heavy, verify per
+    # distinct CONTENT pair and expand — payload never rides per-pair
+    rep = _rep_expand_verify(
+        cand,
+        n_cand,
+        prep_ds.select_columns(["doc_id", "fp_hi", "fp_lo", "self_ok"]),
+        verify_direct,
+        _JACCARD_SCHEMA,
+        {"jaccard": 1.0},
     )
-    j1 = cand.join(
-        sh_ds, "inner", num_partitions=nparts, on=("doc_a",), right_on=("doc_id",)
-    ).map_batches(rename_a, batch_format="pyarrow")
-    j2 = j1.join(
-        sh_ds, "inner", num_partitions=nparts, on=("doc_b",), right_on=("doc_id",)
-    )
-    return j2.map_batches(verify, batch_format="pyarrow")
+    if rep is not None:
+        return rep
+    return verify_direct(cand, n_cand)
 
 
 # ------------------------------------------- embedding-cosine near-dup
@@ -741,41 +1023,124 @@ def embedding_near_dups(
 
     bcast_limit = int(_os.environ.get("SHACLEX_JACCARD_BCAST_THRESHOLD", "100000"))
     out_schema = pa.schema([("vec_id_a", pa.int64()), ("vec_id_b", pa.int64())])
-    if cand.count() <= bcast_limit:
-        cand_ids = set()
-        for row in cand.take_all():
-            cand_ids.add(row["doc_a"])
-            cand_ids.add(row["doc_b"])
-        id_arr = pa.array(sorted(cand_ids), pa.int64())
-        if not cand_ids:
-            import ray.data as _rd
 
-            return _rd.from_arrow(out_schema.empty_table())
+    def _pack_bytes(batch: pa.Table) -> pa.Array:
+        # Arrow hash joins don't carry list<float> payloads — pack the
+        # vectors as float64 bytes (exact) for the ride, unpack in verify.
+        # One flatten + one memcpy per batch: the binary array is built
+        # straight from the flat values buffer, no per-row Python.
+        from shaclex_ray.functions.ann import _list_to_matrix
 
-        def pick(batch: pa.Table) -> pa.Table:
-            return batch.filter(pc.is_in(batch.column("vec_id"), value_set=id_arr))
-
-        picked = pa.concat_tables(
-            pa.Table.from_batches([b]) if isinstance(b, pa.RecordBatch) else b
-            for b in _read()
-            .map_batches(pick, batch_format="pyarrow")
-            .iter_batches(batch_format="pyarrow")
+        mat = _list_to_matrix(batch.column("embedding"))
+        n, d = mat.shape
+        offsets = np.arange(0, (n + 1) * d * 8, d * 8, dtype=np.int32)
+        return pa.Array.from_buffers(
+            pa.binary(),
+            n,
+            [None, pa.py_buffer(offsets.tobytes()), pa.py_buffer(mat.tobytes())],
         )
-        order = pc.sort_indices(picked.column("vec_id"))
-        ids_sorted = (
-            picked.column("vec_id").take(order).to_numpy(zero_copy_only=False)
-        )
-        mat_sorted = _to_matrix(picked.take(order))[1]
-        lookup_ref = ray.put((ids_sorted, mat_sorted))
 
-        def verify_bcast(batch: pa.Table) -> pa.Table:
+    def verify_direct(cand_ds, n_pairs: int):
+        """Cosine verification over an arbitrary (doc_a, doc_b) pair set:
+        broadcast matrix lookup when small, two hash joins at scale."""
+        if n_pairs <= bcast_limit:
+            cand_ids = set()
+            for row in cand_ds.take_all():
+                cand_ids.add(row["doc_a"])
+                cand_ids.add(row["doc_b"])
+            if not cand_ids:
+                import ray.data as _rd
+
+                return _rd.from_arrow(out_schema.empty_table())
+            id_arr = pa.array(sorted(cand_ids), pa.int64())
+
+            def pick(batch: pa.Table) -> pa.Table:
+                return batch.filter(
+                    pc.is_in(batch.column("vec_id"), value_set=id_arr)
+                )
+
+            picked = pa.concat_tables(
+                pa.Table.from_batches([b]) if isinstance(b, pa.RecordBatch) else b
+                for b in _read()
+                .map_batches(pick, batch_format="pyarrow")
+                .iter_batches(batch_format="pyarrow")
+            )
+            order = pc.sort_indices(picked.column("vec_id"))
+            ids_sorted = (
+                picked.column("vec_id").take(order).to_numpy(zero_copy_only=False)
+            )
+            mat_sorted = _to_matrix(picked.take(order))[1]
+            lookup_ref = ray.put((ids_sorted, mat_sorted))
+
+            def verify_bcast(batch: pa.Table) -> pa.Table:
+                if batch.num_rows == 0:
+                    return out_schema.empty_table()
+                ids_s, M = ray.get(lookup_ref)
+                da = batch.column("doc_a").to_numpy(zero_copy_only=False)
+                db = batch.column("doc_b").to_numpy(zero_copy_only=False)
+                A = M[np.searchsorted(ids_s, da)]
+                B = M[np.searchsorted(ids_s, db)]
+                keep = _pair_cos(A, B) >= threshold
+                return pa.table(
+                    {
+                        "vec_id_a": pa.array(da[keep], pa.int64()),
+                        "vec_id_b": pa.array(db[keep], pa.int64()),
+                    }
+                )
+
+            return cand_ds.map_batches(verify_bcast, batch_format="pyarrow")
+
+        vec_bytes = dim * 8
+        budget = 256 << 20
+        nparts = int(
+            np.clip(
+                max(n_pairs // 100_000, (n_pairs * 2 * vec_bytes) // budget) + 1,
+                2,
+                512,
+            )
+        )
+
+        def to_bytes(batch: pa.Table) -> pa.Table:
+            return pa.table(
+                {"vec_id": batch.column("vec_id"), "emb": _pack_bytes(batch)}
+            )
+
+        emb_ds = _read().map_batches(to_bytes, batch_format="pyarrow")
+
+        def rename_a(batch: pa.Table) -> pa.Table:
+            return pa.table(
+                {
+                    "doc_a": batch.column("doc_a"),
+                    "doc_b": batch.column("doc_b"),
+                    "emb_a": batch.column("emb"),
+                }
+            )
+
+        def _unpack(col) -> np.ndarray:
+            """binary column of equal-length float64 payloads -> (n, dim)
+            matrix: one gather over the offsets + one frombuffer —
+            vectorized (never a per-row frombuffer)."""
+            arr = _cc(col)
+            n = len(arr)
+            off = np.frombuffer(arr.buffers()[1], np.int32)[
+                arr.offset : arr.offset + n + 1
+            ].astype(np.int64)
+            data = np.frombuffer(arr.buffers()[2], np.uint8)
+            row_len = int(off[1] - off[0])
+            if not (np.diff(off) == row_len).all():
+                raise ValueError("ragged packed-embedding column")
+            flat = np.frombuffer(
+                data[off[0] : off[-1]].tobytes(), np.float64
+            )
+            return flat.reshape(n, row_len // 8)
+
+        def verify_join(batch: pa.Table) -> pa.Table:
             if batch.num_rows == 0:
                 return out_schema.empty_table()
-            ids_s, M = ray.get(lookup_ref)
             da = batch.column("doc_a").to_numpy(zero_copy_only=False)
             db = batch.column("doc_b").to_numpy(zero_copy_only=False)
-            A = M[np.searchsorted(ids_s, da)]
-            B = M[np.searchsorted(ids_s, db)]
+            A = _unpack(batch.column("emb_a"))
+            B = _unpack(batch.column("emb"))
             keep = _pair_cos(A, B) >= threshold
             return pa.table(
                 {
@@ -784,86 +1149,45 @@ def embedding_near_dups(
                 }
             )
 
-        return cand.map_batches(verify_bcast, batch_format="pyarrow")
+        j1 = cand_ds.join(
+            emb_ds, "inner", num_partitions=nparts, on=("doc_a",), right_on=("vec_id",)
+        ).map_batches(rename_a, batch_format="pyarrow")
+        j2 = j1.join(
+            emb_ds, "inner", num_partitions=nparts, on=("doc_b",), right_on=("vec_id",)
+        )
+        return j2.map_batches(verify_join, batch_format="pyarrow")
 
     n_cand = cand.count()
-    vec_bytes = dim * 8
-    budget = 256 << 20
-    nparts = int(
-        np.clip(
-            max(n_cand // 100_000, (n_cand * 2 * vec_bytes) // budget) + 1,
-            2,
-            512,
-        )
-    )
+    if n_cand <= bcast_limit:
+        return verify_direct(cand, n_cand)
 
-    def to_bytes(batch: pa.Table) -> pa.Table:
-        # Arrow hash joins don't carry list<float> payloads — pack the
-        # vectors as float64 bytes (exact) for the ride, unpack in verify.
-        # One flatten + one memcpy per batch: the binary array is built
-        # straight from the flat values buffer, no per-row Python.
+    def fp_fn(batch: pa.Table) -> pa.Table:
+        # cosine(v, v) = 1 for any nonzero vector, 0 for a zero vector
+        # (the 1e-300 denominator guard) — self_ok encodes exactly that
         from shaclex_ray.functions.ann import _list_to_matrix
 
         mat = _list_to_matrix(batch.column("embedding"))
-        n, dim = mat.shape
-        offsets = np.arange(0, (n + 1) * dim * 8, dim * 8, dtype=np.int32)
-        emb_arr = pa.Array.from_buffers(
-            pa.binary(),
-            n,
-            [None, pa.py_buffer(offsets.tobytes()), pa.py_buffer(mat.tobytes())],
-        )
-        return pa.table(
-            {"vec_id": batch.column("vec_id"), "emb": emb_arr}
-        )
-
-    emb_ds = _read().map_batches(to_bytes, batch_format="pyarrow")
-
-    def rename_a(batch: pa.Table) -> pa.Table:
+        fp_hi, fp_lo = md5_u128_batch(_pack_bytes(batch))
+        ok = (np.linalg.norm(mat, axis=1) > 0) & (1.0 >= threshold)
         return pa.table(
             {
-                "doc_a": batch.column("doc_a"),
-                "doc_b": batch.column("doc_b"),
-                "emb_a": batch.column("emb"),
+                "doc_id": batch.column("vec_id"),
+                "fp_hi": pa.array(fp_hi, pa.uint64()),
+                "fp_lo": pa.array(fp_lo, pa.uint64()),
+                "self_ok": pa.array(ok, pa.bool_()),
             }
         )
 
-    def _unpack(col) -> np.ndarray:
-        """binary column of equal-length float64 payloads -> (n, dim)
-        matrix: one gather over the offsets + one frombuffer — vectorized
-        (never a per-row frombuffer)."""
-        arr = _cc(col)
-        n = len(arr)
-        off = np.frombuffer(arr.buffers()[1], np.int32)[
-            arr.offset : arr.offset + n + 1
-        ].astype(np.int64)
-        data = np.frombuffer(arr.buffers()[2], np.uint8)
-        row_len = int(off[1] - off[0])
-        if not (np.diff(off) == row_len).all():
-            raise ValueError("ragged packed-embedding column")
-        flat = np.frombuffer(
-            data[off[0] : off[-1]].tobytes(), np.float64
-        )
-        return flat.reshape(n, row_len // 8)
-
-    def verify_join(batch: pa.Table) -> pa.Table:
-        if batch.num_rows == 0:
-            return out_schema.empty_table()
-        da = batch.column("doc_a").to_numpy(zero_copy_only=False)
-        db = batch.column("doc_b").to_numpy(zero_copy_only=False)
-        A = _unpack(batch.column("emb_a"))
-        B = _unpack(batch.column("emb"))
-        keep = _pair_cos(A, B) >= threshold
-        return pa.table(
-            {
-                "vec_id_a": pa.array(da[keep], pa.int64()),
-                "vec_id_b": pa.array(db[keep], pa.int64()),
-            }
-        )
-
-    j1 = cand.join(
-        emb_ds, "inner", num_partitions=nparts, on=("doc_a",), right_on=("vec_id",)
-    ).map_batches(rename_a, batch_format="pyarrow")
-    j2 = j1.join(
-        emb_ds, "inner", num_partitions=nparts, on=("doc_b",), right_on=("vec_id",)
+    # big candidate set: duplicate-heavy corpora verify per distinct
+    # VECTOR pair and expand — the packed payload never rides per-pair
+    rep = _rep_expand_verify(
+        cand,
+        n_cand,
+        _read().map_batches(fp_fn, batch_format="pyarrow"),
+        verify_direct,
+        out_schema,
+        {},
     )
-    return j2.map_batches(verify_join, batch_format="pyarrow")
+    if rep is not None:
+        return rep
+    return verify_direct(cand, n_cand)

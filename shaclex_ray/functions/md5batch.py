@@ -61,3 +61,18 @@ def md5_u64_batch(arr) -> np.ndarray:
 def md5_hex_batch(arr) -> list[str]:
     """Hex digest per element."""
     return [hashlib.md5(m).hexdigest() for m in _as_bytes_list(arr)]
+
+
+def md5_u128_batch(arr) -> tuple[np.ndarray, np.ndarray]:
+    """Full 128-bit digest per element as two uint64 arrays (hi, lo):
+    a collision-safe content fingerprint for representative grouping
+    (64 bits has a ~3% birthday collision chance at 10^9 distinct docs;
+    128 bits is ~1e-21)."""
+    msgs = _as_bytes_list(arr)
+    n = len(msgs)
+    if not n:
+        return np.empty(0, np.uint64), np.empty(0, np.uint64)
+    dig = np.frombuffer(
+        b"".join(hashlib.md5(m).digest() for m in msgs), dtype="<u8"
+    ).reshape(n, 2)
+    return dig[:, 0].copy(), dig[:, 1].copy()
