@@ -102,21 +102,21 @@ def run_kg_pipeline(
     rev = _hl.md5((_pkg.__version__ + KG_SHAPES_TTL).encode()).hexdigest()[:12]
     digest = f"{sf_dir}|nb={nbuckets}|rev={rev}"
 
-    def produce_raw(path):
-        # extract streams straight into the parquet checkpoint (no pinned
-        # materialize of the raw table); count comes from file metadata
-        docs = read_documents(sf_dir)
-        extract_triples(docs).write_parquet(path)
-        import glob as _glob
+    # extract is PARTITION-checkpointed: one restartable task per input
+    # row-group range, each streaming its docs through the vectorized span
+    # + triple kernels straight into its own parquet shard with a lineage
+    # manifest. A run that dies mid-extract resumes at the partition
+    # boundary, not the stage boundary.
+    from shaclex_ray.sources.documents import document_partitions
+    from shaclex_ray.stages.extract import extract_partition
 
-        import pyarrow.parquet as _pq
-
-        return sum(
-            _pq.ParquetFile(f).metadata.num_rows
-            for f in _glob.glob(f"{path}/*.parquet")
-        )
-
-    raw = runner.run("triples_raw", digest, produce_raw, lambda p: rd.read_parquet(p))
+    raw = runner.run_partitioned(
+        "triples_raw",
+        digest,
+        document_partitions(sf_dir),
+        extract_partition,
+        lambda p: rd.read_parquet(p),
+    )
 
     def produce_links(path):
         import os as _os3

@@ -28,6 +28,7 @@ downstream transform via the carried span_idx.
 from __future__ import annotations
 
 import hashlib
+import os
 
 import pyarrow as pa
 
@@ -296,6 +297,112 @@ def build_spans_batch_vec(batch: pa.Table) -> pa.Table:
             "source": batch.column("source"),
         }
     )
+
+
+def document_partitions(sf_dir: str, want: int | None = None) -> list[dict]:
+    """Plan restartable extraction partitions over the documents input.
+
+    A partition is a contiguous ROW-GROUP RANGE of one input parquet file
+    (the unit parquet can re-read cheaply), sized to ~``total/want`` rows
+    and capped at ~512 MB of input bytes so a partition always fits a
+    worker. When the input has too few row groups for the wanted
+    parallelism (small test files), row-group ranges are further split
+    into row SLICES — costlier to resume (a slice re-reads its row
+    groups) but only taken in the small regime. Descriptors are
+    deterministic, so the same input always yields the same pids and a
+    resumed run lines up with the crashed one.
+    """
+    import glob
+    import math
+
+    import pyarrow.parquet as pq
+
+    path = f"{sf_dir}/documents.parquet"
+    files = sorted(glob.glob(f"{path}/*.parquet")) if os.path.isdir(path) else [path]
+    if want is None:
+        ncpu = int(ray.cluster_resources().get("CPU", 8))
+        want = max(2 * ncpu, 8)
+    metas = [(f, pq.ParquetFile(f).metadata) for f in files]
+    total_rows = sum(m.num_rows for _, m in metas)
+    target_rows = max(1, math.ceil(total_rows / want))
+    max_bytes = 512 << 20
+
+    parts: list[dict] = []
+    for fidx, (f, meta) in enumerate(metas):
+        rg_rows = [meta.row_group(i).num_rows for i in range(meta.num_row_groups)]
+        rg_bytes = [
+            meta.row_group(i).total_byte_size for i in range(meta.num_row_groups)
+        ]
+        cur: list[int] = []
+        cur_rows = cur_bytes = 0
+        for i, (r, b) in enumerate(zip(rg_rows, rg_bytes)):
+            cur.append(i)
+            cur_rows += r
+            cur_bytes += b
+            if cur_rows >= target_rows or cur_bytes >= max_bytes:
+                parts.append(
+                    {
+                        "pid": f"{fidx:04d}-{cur[0]:05d}",
+                        "file": f,
+                        "rgs": cur,
+                        "input_rows": cur_rows,
+                    }
+                )
+                cur, cur_rows, cur_bytes = [], 0, 0
+        if cur:
+            parts.append(
+                {
+                    "pid": f"{fidx:04d}-{cur[0]:05d}",
+                    "file": f,
+                    "rgs": cur,
+                    "input_rows": cur_rows,
+                }
+            )
+
+    if len(parts) < want and total_rows >= 4 * len(parts):
+        # small-regime slice split: k slices per row-group-range partition
+        k = min(math.ceil(want / len(parts)), max(1, total_rows // len(parts)))
+        sliced: list[dict] = []
+        for p in parts:
+            n = p["input_rows"]
+            step = math.ceil(n / k)
+            for s, start in enumerate(range(0, n, step)):
+                ln = min(step, n - start)
+                sliced.append(
+                    {
+                        "pid": f"{p['pid']}-s{s:03d}",
+                        "file": p["file"],
+                        "rgs": p["rgs"],
+                        "row_start": start,
+                        "row_len": ln,
+                        "input_rows": ln,
+                    }
+                )
+        parts = sliced
+    return parts
+
+
+def iter_document_partition(part: dict, batch_rows: int = 32768):
+    """Stream the (pruned) document batches of one partition descriptor.
+
+    Row-group-range partitions stream via ``iter_batches`` (bounded
+    memory at any input size); slice partitions read their row groups and
+    slice (small-regime only)."""
+    import pyarrow.parquet as pq
+
+    cols = ["doc_id", "text", "lang", "source"]
+    pf = pq.ParquetFile(part["file"])
+    if part.get("row_start") is None:
+        for rb in pf.iter_batches(
+            batch_size=batch_rows, row_groups=part["rgs"], columns=cols
+        ):
+            yield pa.Table.from_batches([rb])
+    else:
+        tbl = pf.read_row_groups(part["rgs"], columns=cols).slice(
+            part["row_start"], part["row_len"]
+        )
+        for rb in tbl.to_batches(max_chunksize=batch_rows):
+            yield pa.Table.from_batches([rb])
 
 
 def read_documents(sf_dir: str, parallelism: int = 32) -> "ray.data.Dataset":

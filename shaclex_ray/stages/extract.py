@@ -187,3 +187,19 @@ def extract_triples_batch(batch: pa.Table) -> pa.Table:
 def extract_triples(docs_ds):
     """documents Dataset -> raw (pre-dedup, pre-canonicalization) triples."""
     return docs_ds.map_batches(extract_triples_batch, batch_format="pyarrow")
+
+
+def extract_partition(part: dict):
+    """Per-partition extraction generator for the checkpointed pipeline
+    (state/checkpoint.py run_partitioned): stream the partition's document
+    batches through the same vectorized span + triple kernels the
+    Dataset path uses, yielding triple tables. Identical rows to
+    ``extract_triples(read_documents(...))`` — pinned by
+    tests/test_checkpoint_parts.py."""
+    from shaclex_ray.sources.documents import (
+        build_spans_batch_vec,
+        iter_document_partition,
+    )
+
+    for docs in iter_document_partition(part):
+        yield extract_triples_batch(build_spans_batch_vec(docs))
