@@ -418,10 +418,64 @@ def _q_kg_infer_doc_shape(sf_dir: str):
 
 
 def _q_media_features(sf_dir: str):
-    from shaclex_ray.functions.multimodal import media_features
+    """Media decode+featurize, exploded to one row per (media, feature)
+    so the list<float64> column hash-compares against the SQL oracle."""
+    from shaclex_ray.functions.multimodal import MEDIA_FEATURES_DIM, media_features
     from shaclex_ray.sources.documents import read_documents
 
-    return media_features(read_documents(sf_dir))
+    def explode(batch):
+        import numpy as np
+        import pyarrow as pa
+
+        n = batch.num_rows
+        flat = batch.column("features").combine_chunks().flatten()
+        rep = pa.array(np.repeat(np.arange(n, dtype=np.int64), MEDIA_FEATURES_DIM))
+        return pa.table(
+            {
+                "media_ref": batch.column("media_ref").take(rep),
+                "doc_id": batch.column("doc_id").take(rep),
+                "feat_idx": pa.array(
+                    np.tile(
+                        np.arange(MEDIA_FEATURES_DIM, dtype=np.int64), n
+                    )
+                ),
+                "value": flat,
+            }
+        )
+
+    return media_features(read_documents(sf_dir)).map_batches(
+        explode, batch_format="pyarrow"
+    )
+
+
+def _media_features_sql() -> str:
+    """SQL twin of the fake decode chain: payload = sha256(media_ref)
+    (bytes on the Ray side ⟺ lowercase hex here), feature digest =
+    sha256(hex(payload)), feature j = uint32 little-endian of digest
+    bytes [4j, 4j+4) / (2^32 - 1). Hex chars decode via strpos."""
+
+    def b(pos: str) -> str:  # one digest byte from two hex chars
+        return (
+            f"((strpos('0123456789abcdef', substr(fh, {pos}, 1)) - 1) * 16"
+            f" + (strpos('0123456789abcdef', substr(fh, {pos} + 1, 1)) - 1))"
+        )
+
+    val = " + ".join(
+        f"{1 << (8 * k)} * {b(f'8 * u.j + {2 * k + 1}')}" for k in range(4)
+    )
+    return (
+        "WITH "
+        + _DOCS_CTE
+        + f""",
+fd AS (
+  SELECT did AS doc_id, media_ref, sha256(sha256(media_ref)) AS fh
+  FROM media_chunks
+)
+SELECT media_ref, doc_id, u.j AS feat_idx,
+       CAST(({val}) AS DOUBLE) / 4294967295 AS value
+FROM fd, unnest(generate_series(0, 7)) AS u(j)
+"""
+    )
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
@@ -590,4 +644,7 @@ def oracle_sql() -> dict[str, str]:
         )
         SELECT query_id, vec_id, rank FROM ranked WHERE rank <= 5
         """,
+        # media decode+featurize: the fake decode chain is sha256-based
+        # precisely so this twin exists (see functions/multimodal.py)
+        "media_features": _media_features_sql(),
     }

@@ -51,10 +51,11 @@ def media_refs_from_documents(docs_ds):
         dids = pc.take(batch.column("doc_id").combine_chunks(), pc.filter(parents, mask))
         # payload: the sandbox has no object store for media bytes — the
         # payload is a deterministic pseudo-blob derived from the ref (the
-        # real system would fetch bytes by media_ref here)
+        # real system would fetch bytes by media_ref here). sha256 rather
+        # than blake2b so the DuckDB oracle can derive the identical blob
+        # (DuckDB ships sha256, not blake2b).
         payloads = [
-            hashlib.blake2b(r.encode(), digest_size=32).digest()
-            for r in refs.to_pylist()
+            hashlib.sha256(r.encode()).digest() for r in refs.to_pylist()
         ]
         return pa.table(
             {
@@ -78,10 +79,16 @@ class MediaFeaturizer:
         self._image_mod = _load_pillow("image decode") if decode_real else None
 
     def _fake_decode(self, payload: bytes) -> np.ndarray:
-        # deterministic stand-in for decode+embed
-        h = hashlib.blake2b(payload, digest_size=MEDIA_FEATURES_DIM * 4).digest()
+        # deterministic stand-in for decode+embed: sha256 over the
+        # payload's lowercase hex (not the raw bytes) because DuckDB's
+        # sha256 takes VARCHAR only — this keeps the whole fake
+        # decode chain SQL-reproducible (sql twin in __ray_entry__.py
+        # media_features oracle), so even the media query is hash-checked
+        h = hashlib.sha256(payload.hex().encode()).digest()
         return (
-            np.frombuffer(h, dtype=np.uint32).astype(np.float64)
+            np.frombuffer(h[: MEDIA_FEATURES_DIM * 4], dtype="<u4").astype(
+                np.float64
+            )
             / np.iinfo(np.uint32).max
         )
 
