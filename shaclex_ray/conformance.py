@@ -22,10 +22,12 @@ RDF_TYPE = "http://www.w3.org/1999/02/22-rdf-syntax-ns#type"
 
 SHEX_VALIDATION_DIR = "/root/reference/src/test/resources/shexTest/validation"
 
-# traits that require machinery we intentionally exclude (the reference also
-# treats semantic actions as an extension point — SURVEY.md §2.11)
+# traits that require machinery we intentionally exclude. SemanticAction
+# entries RUN since round 4: the shexTest Test extension
+# (http://shex.io/extensions/Test/ print/fail) is implemented in
+# validate/local.py run_sem_acts — only ExternalShape (external shape
+# resolution, an extension point in the reference too) and Greedy remain.
 SKIP_TRAITS = {
-    SHT + "SemanticAction",
     SHT + "ExternalShape",
     # Greedy-trait entries pin the *greedy* matching strategy; we (like the
     # spec and the reference's exhaustive validator) use exhaustive matching,

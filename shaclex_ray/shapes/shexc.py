@@ -28,7 +28,7 @@ _TOKEN_RE = re.compile(
   | (?P<str_dq>"(?:[^"\\\n\r]|\\.)*")
   | (?P<str_sq>'(?:[^'\\\n\r]|\\.)*')
   | (?P<regex>/(?:[^/\\\n\r]|\\.)+/[smix]*)
-  | (?P<code>%[a-zA-Z_][\w.\-]*:?\{(?:[^%\\]|\\.)*%\}|%[a-zA-Z_][\w.\-]*:?%)
+  | (?P<code>%(?:<[^<>]*>|[a-zA-Z_][\w.\-]*:?[\w.\-]*)(?:\{(?:[^%\\]|\\.)*%\}|%))
   | (?P<bnode>_:[A-Za-z0-9_.\-]+)
   | (?P<langstem_empty>@~)
   | (?P<langtag>@[a-zA-Z]+(?:-[a-zA-Z0-9]+)*(?:~)?(?![\w:]))
@@ -100,6 +100,7 @@ class ShExCParser:
         self.prefixes: dict[str, str] = {}
         self.shapes: list[dict] = []
         self.start = None
+        self.start_acts: list[dict] = []
 
     # ---------------- terminals
     def _resolve(self, iri: str) -> str:
@@ -161,6 +162,10 @@ class ShExCParser:
                 self.start = self._shape_expr()
             elif k == "keyword" and lv == "abstract":
                 self.t.next()
+            elif k == "code":
+                # top-level semActs = schema startActs
+                self.t.next()
+                self.start_acts.append(self._parse_semact(v))
             else:
                 lbl = self._shape_label()
                 k2, v2 = self.t.peek()
@@ -176,6 +181,8 @@ class ShExCParser:
         doc = {"type": "Schema", "shapes": self.shapes}
         if self.start is not None:
             doc["start"] = self.start
+        if self.start_acts:
+            doc["startActs"] = self.start_acts
         from shaclex_ray.shapes.shexj import load_shexj
 
         out = load_shexj(doc)
@@ -457,7 +464,7 @@ class ShExCParser:
         if v != "}":
             sh["expression"] = self._one_of()
         self.t.expect("}")
-        self._annotations_semacts()
+        self._annotations_semacts(sh)
         return sh
 
     def _one_of(self):
@@ -502,7 +509,7 @@ class ShExCParser:
             te = self._apply_card(te)
             if label:
                 te["id"] = label
-            self._annotations_semacts()
+            self._annotations_semacts(te)
             return te
         return self._triple_constraint(label)
 
@@ -524,7 +531,7 @@ class ShExCParser:
         else:
             tc["valueExpr"] = self._shape_expr()
         tc = self._apply_card(tc)
-        self._annotations_semacts()
+        self._annotations_semacts(tc)
         return tc
 
     def _apply_card(self, te: dict) -> dict:
@@ -549,7 +556,11 @@ class ShExCParser:
                 te["min"] = te["max"] = int(body)
         return te
 
-    def _annotations_semacts(self):
+    def _annotations_semacts(self, target: dict | None = None):
+        """Consume `// annotation`* and `%name{code%}`* suffixes; semActs
+        attach to ``target`` (ShExJ-shaped SemAct dicts, evaluated by
+        validate/local.py run_sem_acts)."""
+        acts: list[dict] = []
         while True:
             k, v = self.t.peek()
             if v == "//":
@@ -566,8 +577,39 @@ class ShExCParser:
                                 self._iri_or_pname()
             elif k == "code":
                 self.t.next()
+                acts.append(self._parse_semact(v))
             else:
                 break
+        if acts and target is not None:
+            target["semActs"] = target.get("semActs", []) + acts
+        return acts
+
+    _CODE_ESC = re.compile(r"\\(u[0-9A-Fa-f]{4}|U[0-9A-Fa-f]{8}|.)", re.S)
+
+    def _parse_semact(self, raw: str) -> dict:
+        """`%<iri>{ code %}` / `%pfx:local{ code %}` / `%<iri>%` (no code)
+        -> {"type": "SemAct", "name": iri, "code"?: unescaped}. Code
+        unescaping per ShExC CODE: \\% -> %, \\\\ -> \\, \\uXXXX/\\UXXXXXXXX."""
+        body = raw[1:]
+        if body.startswith("<"):
+            end = body.index(">")
+            name = self._resolve(body[1:end])
+            rest = body[end + 1 :]
+        else:
+            m = re.match(r"[A-Za-z_][\w.\-]*:?[\w.\-]*", body)
+            name = self._pname(m.group()) if ":" in m.group() else m.group()
+            rest = body[m.end() :]
+        act = {"type": "SemAct", "name": name}
+        if rest.startswith("{"):
+
+            def rep(mm):
+                g = mm.group(1)
+                if g[0] in "uU":
+                    return chr(int(g[1:], 16))
+                return g
+
+            act["code"] = self._CODE_ESC.sub(rep, rest[1:-2])
+        return act
 
 
 def parse_shexc(text: str, base: str = "") -> dict:

@@ -58,6 +58,7 @@ def load_shexj(doc: dict | str) -> dict:
         index_se(start)
     return {
         "start": start,
+        "startActs": doc.get("startActs"),
         "shapes": shapes,
         "te_refs": te_refs,
         "imports": doc.get("imports", []),

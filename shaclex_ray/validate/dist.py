@@ -833,10 +833,14 @@ def flat_shex_profile(schema: dict) -> dict[str, list]:
     for lbl, se in schema.get("shapes", {}).items():
         if not isinstance(se, dict) or se.get("type") != "Shape":
             continue
-        if se.get("closed"):
+        if se.get("closed") or se.get("semActs"):
             continue
         expr = se.get("expression")
         if expr is None or isinstance(expr, str):
+            continue
+        if expr.get("semActs"):
+            # semantic actions dispatch per matched triple / group instance
+            # — counting can't see them; take the exact per-focus walk
             continue
         if expr.get("type") == "TripleConstraint":
             tcs = [expr]
@@ -858,7 +862,7 @@ def flat_shex_profile(schema: dict) -> dict[str, list]:
         profs = []
         ok = True
         for tc in tcs:
-            if tc.get("inverse") or "id" in tc:
+            if tc.get("inverse") or "id" in tc or tc.get("semActs"):
                 ok = False
                 break
             prof = {
@@ -2188,6 +2192,21 @@ def distributed_validate(
         t0 = _time.perf_counter()
 
     if engine == "shex":
+        # schema startActs run once per validation invocation; a failing
+        # one fails every node — decided here on the driver (pure,
+        # data-free) by rewriting every shape to an always-false expr,
+        # so no bucket machinery needs a special case
+        from shaclex_ray.validate.local import run_sem_acts
+
+        if not run_sem_acts(schema.get("startActs")):
+            always_fail = {"type": "ShapeNot", "shapeExpr": {"type": "Shape"}}
+            schema = dict(schema)
+            schema["shapes"] = {
+                lbl: always_fail for lbl in schema.get("shapes", {})
+            }
+            if schema.get("start") is not None:
+                schema["start"] = always_fail
+            schema["startActs"] = None
         register_inline_shapes(schema)
     # inverse constraints require reversed arc copies (and route literal
     # focus nodes to a home bucket so their arcs_in are co-located)

@@ -18,6 +18,7 @@ and as the oracle for distributed-validator tests.
 
 from __future__ import annotations
 
+import re
 from collections import defaultdict
 
 from shaclex_ray.terms import term_key
@@ -25,6 +26,38 @@ from shaclex_ray.validate.nodecheck import check_node_constraint
 
 UNBOUNDED = -1
 _MAX_MATCHABLE_ARCS = 20  # bitmask matcher guard; conformance graphs are tiny
+
+# -- semantic actions (ShEx 2.1 §4; the shexTest Test extension) ------------
+TEST_EXT = "http://shex.io/extensions/Test/"
+_PRINT_RE = re.compile(r'^\s*print\(\s*(?:(s|p|o)|"((?:[^"\\]|\\.)*)")\s*\)\s*$')
+_FAIL_RE = re.compile(r"^\s*fail\(")
+
+
+def run_sem_acts(acts, s=None, p=None, o=None, log: list | None = None) -> bool:
+    """Dispatch a semAct list with the Test extension semantics
+    (http://shex.io/extensions/Test/, the processor shexTest pins):
+    ``print(s|p|o|"lit")`` succeeds (recording its output when ``log`` is
+    given), ``fail(...)`` fails, a SemAct with no code succeeds, any other
+    Test code fails. SemActs naming an UNREGISTERED processor are ignored
+    (success) — matching the reference, which treats semantic actions as
+    an extension point and runs none by default (SURVEY.md §2.11)."""
+    if not acts:
+        return True
+    for a in acts:
+        if a.get("name") != TEST_EXT:
+            continue
+        code = a.get("code")
+        if code is None:
+            continue
+        if _FAIL_RE.match(code.strip()):
+            return False
+        m = _PRINT_RE.match(code)
+        if m is None:
+            return False
+        if log is not None:
+            var, lit = m.group(1), m.group(2)
+            log.append({"s": s, "p": p, "o": o}.get(var) if var else lit)
+    return True
 
 
 class Graph:
@@ -61,6 +94,10 @@ class ShExValidator:
 
     # -- public API --------------------------------------------------------
     def validate_node_shape(self, node: tuple, shape_label: str | None) -> bool:
+        # schema startActs run when validation is invoked; a failing one
+        # fails every result (shexTest startCode*fail_abort entries)
+        if not run_sem_acts(self.schema.get("startActs")):
+            return False
         if shape_label is None or shape_label == "START":
             se = self.schema.get("start")
             if se is None:
@@ -142,7 +179,7 @@ class ShExValidator:
         tcs = None
         if t == "TripleConstraint":
             tcs = [te]
-        elif t == "EachOf" and _card(te) == (1, 1):
+        elif t == "EachOf" and _card(te) == (1, 1) and not te.get("semActs"):
             tcs = []
             for sub in te["expressions"]:
                 sub_r = self._resolve_te(sub) if isinstance(sub, str) else sub
@@ -154,6 +191,10 @@ class ShExValidator:
             seen = set()
             ok = True
             for tc in tcs:
+                # semActs need per-arc dispatch — counting can't see arcs
+                if tc.get("semActs"):
+                    ok = False
+                    break
                 k = (tc["predicate"], bool(tc.get("inverse")))
                 if k in seen:
                     ok = False
@@ -194,6 +235,13 @@ class ShExValidator:
         return True
 
     def _match_shape(self, node: tuple, shape: dict) -> bool:
+        res = self._match_shape_inner(node, shape)
+        # shape-level semActs run once after the shape matches
+        if res and shape.get("semActs"):
+            res = run_sem_acts(shape["semActs"], s=node)
+        return res
+
+    def _match_shape_inner(self, node: tuple, shape: dict) -> bool:
         expr = shape.get("expression")
         extra = set(shape.get("extra", []) or [])
         closed = bool(shape.get("closed", False))
@@ -249,6 +297,14 @@ class ShExValidator:
             ok = p == tc["predicate"] and bool(inv) == bool(tc.get("inverse", False))
             if ok and tc.get("valueExpr") is not None:
                 ok = self.satisfies(v, tc["valueExpr"])
+            if ok and tc.get("semActs"):
+                # per-matched-triple dispatch, bound to the DATA triple
+                # (for inverse constraints the focus is the object)
+                ok = (
+                    run_sem_acts(tc["semActs"], s=v, p=p, o=node)
+                    if inv
+                    else run_sem_acts(tc["semActs"], s=node, p=p, o=v)
+                )
             sat_cache[k] = ok
             return ok
 
@@ -286,10 +342,15 @@ class ShExValidator:
                 return res
             if t == "EachOf":
                 res = each_partition(te_r["expressions"], 0, mask)
+                # group semActs run once per matched instance of the group
+                if res and te_r.get("semActs"):
+                    res = run_sem_acts(te_r["semActs"], s=node)
                 memo[k] = res
                 return res
             if t == "OneOf":
                 res = any(match_full(sub, mask) for sub in te_r["expressions"])
+                if res and te_r.get("semActs"):
+                    res = run_sem_acts(te_r["semActs"], s=node)
                 memo[k] = res
                 return res
             raise ValueError(f"unknown tripleExpr type {t}")

@@ -17,8 +17,8 @@ def test_shex_suite_full_parity():
         if st in ("fail", "error"):
             failures.append((c["name"], st, detail))
     assert not failures, failures[:10]
-    # 1061 = all entries except the 27 SemanticAction / ExternalShape /
-    # Greedy extension-point skips (Import, relativeIRI and shapemap-style
-    # entries run since round 2)
-    assert stats["pass"] >= 1061, stats
-    assert stats.get("skip", 0) <= 27, stats
+    # 1079 = all entries except the 9 ExternalShape / Greedy extension-point
+    # skips (Import, relativeIRI and shapemap-style entries run since round
+    # 2; SemanticAction entries run since round 4 via the Test extension)
+    assert stats["pass"] >= 1079, stats
+    assert stats.get("skip", 0) <= 9, stats
