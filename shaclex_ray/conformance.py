@@ -23,12 +23,11 @@ RDF_TYPE = "http://www.w3.org/1999/02/22-rdf-syntax-ns#type"
 SHEX_VALIDATION_DIR = "/root/reference/src/test/resources/shexTest/validation"
 
 # traits that require machinery we intentionally exclude. SemanticAction
-# entries RUN since round 4: the shexTest Test extension
-# (http://shex.io/extensions/Test/ print/fail) is implemented in
-# validate/local.py run_sem_acts — only ExternalShape (external shape
-# resolution, an extension point in the reference too) and Greedy remain.
+# entries RUN since round 4 (the shexTest Test extension,
+# validate/local.py run_sem_acts), and ExternalShape entries RUN since
+# round 4 too (EXTERNAL declarations resolve against the manifest's
+# sht:shapeExterns schema) — only Greedy remains.
 SKIP_TRAITS = {
-    SHT + "ExternalShape",
     # Greedy-trait entries pin the *greedy* matching strategy; we (like the
     # spec and the reference's exhaustive validator) use exhaustive matching,
     # whose expected results are the sht:Exhaustive twins of these entries.
@@ -68,6 +67,7 @@ def load_shex_manifest(path: str = None):
         focus = apo.get(SHT + "focus", [None])[0]
         shape = apo.get(SHT + "shape", [None])[0]
         maps = apo.get(SHT + "map", [None])[0]
+        externs = apo.get(SHT + "shapeExterns", [None])[0]
         traits = {o[1] for o in po.get(SHT + "trait", []) if o[0] == "iri"}
         name = po.get(MF + "name", [("lit", s, "", "")])[0][1]
         result = po.get(MF + "result", [None])[0]
@@ -81,6 +81,7 @@ def load_shex_manifest(path: str = None):
                 "focus": focus,
                 "shape": shape,
                 "map": maps,
+                "externs": externs,
                 "result": result,
                 "traits": traits,
             }
@@ -156,6 +157,14 @@ def run_shex_case(case: dict):
         # base = the schema's canonical IRI: relative IRIs in the schema
         # resolve against it (sht:relativeIRI entries; no-op for the rest)
         schema = load_shexj_file(jpath, base=case["schema"][1])
+        if case.get("externs") is not None:
+            # EXTERNAL declarations resolve against the shapeExterns schema
+            # (its .jsontern twin is the ShExJ form)
+            epath = _iri_to_path(case["externs"])
+            ejson = os.path.splitext(epath)[0] + ".jsontern"
+            if not os.path.exists(ejson):
+                return "skip", "no externs twin"
+            schema["externs"] = load_shexj_file(ejson, base=case["externs"][1])
         # parse data against its canonical (manifest-relative) IRI so that
         # relative focus nodes in the manifest land on the same IRIs
         data_triples = parse_turtle(open(dpath, newline="").read(), base=case["data"][1])

@@ -2192,6 +2192,27 @@ def distributed_validate(
         t0 = _time.perf_counter()
 
     if engine == "shex":
+        # EXTERNAL shapes with an attached resolver schema merge in here on
+        # the driver: the extern definition replaces the ShapeExternal under
+        # its label, so the bucket protocol (ref probes, neighborhood
+        # co-location) treats it like any other labeled shape
+        ext = schema.get("externs")
+        if ext:
+            schema = dict(schema)
+            shapes = dict(schema.get("shapes", {}))
+            for lbl, se in list(shapes.items()):
+                if (
+                    isinstance(se, dict)
+                    and se.get("type") == "ShapeExternal"
+                    and lbl in ext.get("shapes", {})
+                ):
+                    shapes[lbl] = ext["shapes"][lbl]
+            for lbl, se in ext.get("shapes", {}).items():
+                shapes.setdefault(lbl, se)
+            te = dict(schema.get("te_refs", {}))
+            te.update(ext.get("te_refs", {}) or {})
+            schema["shapes"], schema["te_refs"] = shapes, te
+            schema["externs"] = None
         # schema startActs run once per validation invocation; a failing
         # one fails every node — decided here on the driver (pure,
         # data-free) by rewriting every shape to an always-false expr,

@@ -91,6 +91,7 @@ class ShExValidator:
         self.typing: dict[tuple[str, str], bool] = {}
         self._in_progress: set[tuple[str, str]] = set()
         self._flat_cache: dict[int, list | None] = {}
+        self._extern_validator: ShExValidator | None = None
 
     # -- public API --------------------------------------------------------
     def validate_node_shape(self, node: tuple, shape_label: str | None) -> bool:
@@ -138,6 +139,15 @@ class ShExValidator:
         if t == "Shape":
             return self._match_shape(node, se)
         if t == "ShapeExternal":
+            # EXTERNAL: defer to the externally-supplied schema when one is
+            # attached (shexTest sht:shapeExterns); with no resolver, accept
+            # (the reference's default for unresolved extension points)
+            ext = self.schema.get("externs")
+            lbl = se.get("id")
+            if ext and lbl is not None and lbl in ext.get("shapes", {}):
+                if self._extern_validator is None:
+                    self._extern_validator = ShExValidator(ext, self.graph)
+                return self._extern_validator.satisfies_label(node, lbl)
             return True
         if t == "ShapeDecl":
             return self.satisfies(node, se["shapeExpr"])

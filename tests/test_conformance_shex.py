@@ -17,8 +17,9 @@ def test_shex_suite_full_parity():
         if st in ("fail", "error"):
             failures.append((c["name"], st, detail))
     assert not failures, failures[:10]
-    # 1079 = all entries except the 9 ExternalShape / Greedy extension-point
-    # skips (Import, relativeIRI and shapemap-style entries run since round
-    # 2; SemanticAction entries run since round 4 via the Test extension)
-    assert stats["pass"] >= 1079, stats
-    assert stats.get("skip", 0) <= 9, stats
+    # 1083 = all entries except the 5 Greedy skips, whose sht:Exhaustive
+    # twins run instead (we implement the spec's exhaustive matching).
+    # SemanticAction (Test extension) and ExternalShape (sht:shapeExterns
+    # resolution) entries run since round 4.
+    assert stats["pass"] >= 1083, stats
+    assert stats.get("skip", 0) <= 5, stats

@@ -14,7 +14,12 @@ def _shex_cases(n, step):
     cases = [
         c
         for c in load_shex_manifest()
-        if not (c["traits"] & SKIP_TRAITS) and c["map"] is None and c["focus"] is not None
+        if not (c["traits"] & SKIP_TRAITS)
+        and c["map"] is None
+        and c["focus"] is not None
+        # extern resolution here would need the shapeExterns schema attached;
+        # the dedicated dist extern test lives in test_semacts.py
+        and c.get("externs") is None
     ]
     return cases[::step][:n]
 

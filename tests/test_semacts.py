@@ -103,3 +103,43 @@ def test_dist_start_acts_fail_all(ray_session):
         if typing.column("is_focus")[i].as_py()
     }
     assert set(vals.values()) == {"notConforms"}
+
+
+def test_dist_external_shape_resolution(ray_session):
+    """The four shapeExtern* suite entries through distributed_validate,
+    with the sht:shapeExterns schema attached (merged on the driver)."""
+    import os
+
+    import pyarrow as pa
+    import ray.data as rd
+
+    from shaclex_ray.conformance import SHT, _iri_to_path, load_shex_manifest
+    from shaclex_ray.rdfio import parse_turtle
+    from shaclex_ray.shapes.shexj import load_shexj_file
+    from shaclex_ray.terms import term_key, triples_to_table
+    from shaclex_ray.validate.dist import distributed_validate
+
+    checked = 0
+    for c in load_shex_manifest():
+        if (SHT + "ExternalShape") not in c["traits"]:
+            continue
+        jp = os.path.splitext(_iri_to_path(c["schema"]))[0] + ".json"
+        schema = load_shexj_file(jp, base=c["schema"][1])
+        ep = os.path.splitext(_iri_to_path(c["externs"]))[0] + ".jsontern"
+        schema["externs"] = load_shexj_file(ep, base=c["externs"][1])
+        data = parse_turtle(
+            open(_iri_to_path(c["data"]), newline="").read(), base=c["data"][1]
+        )
+        focus = pa.table(
+            {"node": [term_key(c["focus"])], "shape": [c["shape"][1]]}
+        )
+        typing, _ = distributed_validate(
+            rd.from_arrow(triples_to_table(data)), "shex", schema, focus, nbuckets=2
+        )
+        got = None
+        for i in range(typing.num_rows):
+            if typing.column("is_focus")[i].as_py():
+                got = typing.column("val")[i].as_py() == "conforms"
+        assert got == c["expected"], c["name"]
+        checked += 1
+    assert checked == 4
