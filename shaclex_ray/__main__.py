@@ -74,6 +74,22 @@ def main(argv=None):
     i = sub.add_parser("infer")
     i.add_argument("--data", required=True)
     i.add_argument("--class", dest="focus_class")
+    i.add_argument(
+        "--follow-stem",
+        action="append",
+        default=None,
+        help="followOn rule: infer nested shapes for properties under this "
+        "IRI stem (repeatable; FollowOn.followOnStem). The wikidata-prop "
+        "and prov:wasDerivedFrom stock rules load via --follow-defaults",
+    )
+    i.add_argument(
+        "--follow-defaults",
+        action="store_true",
+        help="enable the reference's default followOn rules "
+        "(InferOptions.scala:32-37: wikidata-prop, prov:wasDerivedFrom, "
+        "schema.org and w3 td stems)",
+    )
+    i.add_argument("--max-follow-on", type=int, default=1)
 
     c = sub.add_parser("convert")
     c.add_argument("--schema", required=True)
@@ -152,7 +168,30 @@ def main(argv=None):
         from shaclex_ray.shapes.render import render_shexc
 
         ds = _load_triples_ds(args.data)
-        schema, _stats = infer_schema(ds, focus_class=args.focus_class)
+        rules = []
+        if args.follow_defaults:
+            from shaclex_ray.pipelines.infer import (
+                follow_on_reference,
+                follow_on_stem,
+                follow_on_was_derived_from,
+            )
+
+            rules += [
+                follow_on_reference,
+                follow_on_was_derived_from,
+                follow_on_stem("http://schema.org/"),
+                follow_on_stem("http://www.w3.org/ns/td#"),
+            ]
+        if args.follow_stem:
+            from shaclex_ray.pipelines.infer import follow_on_stem
+
+            rules += [follow_on_stem(s) for s in args.follow_stem]
+        schema, _stats = infer_schema(
+            ds,
+            focus_class=args.focus_class,
+            follow_on=rules or None,
+            max_follow_on=args.max_follow_on,
+        )
         print(render_shexc(schema))
     elif args.cmd == "convert":
         from shaclex_ray.rdfio import parse_turtle

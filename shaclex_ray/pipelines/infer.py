@@ -28,6 +28,43 @@ from shaclex_ray.terms import RDF_TYPE, XSD_STRING
 TOP = "."  # any node
 
 
+# --- followOn rules (SURVEY §2.11 extension hook; reference
+# FollowOn.scala:16-55 + InferOptions.scala:31-38: plain callables
+# (shape_label, prop, num) -> new shape label | None) -------------------
+
+
+def follow_on_reference(label: str, prop: str, num: int) -> str | None:
+    """Wikidata property statements: http://www.wikidata.org/prop/P31 →
+    a nested shape labeled <P31Prop> resolved against the parent label
+    (FollowOn.followOnReference)."""
+    import re as _re
+    from urllib.parse import urljoin as _uj
+
+    m = _re.match(r"^http://www\.wikidata\.org/prop/(P\d*)", prop)
+    return _uj(label, m.group(1) + "Prop") if m else None
+
+
+def follow_on_was_derived_from(label: str, prop: str, num: int) -> str | None:
+    """prov:wasDerivedFrom → <parentRef> (FollowOn.followOnWasDerivedFrom)."""
+    if prop == "http://www.w3.org/ns/prov#wasDerivedFrom":
+        return label + "Ref"
+    return None
+
+
+def follow_on_stem(stem: str):
+    """Any property under ``stem`` → <localShape[num]> resolved against the
+    parent label (FollowOn.followOnStem; num suffix elided when 1)."""
+    from urllib.parse import urljoin as _uj
+
+    def rule(label: str, prop: str, num: int) -> str | None:
+        if prop.startswith(stem):
+            suffix = "" if num == 1 else str(num)
+            return _uj(label, prop[len(stem):] + "Shape" + suffix)
+        return None
+
+    return rule
+
+
 def _collapse2(a: str, b: str) -> str:
     if a == b:
         return a
@@ -53,6 +90,11 @@ def infer_schema(
     focus_class: str | None = None,
     shape_label: str = "http://example.org/InferredShape",
     max_preds: int = 64,
+    follow_on=None,
+    max_follow_on: int = 1,
+    focus_subjects=None,
+    _depth: int = 0,
+    _seen_labels: set | None = None,
 ):
     """Infer a shape for instances of ``focus_class`` (or all subjects when
     None). Returns (schema_ir, stats_table).
@@ -106,7 +148,23 @@ def infer_schema(
 
     harvested = triples_ds.map_batches(harvest, batch_format="pyarrow").materialize()
     labels_ds = harvested.filter(expr="tag == 'l'")
-    if focus_class is not None:
+    focus_ds = None
+    bcast_limit = int(_os.environ.get("SHACLEX_INFER_BCAST_THRESHOLD", "1000000"))
+    if focus_subjects is not None:
+        # explicit focus set (followOn recursion / API callers): an Arrow
+        # array broadcasts directly; a Dataset takes the size-adaptive path
+        if isinstance(focus_subjects, (pa.Array, pa.ChunkedArray)):
+            focus_arr = pc.unique(
+                focus_subjects.combine_chunks()
+                if isinstance(focus_subjects, pa.ChunkedArray)
+                else focus_subjects
+            )
+            n_focus_holder = len(focus_arr)
+            focus_filter_ref = _ray.put(focus_arr)
+        else:
+            focus_ds = focus_subjects.select_columns(["subj"]).materialize()
+            n_focus_holder = focus_ds.count()
+    elif focus_class is not None:
         from ray.data.aggregate import Count
 
         focus_ds = (
@@ -116,20 +174,19 @@ def infer_schema(
             .aggregate(Count(alias_name="_n"))  # distinct subjects
         ).materialize()
         n_focus_holder = focus_ds.count()
-        bcast_limit = int(
-            _os.environ.get("SHACLEX_INFER_BCAST_THRESHOLD", "1000000")
-        )
+    if focus_ds is not None and focus_filter_ref is None:
         if n_focus_holder <= bcast_limit:
             focus_arr = pa.array(
-                sorted(r["subj"] for r in focus_ds.take_all()), pa.string()
+                sorted({r["subj"] for r in focus_ds.take_all()}), pa.string()
             )
             focus_filter_ref = _ray.put(focus_arr)
         else:
             nparts = max(
                 2, min(16, int(_ray.cluster_resources().get("CPU", 4)) // 2)
             )
+            cols = [c for c in focus_ds.schema().names if c != "subj"]
             arcs = triples_ds.join(
-                focus_ds.drop_columns(["_n"]),
+                focus_ds.drop_columns(cols) if cols else focus_ds,
                 "inner",
                 num_partitions=nparts,
                 on=("subj",),
@@ -224,6 +281,94 @@ def infer_schema(
             tc["min"], tc["max"] = mn, mx
         exprs.append(tc)
 
+    # followOn recursion (SURVEY §2.11; reference SchemaInfer.scala:176-182,
+    # 253-273 + FollowOn.scala): a rule firing on (label, pred, num) turns
+    # that TC's valueExpr into a shape REF and infers the referenced shape
+    # from the pred's object nodes — depth-bounded by max_follow_on
+    # (InferOptions.scala:31: default 1). One extra focus-filtered scan
+    # collects ALL followed preds' object sets together.
+    extra_shapes: dict[str, dict] = {}
+    if follow_on and _depth < max_follow_on and exprs:
+        seen = _seen_labels if _seen_labels is not None else {shape_label}
+        followed: dict[str, str] = {}
+        for tc in exprs:
+            hits = set()
+            for rule in follow_on:
+                nl = rule(shape_label, tc["predicate"], _depth + 1)
+                if nl is not None:
+                    hits.add(nl)
+            if len(hits) > 1:
+                # reference errs the same way (SchemaInfer.scala:182)
+                raise ValueError(
+                    f"More than one followOn for {tc['predicate']}: {sorted(hits)}"
+                )
+            if hits:
+                followed[tc["predicate"]] = hits.pop()
+        if followed:
+            fp = pa.array(sorted(followed))
+            fref = focus_filter_ref
+
+            def follow_proj(batch: pa.Table) -> pa.Table:
+                if fref is not None:
+                    import ray as _r3
+
+                    batch = batch.filter(
+                        pc.is_in(batch.column("subj"), value_set=_r3.get(fref))
+                    )
+                m = pc.and_(
+                    pc.is_in(batch.column("pred"), value_set=fp),
+                    pc.not_equal(batch.column("obj_kind"), "literal"),
+                )
+                sub = batch.filter(m)
+                return pa.table(
+                    {"pred": sub.column("pred"), "subj": sub.column("obj_lex")}
+                )
+
+            from shaclex_ray.stages.dedup import distinct_rows_fast
+
+            objs = distinct_rows_fast(
+                arcs.map_batches(follow_proj, batch_format="pyarrow")
+            ).materialize()
+            small = objs.count() <= bcast_limit
+            by_pred: dict[str, list] = {}
+            if small:
+                for r in objs.take_all():
+                    by_pred.setdefault(r["pred"], []).append(r["subj"])
+            for pred, new_label in sorted(followed.items()):
+                for tc in exprs:
+                    if tc["predicate"] == pred:
+                        tc["valueExpr"] = new_label  # shape ref
+                if new_label in seen:
+                    continue  # visited guard (InferState.scala:7-46 analog)
+                seen.add(new_label)
+                if small:
+                    sub_focus = pa.array(
+                        sorted(by_pred.get(pred, [])), pa.string()
+                    )
+                    if len(sub_focus) == 0:
+                        continue
+                else:
+                    p = pred
+
+                    def pick(batch: pa.Table, _p=p) -> pa.Table:
+                        return batch.filter(pc.equal(batch.column("pred"), _p))
+
+                    sub_focus = objs.map_batches(
+                        pick, batch_format="pyarrow"
+                    ).select_columns(["subj"])
+                sub_schema, _sub_stats = infer_schema(
+                    triples_ds,
+                    shape_label=new_label,
+                    max_preds=max_preds,
+                    follow_on=follow_on,
+                    max_follow_on=max_follow_on,
+                    focus_subjects=sub_focus,
+                    _depth=_depth + 1,
+                    _seen_labels=seen,
+                )
+                for lbl, sh in sub_schema["shapes"].items():
+                    extra_shapes.setdefault(lbl, sh)
+
     # J6: annotate inferred properties with rdfs:label (reference
     # InferredShape.scala:104-125) — the label arcs were harvested in the
     # SAME scan as the stats input; here we only filter that (small) side
@@ -267,4 +412,6 @@ def infer_schema(
         "te_refs": {},
         "imports": [],
     }
+    for lbl, sh in extra_shapes.items():
+        schema_ir["shapes"].setdefault(lbl, sh)
     return schema_ir, stats_tbl

@@ -81,3 +81,77 @@ def test_inferred_shape_rdfs_label_annotation(ray_session):
     assert '// <http://www.w3.org/2000/01/rdf-schema#label> "my property"' in text
     # annotations are consumed (not kept) on re-parse — text still parses
     parse_shexc(text)
+
+
+def test_follow_on_recursion(ray_session):
+    """followOn rules (reference FollowOn.scala / SchemaInfer.scala:176-182):
+    a firing rule turns the TC's valueExpr into a shape ref and infers the
+    referenced shape from the predicate's objects; depth-bounded; the
+    rendered schema round-trips and validates."""
+    import ray.data as rd
+
+    from shaclex_ray.pipelines.infer import (
+        follow_on_reference,
+        follow_on_stem,
+        infer_schema,
+    )
+    from shaclex_ray.rdfio import parse_turtle
+    from shaclex_ray.shapes.render import render_shexc
+    from shaclex_ray.shapes.shexc import parse_shexc
+    from shaclex_ray.terms import triples_to_table
+
+    ttl = """
+    @prefix ex: <http://ex.org/> .
+    @prefix wdp: <http://www.wikidata.org/prop/> .
+    ex:a a ex:T ; wdp:P31 ex:stmt1 ; ex:name "Alice" .
+    ex:b a ex:T ; wdp:P31 ex:stmt2 .
+    ex:stmt1 ex:value ex:v1 ; wdp:P9 ex:nested1 .
+    ex:stmt2 ex:value ex:v2 .
+    """
+    ds = rd.from_arrow(triples_to_table(parse_turtle(ttl)))
+    schema, _ = infer_schema(
+        ds,
+        focus_class="http://ex.org/T",
+        shape_label="http://ex.org/S",
+        follow_on=[follow_on_reference],
+        max_follow_on=1,
+    )
+    shapes = schema["shapes"]
+    assert set(shapes) == {"http://ex.org/S", "http://ex.org/P31Prop"}
+
+    def tcs(label):
+        e = shapes[label]["expression"]
+        return e["expressions"] if e.get("type") == "EachOf" else [e]
+
+    p31 = next(
+        t for t in tcs("http://ex.org/S")
+        if t["predicate"] == "http://www.wikidata.org/prop/P31"
+    )
+    assert p31["valueExpr"] == "http://ex.org/P31Prop"  # shape ref
+    # depth bound: the nested shape's own wd-prop TC did NOT follow again
+    p9 = next(
+        t for t in tcs("http://ex.org/P31Prop")
+        if t["predicate"] == "http://www.wikidata.org/prop/P9"
+    )
+    assert not isinstance(p9.get("valueExpr"), str)
+
+    # render -> reparse -> validate the focus against the 2-shape schema
+    reparsed = parse_shexc(render_shexc(schema))
+    from shaclex_ray.validate.local import Graph, ShExValidator
+
+    v = ShExValidator(reparsed, Graph(parse_turtle(ttl)))
+    assert v.satisfies_label(("iri", "http://ex.org/a"), "http://ex.org/S")
+
+    # conflicting rules on one predicate -> error (SchemaInfer.scala:182)
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="More than one followOn"):
+        infer_schema(
+            ds,
+            focus_class="http://ex.org/T",
+            shape_label="http://ex.org/S",
+            follow_on=[
+                follow_on_reference,
+                follow_on_stem("http://www.wikidata.org/prop/"),
+            ],
+        )
