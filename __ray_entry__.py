@@ -478,8 +478,15 @@ FROM fd, unnest(generate_series(0, 7)) AS u(j)
     )
 
 
+def _q_pack_sequences(sf_dir: str):
+    from shaclex_ray.functions.pack import pack_sequences
+
+    return pack_sequences(sf_dir, capacity=512)
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
+        "pack_sequences": _q_pack_sequences,
         "kg_triples": _q_kg_triples,
         "doc_spans": _q_doc_spans,
         "kg_entity_links": _q_kg_entity_links,
@@ -512,6 +519,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
 def oracle_sql() -> dict[str, str]:
     from shaclex_ray.functions import sql_oracles as _sql_oracles
+    from shaclex_ray.functions.pack import pack_sequences_sql
 
     return {
         "kg_triples": "WITH " + _TRIPLES_CTE + " SELECT * FROM kg_triples",
@@ -647,4 +655,5 @@ def oracle_sql() -> dict[str, str]:
         # media decode+featurize: the fake decode chain is sha256-based
         # precisely so this twin exists (see functions/multimodal.py)
         "media_features": _media_features_sql(),
+        "pack_sequences": pack_sequences_sql(capacity=512),
     }

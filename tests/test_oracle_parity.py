@@ -85,6 +85,8 @@ NAMES = [
     "ann_topk",
     "ann_lsh_buckets",
     "ann_lsh_topk",
+    "media_features",
+    "pack_sequences",
 ]
 
 
