@@ -106,17 +106,38 @@ def run_kg_pipeline(
     # row-group range, each streaming its docs through the vectorized span
     # + triple kernels straight into its own parquet shard with a lineage
     # manifest. A run that dies mid-extract resumes at the partition
-    # boundary, not the stage boundary.
-    from shaclex_ray.sources.documents import document_partitions
-    from shaclex_ray.stages.extract import extract_partition
+    # boundary, not the stage boundary. (Non-parquet inputs — the Lance
+    # lane — take the stage-granular streaming produce instead: Lance
+    # fragments don't slice like parquet row groups.)
+    import os as _os0
 
-    raw = runner.run_partitioned(
-        "triples_raw",
-        digest,
-        document_partitions(sf_dir),
-        extract_partition,
-        lambda p: rd.read_parquet(p),
-    )
+    if _os0.exists(f"{sf_dir}/documents.parquet"):
+        from shaclex_ray.sources.documents import document_partitions
+        from shaclex_ray.stages.extract import extract_partition
+
+        raw = runner.run_partitioned(
+            "triples_raw",
+            digest,
+            document_partitions(sf_dir),
+            extract_partition,
+            lambda p: rd.read_parquet(p),
+        )
+    else:
+
+        def produce_raw(path):
+            import glob as _glob
+
+            import pyarrow.parquet as _pq
+
+            extract_triples(read_documents(sf_dir)).write_parquet(path)
+            return sum(
+                _pq.ParquetFile(f).metadata.num_rows
+                for f in _glob.glob(f"{path}/*.parquet")
+            )
+
+        raw = runner.run(
+            "triples_raw", digest, produce_raw, lambda p: rd.read_parquet(p)
+        )
 
     def produce_links(path):
         import os as _os3

@@ -417,17 +417,25 @@ def read_documents(sf_dir: str, parallelism: int = 32) -> "ray.data.Dataset":
     splits a one-row-group test file without a repartition shuffle; pass
     parallelism=0 to take the file's natural blocks.)
     """
+    cols = ["doc_id", "text", "lang", "source"]
+    # Lance lane (the north-star input format): taken when a Lance dataset
+    # is present AND the package is importable; the parquet lane is the
+    # sandbox path (same schema, same downstream kernels)
+    lance_path = f"{sf_dir}/documents.lance"
+    if os.path.isdir(lance_path):
+        try:
+            import lance  # noqa: F401
+        except ImportError as exc:
+            raise RuntimeError(
+                f"{lance_path} exists but the lance package is not installed"
+            ) from exc
+        ds = ray.data.read_lance(lance_path, columns=cols)
+        return ds.map_batches(build_spans_batch_vec, batch_format="pyarrow")
     path = f"{sf_dir}/documents.parquet"
     if parallelism:
         ncpu = int(ray.cluster_resources().get("CPU", parallelism))
         nblocks = max(parallelism, 2 * ncpu)
-        ds = ray.data.read_parquet(
-            path,
-            columns=["doc_id", "text", "lang", "source"],
-            override_num_blocks=nblocks,
-        )
+        ds = ray.data.read_parquet(path, columns=cols, override_num_blocks=nblocks)
     else:
-        ds = ray.data.read_parquet(
-            path, columns=["doc_id", "text", "lang", "source"]
-        )
+        ds = ray.data.read_parquet(path, columns=cols)
     return ds.map_batches(build_spans_batch_vec, batch_format="pyarrow")

@@ -112,3 +112,29 @@ def test_digest_change_invalidates_all(ray_session, out_dir):
         assert pm["digest"] == "d2"
         assert pm["file"].endswith("documents.parquet")
         assert pm["rows"] > 0 and pm["wall_sec"] >= 0 and "rgs" in pm
+
+
+def test_lance_lane_gated(ray_session, tmp_path):
+    """A documents.lance dataset routes to the Lance reader; without the
+    lance package that is a clear fail-fast, never a silent parquet read."""
+    import shutil
+
+    import pytest as _pytest
+
+    from shaclex_ray.sources.documents import read_documents
+
+    sf = tmp_path / "sf"
+    sf.mkdir()
+    shutil.copy(f"{SF}/documents.parquet", sf / "documents.parquet")
+    (sf / "documents.lance").mkdir()
+    try:
+        import lance  # noqa: F401
+
+        _pytest.skip("lance installed; gate branch not reachable")
+    except ImportError:
+        pass
+    with _pytest.raises(RuntimeError, match="lance package is not installed"):
+        read_documents(str(sf))
+    # parquet lane untouched
+    (sf / "documents.lance").rmdir()
+    assert read_documents(str(sf)).count() == 500
