@@ -8,6 +8,8 @@ triple files, submitted as a plain script or via ``ray job submit``.
     python -m shaclex_ray infer --data g.ttl --class http://e/T
     python -m shaclex_ray convert --schema s.shex --to shacl
     python -m shaclex_ray kg --sf-dir /root/testdata/sf0.001 --out /tmp/kg
+    python -m shaclex_ray query --list
+    python -m shaclex_ray query --name dedup_minhash --sf-dir <dir> [--out d]
 """
 
 from __future__ import annotations
@@ -98,6 +100,17 @@ def main(argv=None):
     k = sub.add_parser("kg")
     k.add_argument("--sf-dir", required=True)
     k.add_argument("--out", required=True)
+
+    q = sub.add_parser(
+        "query",
+        help="run one named operator pipeline over an sf dir "
+        "(every __ray_entry__.queries() entry is available)",
+    )
+    q.add_argument("--name", help="pipeline name; omit (or --list) to list")
+    q.add_argument("--sf-dir", default="/root/testdata/sf0.001")
+    q.add_argument("--out", help="write result parquet here instead of printing")
+    q.add_argument("--list", action="store_true", help="list available pipelines")
+    q.add_argument("--limit", type=int, default=20, help="rows to print")
 
     args = ap.parse_args(argv)
 
@@ -226,6 +239,57 @@ def main(argv=None):
                 "violations": out["report"].num_rows if "report" in out else None,
             }
         )
+    elif args.cmd == "query":
+        import importlib.util as _ilu
+        import os as _os
+
+        spec = _ilu.spec_from_file_location(
+            "_graft_entry",
+            _os.path.join(_os.path.dirname(_os.path.dirname(__file__)), "__ray_entry__.py"),
+        )
+        mod = _ilu.module_from_spec(spec)
+        spec.loader.exec_module(mod)
+        qs = mod.queries()
+        if args.list or not args.name:
+            for name in sorted(qs):
+                print(name)
+        elif args.name not in qs:
+            raise SystemExit(
+                f"unknown pipeline {args.name!r}; use --list to enumerate"
+            )
+        else:
+            res = qs[args.name](args.sf_dir)
+            import pandas as _pd
+            import pyarrow as _pa
+
+            if args.out:
+                if isinstance(res, _pa.Table):
+                    import pyarrow.parquet as _pq
+
+                    _os.makedirs(args.out, exist_ok=True)
+                    _pq.write_table(res, f"{args.out}/part-0.parquet")
+                    n = res.num_rows
+                elif isinstance(res, _pd.DataFrame):
+                    import pyarrow.parquet as _pq
+
+                    _os.makedirs(args.out, exist_ok=True)
+                    _pq.write_table(
+                        _pa.Table.from_pandas(res, preserve_index=False),
+                        f"{args.out}/part-0.parquet",
+                    )
+                    n = len(res)
+                else:  # Ray Dataset: workers write their own shards
+                    res.write_parquet(args.out)
+                    n = None
+                print({"written": args.out, "rows": n})
+            else:
+                if isinstance(res, _pa.Table):
+                    df = res.to_pandas()
+                elif isinstance(res, _pd.DataFrame):
+                    df = res
+                else:
+                    df = res.limit(args.limit).to_pandas()
+                print(df.head(args.limit).to_string())
     if owns_ray:
         ray.shutdown()
 

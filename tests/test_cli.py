@@ -37,3 +37,46 @@ def test_cli_infer_and_convert():
     p = _run("convert", "--schema", f"{EX}/shex/datatype.shex", "--to", "shacl")
     assert p.returncode == 0, p.stderr[-500:]
     assert "minCount" in p.stdout
+
+
+def test_cli_query_subcommand(ray_session, capsys, tmp_path):
+    from shaclex_ray.__main__ import main
+
+    main(["query", "--list"])
+    names = capsys.readouterr().out.split()
+    assert "kg_triples" in names and "pack_sequences" in names
+
+    main(
+        [
+            "query",
+            "--name",
+            "text_token_stats",
+            "--sf-dir",
+            "/root/testdata/sf0.001",
+            "--limit",
+            "3",
+        ]
+    )
+    out = capsys.readouterr().out
+    assert "n_tokens" in out
+
+    out_dir = str(tmp_path / "q")
+    main(
+        [
+            "query",
+            "--name",
+            "dedup_exact",
+            "--sf-dir",
+            "/root/testdata/sf0.001",
+            "--out",
+            out_dir,
+        ]
+    )
+    import glob
+
+    import pyarrow.parquet as pq
+
+    rows = sum(
+        pq.ParquetFile(f).metadata.num_rows for f in glob.glob(f"{out_dir}/*.parquet")
+    )
+    assert rows == 500
