@@ -112,6 +112,10 @@ def main(argv=None):
     q.add_argument("--list", action="store_true", help="list available pipelines")
     q.add_argument("--limit", type=int, default=20, help="rows to print")
 
+    sub.add_parser(
+        "shell", help="interactive shell (the reference's --shell REPL)"
+    )
+
     args = ap.parse_args(argv)
 
     import ray
@@ -239,6 +243,10 @@ def main(argv=None):
                 "violations": out["report"].num_rows if "report" in out else None,
             }
         )
+    elif args.cmd == "shell":
+        from shaclex_ray.repl import run_repl
+
+        run_repl()
     elif args.cmd == "query":
         import importlib.util as _ilu
         import os as _os
