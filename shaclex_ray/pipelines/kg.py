@@ -111,7 +111,7 @@ def run_kg_pipeline(
     # fragments don't slice like parquet row groups.)
     import os as _os0
 
-    if _os0.exists(f"{sf_dir}/documents.parquet"):
+    if _os0.path.exists(f"{sf_dir}/documents.parquet"):
         from shaclex_ray.sources.documents import document_partitions
         from shaclex_ray.stages.extract import extract_partition
 
