@@ -40,6 +40,31 @@ def _token_counts(batch: pa.Table) -> pa.Table:
     )
 
 
+def _doc_id_bounds(path: str) -> tuple[int | None, int | None]:
+    """(min, max) of doc_id from parquet row-group statistics — a pure
+    metadata read. (None, None) when any row group lacks stats."""
+    import glob
+    import os
+
+    import pyarrow.parquet as pq
+
+    files = sorted(glob.glob(f"{path}/*.parquet")) if os.path.isdir(path) else [path]
+    lo = hi = None
+    for f in files:
+        meta = pq.ParquetFile(f).metadata
+        idx = {meta.schema.column(i).name: i for i in range(meta.num_columns)}
+        ci = idx.get("doc_id")
+        if ci is None:
+            return None, None
+        for rg in range(meta.num_row_groups):
+            st = meta.row_group(rg).column(ci).statistics
+            if st is None or not st.has_min_max:
+                return None, None
+            lo = st.min if lo is None else min(lo, st.min)
+            hi = st.max if hi is None else max(hi, st.max)
+    return lo, hi
+
+
 def pack_sequences(sf_dir: str, capacity: int = 512, nbuckets: int | None = None):
     """documents.parquet -> (chunk_id, doc_id, begin_in_chunk, ntok_in_chunk)
 
@@ -52,11 +77,15 @@ def pack_sequences(sf_dir: str, capacity: int = 512, nbuckets: int | None = None
     docs = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
     counts = docs.map_batches(_token_counts, batch_format="pyarrow")
 
-    # dense int64 doc_ids → range buckets by arithmetic (no quantile pass)
-    from ray.data.aggregate import Max, Min
+    # dense int64 doc_ids → range buckets by arithmetic (no quantile pass);
+    # min/max come from parquet row-group STATISTICS — metadata only, no
+    # data scan (falls back to one aggregate pass when stats are absent)
+    lo, hi = _doc_id_bounds(f"{sf_dir}/documents.parquet")
+    if lo is None:
+        from ray.data.aggregate import Max, Min
 
-    lo_hi = counts.aggregate(Min("doc_id"), Max("doc_id"))
-    lo, hi = lo_hi["min(doc_id)"], lo_hi["max(doc_id)"]
+        lo_hi = counts.aggregate(Min("doc_id"), Max("doc_id"))
+        lo, hi = lo_hi["min(doc_id)"], lo_hi["max(doc_id)"]
     span = max(1, hi - lo + 1)
     nb = min(nbuckets, span)
 
