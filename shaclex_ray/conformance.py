@@ -22,17 +22,13 @@ RDF_TYPE = "http://www.w3.org/1999/02/22-rdf-syntax-ns#type"
 
 SHEX_VALIDATION_DIR = "/root/reference/src/test/resources/shexTest/validation"
 
-# traits that require machinery we intentionally exclude. SemanticAction
-# entries RUN since round 4 (the shexTest Test extension,
-# validate/local.py run_sem_acts), and ExternalShape entries RUN since
-# round 4 too (EXTERNAL declarations resolve against the manifest's
-# sht:shapeExterns schema) — only Greedy remains.
-SKIP_TRAITS = {
-    # Greedy-trait entries pin the *greedy* matching strategy; we (like the
-    # spec and the reference's exhaustive validator) use exhaustive matching,
-    # whose expected results are the sht:Exhaustive twins of these entries.
-    SHT + "Greedy",
-}
+# traits that require machinery we intentionally exclude — EMPTY since
+# round 4: SemanticAction entries run via the shexTest Test extension
+# (validate/local.py run_sem_acts), ExternalShape entries resolve against
+# the manifest's sht:shapeExterns schema, and Greedy entries run under the
+# greedy matching strategy (ShExValidator(matching="greedy"), selected by
+# trait — the sht:Exhaustive twins keep running under the default).
+SKIP_TRAITS: set[str] = set()
 
 
 def _index(triples):
@@ -157,6 +153,8 @@ def run_shex_case(case: dict):
         # base = the schema's canonical IRI: relative IRIs in the schema
         # resolve against it (sht:relativeIRI entries; no-op for the rest)
         schema = load_shexj_file(jpath, base=case["schema"][1])
+        if SHT + "Greedy" in case["traits"]:
+            schema["_matching"] = "greedy"
         if case.get("externs") is not None:
             # EXTERNAL declarations resolve against the shapeExterns schema
             # (its .jsontern twin is the ShExJ form)

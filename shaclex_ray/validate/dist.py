@@ -830,6 +830,12 @@ def flat_shex_profile(schema: dict) -> dict[str, list]:
     the rest evaluate exactly once per DISTINCT value via the
     conformance-verified scalar and broadcast by dictionary codes."""
     out: dict[str, list] = {}
+    if schema.get("_matching") == "greedy":
+        # greedy matching is arc-order-sensitive; the counting kernels are
+        # order-free — route every shape through the exact per-focus walk
+        # (greedy schemas with distinct predicates would coincide, but the
+        # suite pins order-sensitive cases; keep the lanes unambiguous)
+        return out
     for lbl, se in schema.get("shapes", {}).items():
         if not isinstance(se, dict) or se.get("type") != "Shape":
             continue

@@ -85,9 +85,21 @@ def _card(te: dict) -> tuple[int, int]:
 
 
 class ShExValidator:
-    def __init__(self, schema: dict, graph: Graph):
+    def __init__(self, schema: dict, graph: Graph, matching: str = "exhaustive"):
+        """``matching``: "exhaustive" (the spec strategy; default) or
+        "greedy" (regex-style in-arc-order consumption without
+        backtracking — the sht:Greedy suite entries pin it; both
+        strategies share every other semantic: node constraints, EXTRA,
+        CLOSED, semActs, externs)."""
         self.schema = schema
         self.graph = graph
+        # a schema may pin its strategy (broadcast to distributed buckets
+        # as part of the schema dict); an explicit constructor arg wins
+        self.matching = (
+            schema.get("_matching", "exhaustive")
+            if matching == "exhaustive"
+            else matching
+        )
         self.typing: dict[tuple[str, str], bool] = {}
         self._in_progress: set[tuple[str, str]] = set()
         self._flat_cache: dict[int, list | None] = {}
@@ -318,6 +330,15 @@ class ShExValidator:
             sat_cache[k] = ok
             return ok
 
+        if self.matching == "greedy":
+            res = self._greedy_match(expr, n, arc_matches_tc)
+            if res is None:
+                return False
+            matched_candidates = [sum(1 << ai for ai in res)]
+            return self._check_remainder(
+                matched_candidates, n, arcs, tcs, extra, arc_matches_tc
+            )
+
         memo: dict[tuple[int, int, str], bool] = {}
 
         def nullable(te) -> bool:
@@ -443,18 +464,24 @@ class ShExValidator:
                 break
             sub = (sub - 1) & full_mask
 
+        return self._check_remainder(
+            matched_candidates, n, arcs, tcs, extra, arc_matches_tc
+        )
+
+    @staticmethod
+    def _check_remainder(matched_candidates, n, arcs, tcs, extra, arc_matches_tc):
+        """Remainder rule (pinned by 1literalPlus / 1val2IRIREFExtra1 /
+        1dotExtra1 tests): an unmatched OUT arc with a mentioned predicate
+        fails the shape unless the predicate is EXTRA and the arc does NOT
+        match any TripleConstraint with that predicate (EXTRA only
+        sanctions value-failing arcs)."""
+        full_mask = (1 << n) - 1
         for matched in matched_candidates:
             ok = True
-            rem = full_mask & ~matched
-            m = rem
+            m = full_mask & ~matched
             while m:
                 ai = (m & -m).bit_length() - 1
                 p, _v, inv = arcs[ai]
-                # remainder rule (pinned by 1literalPlus / 1val2IRIREFExtra1 /
-                # 1dotExtra1 tests): an unmatched OUT arc with a mentioned
-                # predicate fails the shape unless the predicate is EXTRA and
-                # the arc does NOT match any TripleConstraint with that
-                # predicate (i.e. EXTRA only sanctions value-failing arcs)
                 if not inv:
                     if p not in extra:
                         ok = False
@@ -473,3 +500,74 @@ class ShExValidator:
             if ok:
                 return True
         return False
+
+    def _greedy_match(self, expr, n: int, arc_matches_tc):
+        """Greedy matching strategy (the sht:Greedy suite entries):
+        constraints consume matching arcs from the remaining pool in arc
+        (document) order, quantifiers take maximally, OneOf commits to the
+        first alternative that matches, groups repeat until an instance
+        consumes nothing — NO backtracking, so an early starving quantifier
+        fails shapes the exhaustive strategy would satisfy
+        (nPlus1-greedy_fail, PTstar-greedy-fail). Returns the matched arc
+        index tuple, or None when the expression cannot match."""
+
+        def full(te, rem: tuple):
+            te_r = self._resolve_te(te)
+            mn, mx = _card(te_r)
+            t = te_r.get("type")
+            if t == "TripleConstraint":
+                cap = len(rem) if mx == UNBOUNDED else mx
+                taken, left = [], []
+                for ai in rem:
+                    if len(taken) < cap and arc_matches_tc(ai, te_r):
+                        taken.append(ai)
+                    else:
+                        left.append(ai)
+                if len(taken) < mn:
+                    return None
+                return tuple(left), tuple(taken)
+            count = 0
+            cur = rem
+            taken_all: list[int] = []
+            while mx == UNBOUNDED or count < mx:
+                res = body(te_r, cur)
+                if res is None:
+                    break
+                nxt, tk = res
+                taken_all.extend(tk)
+                if te_r.get("semActs") and not run_sem_acts(te_r["semActs"]):
+                    return None
+                count += 1
+                if nxt == cur:
+                    cur = nxt
+                    break  # nullable instance consumed nothing: stop
+                cur = nxt
+            if count < mn:
+                return None
+            return cur, tuple(taken_all)
+
+        def body(te_r, rem: tuple):
+            """One instance of a group body (the group's own card is
+            handled by ``full``)."""
+            t = te_r.get("type")
+            if t == "EachOf":
+                cur, taken = rem, []
+                for sub in te_r["expressions"]:
+                    res = full(sub, cur)
+                    if res is None:
+                        return None
+                    cur, tk = res
+                    taken.extend(tk)
+                return cur, tuple(taken)
+            if t == "OneOf":
+                for sub in te_r["expressions"]:
+                    res = full(sub, rem)
+                    if res is not None:
+                        return res
+                return None
+            raise ValueError(f"unknown tripleExpr type {t}")
+
+        res = full(expr, tuple(range(n)))
+        if res is None:
+            return None
+        return res[1]

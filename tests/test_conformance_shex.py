@@ -17,9 +17,8 @@ def test_shex_suite_full_parity():
         if st in ("fail", "error"):
             failures.append((c["name"], st, detail))
     assert not failures, failures[:10]
-    # 1083 = all entries except the 5 Greedy skips, whose sht:Exhaustive
-    # twins run instead (we implement the spec's exhaustive matching).
-    # SemanticAction (Test extension) and ExternalShape (sht:shapeExterns
-    # resolution) entries run since round 4.
-    assert stats["pass"] >= 1083, stats
-    assert stats.get("skip", 0) <= 5, stats
+    # the FULL suite: 1088/1088, zero skips. SemanticAction (Test
+    # extension), ExternalShape (sht:shapeExterns resolution) and Greedy
+    # (trait-selected greedy matching strategy) all run since round 4.
+    assert stats["pass"] >= 1088, stats
+    assert stats.get("skip", 0) == 0, stats
