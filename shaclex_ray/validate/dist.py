@@ -2684,10 +2684,10 @@ def resolve_shacl_targets(triples_ds, schema: dict):
                 {"node": pa.array([], pa.string()), "shape": pa.array([], pa.string())}
             )
         out = pa.concat_tables(parts)
-        # batch-local dedup (combiner)
-        return pa.Table.from_pandas(
-            out.to_pandas().drop_duplicates(ignore_index=True), preserve_index=False
-        ).cast(out.schema)
+        # batch-local dedup (combiner); Arrow group_by keeps it C++-side
+        return out.group_by(out.column_names, use_threads=False).aggregate([]).cast(
+            out.schema
+        )
 
     import ray.data as rd
 
