@@ -326,6 +326,18 @@ def _q_ann_lsh_topk(sf_dir: str):
     return lsh_topk(sf_dir, n_queries=10, k=5)
 
 
+def _q_text_term_stats(sf_dir: str):
+    from shaclex_ray.functions.text import term_stats
+
+    return term_stats(sf_dir)
+
+
+def _q_text_repetition(sf_dir: str):
+    from shaclex_ray.functions.text import repetition
+
+    return repetition(sf_dir)
+
+
 def _q_text_langid(sf_dir: str):
     from shaclex_ray.functions.text import langid
 
@@ -497,6 +509,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "text_token_stats": _q_text_token_stats,
         "text_fingerprints": _q_text_fingerprints,
         "text_quality": _q_text_quality,
+        "text_term_stats": _q_text_term_stats,
+        "text_repetition": _q_text_repetition,
         "text_langid": _q_text_langid,
         "dedup_exact": _q_dedup_exact,
         "dedup_minhash": _q_dedup_minhash,
@@ -623,6 +637,31 @@ def oracle_sql() -> dict[str, str]:
         # hash-based dedup / LSH oracles: generated with the SAME seeds /
         # hyperplanes as the Ray operators (md5_number_lower-derived hashes,
         # splitmix64 as 32-bit-split HUGEINT arithmetic — full SQL twins)
+        "text_term_stats": """
+        WITH tokens AS (
+          SELECT doc_id, u.t AS term
+          FROM documents, unnest(string_split(text, ' ')) AS u(t)
+        )
+        SELECT term, CAST(count(*) AS BIGINT) AS tf,
+               CAST(count(DISTINCT doc_id) AS BIGINT) AS df
+        FROM tokens GROUP BY term
+        """,
+        "text_repetition": """
+        WITH toks AS (
+          SELECT doc_id, string_split(text, ' ') AS t FROM documents
+        ), bigrams AS (
+          SELECT doc_id, t[u.i] || ' ' || t[u.i + 1] AS bg
+          FROM toks, unnest(generate_series(1, len(t) - 1)) AS u(i)
+        ), per AS (
+          SELECT doc_id, bg, count(*) AS c FROM bigrams GROUP BY doc_id, bg
+        )
+        SELECT d.doc_id,
+               CAST(coalesce(sum(p.c), 0) AS BIGINT) AS n_bigrams,
+               CAST(coalesce(count(p.bg), 0) AS BIGINT) AS n_distinct_bigrams,
+               CAST(coalesce(max(p.c), 0) AS BIGINT) AS top_bigram_count
+        FROM documents d LEFT JOIN per p USING (doc_id)
+        GROUP BY d.doc_id
+        """,
         "dedup_minhash": _sql_oracles.minhash_candidates_sql(),
         "dedup_simhash": _sql_oracles.simhash_sql(),
         "dedup_simhash_groups": _sql_oracles.simhash_groups_sql(),

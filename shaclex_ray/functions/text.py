@@ -101,6 +101,92 @@ def fingerprints(sf_dir: str):
     return ds.map_batches(fingerprint_batch, batch_format="pyarrow")
 
 
+def _term_partials_batch(batch: pa.Table) -> pa.Table:
+    """Per-batch partial term statistics: (term, tf, df) combined INSIDE the
+    map task so the global exchange moves |vocab|-sized partials, not one row
+    per token. Each document row lives wholly in one batch, so the per-batch
+    distinct-doc count is an exact df partial. One Arrow group_by per batch —
+    no per-token Python."""
+    toks = pc.split_pattern(batch.column("text").combine_chunks(), " ")
+    pairs = pa.table(
+        {
+            "term": pc.list_flatten(toks),
+            "doc": pc.list_parent_indices(toks),
+        }
+    )
+    agg = pairs.group_by("term").aggregate(
+        [("doc", "count"), ("doc", "count_distinct")]
+    )
+    return pa.table(
+        {
+            "term": agg.column("term"),
+            "tf": agg.column("doc_count").cast(pa.int64()),
+            "df": agg.column("doc_count_distinct").cast(pa.int64()),
+        }
+    )
+
+
+def term_stats(sf_dir: str):
+    """Corpus-level term statistics: total occurrences (tf) and document
+    frequency (df) per term. Partial-aggregate per batch, then one small
+    groupby-sum over |vocab| rows — the shuffle never sees per-token rows."""
+    from ray.data.aggregate import Sum
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["text"])
+    partials = ds.map_batches(_term_partials_batch, batch_format="pyarrow")
+    agg = partials.groupby("term").aggregate(Sum("tf"), Sum("df"))
+
+    def _rename(b: pa.Table) -> pa.Table:
+        return b.rename_columns(["term", "tf", "df"])
+
+    return agg.map_batches(_rename, batch_format="pyarrow")
+
+
+def repetition_batch(batch: pa.Table) -> pa.Table:
+    """Per-document bigram repetition profile (a Gopher-style quality
+    signal): total bigrams, distinct bigrams, and the count of the most
+    frequent bigram. One dictionary-encode + lexsort pass per batch."""
+    toks = pc.split_pattern(batch.column("text").combine_chunks(), " ")
+    flat = pc.list_flatten(toks)
+    parents = pc.list_parent_indices(toks).to_numpy(zero_copy_only=False)
+    ndocs = batch.num_rows
+    n_big = np.zeros(ndocs, dtype=np.int64)
+    n_dist = np.zeros(ndocs, dtype=np.int64)
+    top = np.zeros(ndocs, dtype=np.int64)
+    if len(flat) >= 2:
+        codes = pc.dictionary_encode(flat).indices.to_numpy(
+            zero_copy_only=False
+        ).astype(np.uint64)
+        same_doc = parents[:-1] == parents[1:]
+        doc = parents[:-1][same_doc]
+        key = (codes[:-1][same_doc] << np.uint64(32)) | codes[1:][same_doc]
+        np.add.at(n_big, doc, 1)
+        if len(doc):
+            order = np.lexsort((key, doc))
+            d_s, k_s = doc[order], key[order]
+            starts = np.concatenate(
+                ([True], (d_s[1:] != d_s[:-1]) | (k_s[1:] != k_s[:-1]))
+            )
+            run_doc = d_s[starts]
+            np.add.at(n_dist, run_doc, 1)
+            idx = np.flatnonzero(starts)
+            run_len = np.diff(np.concatenate((idx, [len(d_s)])))
+            np.maximum.at(top, run_doc, run_len)
+    return pa.table(
+        {
+            "doc_id": batch.column("doc_id"),
+            "n_bigrams": pa.array(n_big, pa.int64()),
+            "n_distinct_bigrams": pa.array(n_dist, pa.int64()),
+            "top_bigram_count": pa.array(top, pa.int64()),
+        }
+    )
+
+
+def repetition(sf_dir: str):
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    return ds.map_batches(repetition_batch, batch_format="pyarrow")
+
+
 # language-ID: character-bigram profile heuristic. The synthetic corpus uses
 # one shared vocabulary across langs, so content-based ID is impossible —
 # the operator is exercised on its real mechanics (n-gram profile cosine)

@@ -281,3 +281,34 @@ def test_langid_vectorized_parity():
     # a bigram must never straddle two documents
     m2 = LangID({"a": {"xt": 1.0}, "b": {"zz": 1.0}})
     assert np.allclose(m2._batch_vectors(["yx", "ty"]), 0.0)
+
+
+def test_term_stats_and_repetition(ray_session):
+    """term_stats tf/df and the repetition bigram profile vs a pure-Python
+    reference over the sf0.001 corpus."""
+    from collections import Counter
+
+    import pyarrow.parquet as pq
+
+    from shaclex_ray.functions.text import repetition, term_stats
+
+    t = pq.read_table(f"{SF}/documents.parquet", columns=["doc_id", "text"])
+    texts = dict(zip(t.column("doc_id").to_pylist(), t.column("text").to_pylist()))
+
+    tf, df = Counter(), Counter()
+    for text in texts.values():
+        toks = text.split(" ")
+        tf.update(toks)
+        df.update(set(toks))
+    got = {r["term"]: (r["tf"], r["df"]) for r in term_stats(SF).take_all()}
+    assert got == {term: (tf[term], df[term]) for term in tf}
+
+    rep = {r["doc_id"]: r for r in repetition(SF).take_all()}
+    assert set(rep) == set(texts)
+    for did in list(texts)[:25]:
+        toks = texts[did].split(" ")
+        bigrams = Counter(zip(toks, toks[1:]))
+        r = rep[did]
+        assert r["n_bigrams"] == sum(bigrams.values())
+        assert r["n_distinct_bigrams"] == len(bigrams)
+        assert r["top_bigram_count"] == (max(bigrams.values()) if bigrams else 0)
