@@ -338,6 +338,24 @@ def _q_text_repetition(sf_dir: str):
     return repetition(sf_dir)
 
 
+def _q_curate_split(sf_dir: str):
+    from shaclex_ray.functions.curate import split_assign
+
+    return split_assign(sf_dir)
+
+
+def _q_curate_decontaminate(sf_dir: str):
+    from shaclex_ray.functions.curate import decontaminate
+
+    return decontaminate(sf_dir)
+
+
+def _q_curate_top_terms(sf_dir: str):
+    from shaclex_ray.functions.curate import top_terms
+
+    return top_terms(sf_dir)
+
+
 def _q_text_langid(sf_dir: str):
     from shaclex_ray.functions.text import langid
 
@@ -511,6 +529,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "text_quality": _q_text_quality,
         "text_term_stats": _q_text_term_stats,
         "text_repetition": _q_text_repetition,
+        "curate_split": _q_curate_split,
+        "curate_decontaminate": _q_curate_decontaminate,
+        "curate_top_terms": _q_curate_top_terms,
         "text_langid": _q_text_langid,
         "dedup_exact": _q_dedup_exact,
         "dedup_minhash": _q_dedup_minhash,
@@ -532,6 +553,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
 
 def oracle_sql() -> dict[str, str]:
+    from shaclex_ray.functions import curate as _curate
     from shaclex_ray.functions import sql_oracles as _sql_oracles
     from shaclex_ray.functions.pack import pack_sequences_sql
 
@@ -662,6 +684,9 @@ def oracle_sql() -> dict[str, str]:
         FROM documents d LEFT JOIN per p USING (doc_id)
         GROUP BY d.doc_id
         """,
+        "curate_split": _curate.split_assign_sql(),
+        "curate_decontaminate": _curate.decontaminate_sql(),
+        "curate_top_terms": _curate.top_terms_sql(),
         "dedup_minhash": _sql_oracles.minhash_candidates_sql(),
         "dedup_simhash": _sql_oracles.simhash_sql(),
         "dedup_simhash_groups": _sql_oracles.simhash_groups_sql(),

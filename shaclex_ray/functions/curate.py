@@ -1,0 +1,275 @@
+"""Corpus-curation operators for LLM training-data pipelines:
+
+  * split_assign:   deterministic hash-based train/valid/test assignment
+  * decontaminate:  n-gram overlap of training docs against a held-out
+                    benchmark set (GPT-3-style decontamination counts)
+  * top_terms:      per-document top-k distinguishing terms (tf-idf
+                    ordering realised as the exact integer sort key
+                    (tf DESC, df ASC, term ASC) so the result is
+                    hash-comparable against a SQL twin — no floats)
+
+All three are single-pass map_batches stages over a pruned parquet read;
+the only cross-pass state is small-by-construction and broadcast once
+via ray.put (benchmark gram set, global df table). Nothing here shuffles
+per-token rows.
+
+No counterpart in the reference (weso/shaclex is a validation engine);
+these extend the engine toward the training-data-pipeline surface the
+deployment targets, in the style of functions/dedup.py / text.py.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+import ray
+
+from shaclex_ray.functions.dedup import _batch_gram_hashes
+from shaclex_ray.functions.md5batch import md5_u64_batch
+
+# ---------------------------------------------------------------------------
+# split assignment
+
+
+def split_assign(sf_dir: str, train: int = 90, valid: int = 5):
+    """Deterministic train/valid/test split: bucket = md5(doc_id||':split')
+    mod 100; [0,train) -> train, [train,train+valid) -> valid, rest test.
+    Hash-based (not doc_id mod) so the assignment is uncorrelated with any
+    id-ordered attribute; embarrassingly parallel, no shuffle, stable
+    across runs and cluster sizes — the property a 100-TB ingest needs so
+    re-runs and late-arriving shards land in the same split."""
+    hi = train + valid
+
+    def assign(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id")
+        keys = pc.binary_join_element_wise(
+            pc.cast(ids, pa.string()), ":split", ""
+        )
+        bucket = (md5_u64_batch(keys) % np.uint64(100)).astype(np.int64)
+        split = np.where(
+            bucket < train, "train", np.where(bucket < hi, "valid", "test")
+        )
+        return pa.table(
+            {
+                "doc_id": ids,
+                "bucket": pa.array(bucket, pa.int64()),
+                "split": pa.array(split, pa.string()),
+            }
+        )
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id"])
+    return ds.map_batches(assign, batch_format="pyarrow")
+
+
+def split_assign_sql(train: int = 90, valid: int = 5) -> str:
+    hi = train + valid
+    return f"""
+    SELECT doc_id,
+           CAST(md5_number_lower(CAST(doc_id AS VARCHAR) || ':split') % 100
+                AS BIGINT) AS bucket,
+           CASE WHEN md5_number_lower(CAST(doc_id AS VARCHAR) || ':split') % 100
+                     < {train} THEN 'train'
+                WHEN md5_number_lower(CAST(doc_id AS VARCHAR) || ':split') % 100
+                     < {hi} THEN 'valid'
+                ELSE 'test' END AS split
+    FROM documents
+    """
+
+
+# ---------------------------------------------------------------------------
+# benchmark decontamination
+
+
+def decontaminate(sf_dir: str, shingle: int = 5, bench_mod: int = 20):
+    """N-gram decontamination counts: docs with doc_id % bench_mod == 0
+    stand in for the held-out benchmark set; for every OTHER document,
+    count its token ``shingle``-grams and how many of them (occurrences,
+    not distinct) appear anywhere in the benchmark set.
+
+    Scale shape: the benchmark gram set is small by construction
+    (benchmarks are MBs against a 100-TB corpus), so it is collected
+    once, deduplicated, sorted and broadcast via ray.put; every training
+    batch does one vectorized np.searchsorted membership probe — the
+    corpus-sized side never shuffles. For a benchmark too large to
+    broadcast, hash-partition both gram streams instead (the
+    dedup.py one-move exchange)."""
+    path = f"{sf_dir}/documents.parquet"
+
+    def _side(batch: pa.Table, bench_side: bool) -> pa.Table:
+        ids = batch.column("doc_id").to_numpy(zero_copy_only=False)
+        in_bench = ids % bench_mod == 0
+        return batch.filter(pa.array(in_bench if bench_side else ~in_bench))
+
+    def bench_grams(batch: pa.Table) -> pa.Table:
+        batch = _side(batch, bench_side=True)
+        if batch.num_rows == 0:
+            return pa.table({"h": pa.array([], pa.uint64())})
+        h, _ = _batch_gram_hashes(batch.column("text"), shingle)
+        return pa.table({"h": pa.array(np.unique(h), pa.uint64())})
+
+    bench = ray.data.read_parquet(path, columns=["doc_id", "text"])
+    parts = bench.map_batches(bench_grams, batch_format="pyarrow").take_all()
+    gram_set = np.unique(np.array([r["h"] for r in parts], dtype=np.uint64))
+    gram_ref = ray.put(gram_set)
+
+    class Probe:
+        def __init__(self):
+            self.grams = ray.get(gram_ref)  # once per actor
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            batch = _side(batch, bench_side=False)
+            empty = pa.table(
+                {
+                    "doc_id": pa.array([], pa.int64()),
+                    "n_grams": pa.array([], pa.int64()),
+                    "n_hits": pa.array([], pa.int64()),
+                }
+            )
+            if batch.num_rows == 0:
+                return empty
+            h, starts = _batch_gram_hashes(batch.column("text"), shingle)
+            if len(self.grams):
+                idx = np.searchsorted(self.grams, h)
+                idx[idx == len(self.grams)] = 0
+                hit = self.grams[idx] == h
+            else:
+                hit = np.zeros(len(h), bool)
+            # every doc has >=1 gram (short docs hash the whole text), so
+            # segments are never empty and reduceat is exact
+            n_hits = np.add.reduceat(hit.astype(np.int64), starts[:-1])
+            return pa.table(
+                {
+                    "doc_id": batch.column("doc_id"),
+                    "n_grams": pa.array(np.diff(starts), pa.int64()),
+                    "n_hits": pa.array(n_hits, pa.int64()),
+                }
+            )
+
+    train = ray.data.read_parquet(path, columns=["doc_id", "text"])
+    ncpu = int(ray.cluster_resources().get("CPU", 4))
+    return train.map_batches(
+        Probe, batch_format="pyarrow", concurrency=(1, max(2, ncpu))
+    )
+
+
+def decontaminate_sql(shingle: int = 5, bench_mod: int = 20) -> str:
+    from shaclex_ray.functions.sql_oracles import _grams_cte
+
+    return f"""
+    WITH {_grams_cte(shingle)},
+    bench AS (
+      SELECT DISTINCT h FROM gh WHERE doc_id % {bench_mod} = 0
+    )
+    SELECT gh.doc_id,
+           CAST(count(*) AS BIGINT) AS n_grams,
+           CAST(sum(CASE WHEN bench.h IS NOT NULL THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_hits
+    FROM gh LEFT JOIN bench USING (h)
+    WHERE gh.doc_id % {bench_mod} != 0
+    GROUP BY gh.doc_id
+    """
+
+
+# ---------------------------------------------------------------------------
+# per-document top-k distinguishing terms
+
+
+def top_terms(sf_dir: str, k: int = 3):
+    """Top-k distinguishing terms per document, ranked by the exact
+    integer key (tf DESC, df ASC, term ASC) — the tf-idf ordering without
+    floats, so every emitted value hash-compares against the SQL twin.
+
+    Two passes over the pruned text column: pass 1 computes the global
+    document-frequency table (vocab-sized — partial Arrow group_by per
+    batch, one small groupby-sum, then broadcast via ray.put; a web-scale
+    vocab of ~10^7 terms is still a broadcastable dict — beyond that,
+    hash-join df onto the per-doc term stream instead). Pass 2 ranks each
+    document's terms batch-locally: dictionary-encode + one lexsort, no
+    per-doc Python."""
+    from shaclex_ray.functions.text import term_stats
+
+    df_rows = term_stats(sf_dir).take_all()  # vocab-sized aggregate
+    df_map = {r["term"]: r["df"] for r in df_rows}
+    df_ref = ray.put(df_map)
+
+    class Rank:
+        def __init__(self):
+            self.df = ray.get(df_ref)
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            toks = pc.split_pattern(batch.column("text").combine_chunks(), " ")
+            flat = pc.list_flatten(toks)
+            parents = pc.list_parent_indices(toks).to_numpy(
+                zero_copy_only=False
+            )
+            enc = pc.dictionary_encode(flat)
+            codes = enc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+            vocab = enc.dictionary.to_pylist()  # batch-local uniques
+            vdf = np.array([self.df[t] for t in vocab], dtype=np.int64)
+            # string rank of each code: argsort once over batch uniques
+            str_rank = np.empty(len(vocab), np.int64)
+            str_rank[np.argsort(np.array(vocab, dtype=object))] = np.arange(
+                len(vocab)
+            )
+            # per (doc, code) term frequency via one lexsort
+            order = np.lexsort((codes, parents))
+            d_s, c_s = parents[order], codes[order]
+            run = np.concatenate(
+                ([True], (d_s[1:] != d_s[:-1]) | (c_s[1:] != c_s[:-1]))
+            )
+            r_doc, r_code = d_s[run], c_s[run]
+            idx = np.flatnonzero(run)
+            tf = np.diff(np.concatenate((idx, [len(d_s)])))
+            # rank runs per doc by (tf desc, df asc, term asc)
+            o2 = np.lexsort((str_rank[r_code], vdf[r_code], -tf, r_doc))
+            rd = r_doc[o2]
+            doc_start = np.flatnonzero(
+                np.concatenate(([True], rd[1:] != rd[:-1]))
+            )
+            doc_len = np.diff(np.concatenate((doc_start, [len(rd)])))
+            pos = np.arange(len(rd)) - np.repeat(doc_start, doc_len)
+            keep = pos < k
+            sel = o2[keep]
+            doc_ids = batch.column("doc_id").take(pa.array(r_doc[sel]))
+            terms = pc.take(enc.dictionary, pa.array(r_code[sel]))
+            return pa.table(
+                {
+                    "doc_id": doc_ids,
+                    "term": terms,
+                    "tf": pa.array(tf[sel], pa.int64()),
+                    "df": pa.array(vdf[r_code[sel]], pa.int64()),
+                    "rank": pa.array(pos[keep] + 1, pa.int64()),
+                }
+            )
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    )
+    ncpu = int(ray.cluster_resources().get("CPU", 4))
+    return ds.map_batches(
+        Rank, batch_format="pyarrow", concurrency=(1, max(2, ncpu))
+    )
+
+
+def top_terms_sql(k: int = 3) -> str:
+    return f"""
+    WITH tokens AS (
+      SELECT doc_id, u.t AS term
+      FROM documents, unnest(string_split(text, ' ')) AS u(t)
+    ), tf AS (
+      SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
+      FROM tokens GROUP BY doc_id, term
+    ), dfv AS (
+      SELECT term, CAST(count(DISTINCT doc_id) AS BIGINT) AS df
+      FROM tokens GROUP BY term
+    ), ranked AS (
+      SELECT tf.doc_id, tf.term, tf.tf, dfv.df,
+             CAST(row_number() OVER (
+               PARTITION BY tf.doc_id
+               ORDER BY tf.tf DESC, dfv.df ASC, tf.term ASC
+             ) AS BIGINT) AS rank
+      FROM tf JOIN dfv USING (term)
+    )
+    SELECT * FROM ranked WHERE rank <= {k}
+    """

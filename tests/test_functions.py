@@ -312,3 +312,53 @@ def test_term_stats_and_repetition(ray_session):
         assert r["n_bigrams"] == sum(bigrams.values())
         assert r["n_distinct_bigrams"] == len(bigrams)
         assert r["top_bigram_count"] == (max(bigrams.values()) if bigrams else 0)
+
+
+def test_curate_operators(ray_session):
+    """split/decontaminate/top_terms vs a pure-Python reference at sf0.001."""
+    import hashlib
+    from collections import Counter
+
+    import pyarrow.parquet as pq
+
+    from shaclex_ray.functions.curate import decontaminate, split_assign, top_terms
+
+    t = pq.read_table(f"{SF}/documents.parquet", columns=["doc_id", "text"])
+    texts = dict(zip(t.column("doc_id").to_pylist(), t.column("text").to_pylist()))
+
+    # split assignment: deterministic md5 bucket, exact fractions semantics
+    got = {r["doc_id"]: (r["bucket"], r["split"]) for r in split_assign(SF).take_all()}
+    for did in texts:
+        b = int.from_bytes(
+            hashlib.md5(f"{did}:split".encode()).digest()[8:], "little"
+        ) % 100
+        assert got[did] == (b, "train" if b < 90 else "valid" if b < 95 else "test")
+
+    # decontamination: benchmark = doc_id % 20 == 0, 5-gram occurrence hits
+    def grams(text, n=5):
+        toks = text.split(" ")
+        if len(toks) < n:
+            return [text]
+        return [" ".join(toks[i : i + n]) for i in range(len(toks) - n + 1)]
+
+    bench = {g for did, tx in texts.items() if did % 20 == 0 for g in grams(tx)}
+    rows = {r["doc_id"]: r for r in decontaminate(SF).take_all()}
+    assert set(rows) == {d for d in texts if d % 20 != 0}
+    for did, r in list(rows.items())[:40]:
+        gs = grams(texts[did])
+        assert r["n_grams"] == len(gs)
+        assert r["n_hits"] == sum(g in bench for g in gs)
+
+    # top terms: rank by (tf desc, df asc, term asc), k=3
+    df = Counter()
+    for tx in texts.values():
+        df.update(set(tx.split(" ")))
+    out = {}
+    for r in top_terms(SF).take_all():
+        out.setdefault(r["doc_id"], []).append(r)
+    for did in list(texts)[:40]:
+        tf = Counter(texts[did].split(" "))
+        want = sorted(tf, key=lambda w: (-tf[w], df[w], w))[:3]
+        rows_d = sorted(out[did], key=lambda r: r["rank"])
+        assert [r["term"] for r in rows_d] == want
+        assert all(r["tf"] == tf[r["term"]] and r["df"] == df[r["term"]] for r in rows_d)
