@@ -308,6 +308,12 @@ def _q_dedup_ngram_jaccard(sf_dir: str):
     return ngram_jaccard_dups(sf_dir)
 
 
+def _q_dedup_clusters(sf_dir: str):
+    from shaclex_ray.functions.dedup import dedup_clusters
+
+    return dedup_clusters(sf_dir)
+
+
 def _q_ann_topk(sf_dir: str):
     from shaclex_ray.functions.ann import topk_cosine
 
@@ -538,6 +544,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_simhash": _q_dedup_simhash,
         "dedup_simhash_groups": _q_dedup_simhash_groups,
         "dedup_ngram_jaccard": _q_dedup_ngram_jaccard,
+        "dedup_clusters": _q_dedup_clusters,
         "dedup_embedding": _q_dedup_embedding,
         "events_window_agg": _q_events_window_agg,
         "events_sessions": _q_events_sessions,
@@ -692,6 +699,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_simhash_groups": _sql_oracles.simhash_groups_sql(),
         "text_quality": _sql_oracles.quality_sql(),
         "dedup_ngram_jaccard": _sql_oracles.ngram_jaccard_sql(),
+        "dedup_clusters": _sql_oracles.dedup_clusters_sql(),
         "dedup_embedding": _sql_oracles.embedding_dups_sql(dim=64),
         "events_window_agg": _sql_oracles.events_window_agg_sql(),
         "events_sessions": _sql_oracles.events_sessions_sql(),

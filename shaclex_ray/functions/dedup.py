@@ -959,6 +959,121 @@ def ngram_jaccard_dups(
     return verify_direct(cand, n_cand)
 
 
+# ------------------------------------------ fuzzy-dedup cluster resolution
+
+def dedup_clusters(
+    sf_dir: str,
+    shingle: int = 3,
+    threshold: float = 0.8,
+    num_perm: int = 32,
+    bands: int = 8,
+):
+    """End-to-end fuzzy dedup: verified near-dup pairs → connected
+    components → one row per document with its cluster representative
+    (the component's minimum doc_id) and the keep/drop decision.
+
+    The CC reduction is the distributed min-label propagation from
+    stages/link.py (vectorized one-move hash exchange per round — no
+    per-node Python); doc ids ride it as zero-padded strings so the
+    lexicographic minimum the propagation computes IS the numeric
+    minimum. Non-duplicated docs never enter the propagation: they join
+    back as singletons, so the CC working set scales with |dup pairs|,
+    not |corpus|."""
+    from shaclex_ray.stages.link import connected_components
+
+    pairs = ngram_jaccard_dups(sf_dir, shingle, threshold, num_perm, bands)
+
+    def to_edges(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "a": pc.utf8_lpad(
+                    pc.cast(batch.column("doc_a"), pa.string()), 19, "0"
+                ),
+                "b": pc.utf8_lpad(
+                    pc.cast(batch.column("doc_b"), pa.string()), 19, "0"
+                ),
+            }
+        )
+
+    edges = pairs.map_batches(to_edges, batch_format="pyarrow").materialize()
+    if edges.count() == 0:
+        # no dup pairs: every document is its own singleton cluster —
+        # don't route an empty dataset through the hash-shuffle join
+        # (its right side would lose the key schema)
+        def singletons(batch: pa.Table) -> pa.Table:
+            ids = batch.column("doc_id").combine_chunks().cast(pa.int64())
+            return pa.table(
+                {
+                    "doc_id": ids,
+                    "cluster": ids,
+                    "keep": pa.array(np.ones(len(ids), bool)),
+                }
+            )
+
+        return ray.data.read_parquet(
+            f"{sf_dir}/documents.parquet", columns=["doc_id"]
+        ).map_batches(singletons, batch_format="pyarrow")
+
+    labels = connected_components(edges)
+
+    _label_schema = pa.schema([("node", pa.string()), ("label", pa.string())])
+
+    def fix_labels(batch: pa.Table) -> pa.Table:
+        # empty blocks out of joins/aggregates can carry a degenerate
+        # schema — restore (node, label) so the left_outer join below
+        # always sees its key field
+        if not {"node", "label"} <= set(batch.column_names):
+            return _label_schema.empty_table()
+        return batch.select(["node", "label"]).cast(_label_schema)
+
+    labels = labels.map_batches(fix_labels, batch_format="pyarrow")
+
+    docs = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id"]
+    ).map_batches(
+        lambda b: pa.table(
+            {
+                "doc_id": b.column("doc_id"),
+                "node": pc.utf8_lpad(
+                    pc.cast(b.column("doc_id"), pa.string()), 19, "0"
+                ),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+    ncpu = int(ray.cluster_resources().get("CPU", 8))
+    joined = docs.join(
+        labels,
+        "left_outer",
+        num_partitions=max(2, ncpu // 2),
+        on=("node",),
+    )
+
+    def finish(batch: pa.Table) -> pa.Table:
+        out_schema = pa.schema(
+            [
+                ("doc_id", pa.int64()),
+                ("cluster", pa.int64()),
+                ("keep", pa.bool_()),
+            ]
+        )
+        if not {"doc_id", "label"} <= set(batch.column_names):
+            return out_schema.empty_table()
+        ids = batch.column("doc_id").combine_chunks().cast(pa.int64())
+        lab = pc.cast(
+            pc.coalesce(
+                batch.column("label").combine_chunks(),
+                pc.utf8_lpad(pc.cast(ids, pa.string()), 19, "0"),
+            ),
+            pa.int64(),
+        )
+        return pa.table(
+            {"doc_id": ids, "cluster": lab, "keep": pc.equal(ids, lab)}
+        )
+
+    return joined.map_batches(finish, batch_format="pyarrow")
+
+
 # ------------------------------------------- embedding-cosine near-dup
 
 def embedding_near_dups(

@@ -92,16 +92,12 @@ def minhash_candidates_sql(num_perm: int = 64, bands: int = 16, shingle: int = 3
     )
 
 
-def ngram_jaccard_sql(
-    shingle: int = 3,
-    threshold: float = 0.8,
-    num_perm: int = 32,
-    bands: int = 8,
-) -> str:
+def _jaccard_ctes(num_perm: int, bands: int, shingle: int) -> str:
+    """CTE chain ending at ``jacc(doc_a, doc_b, jaccard)`` — shared by the
+    pair oracle and the cluster-resolution oracle."""
     return (
-        "WITH "
-        + _minhash_ctes(num_perm, bands, shingle)
-        + f""",
+        _minhash_ctes(num_perm, bands, shingle)
+        + """,
 dgh AS (SELECT DISTINCT doc_id, h FROM gh),
 dsh AS (SELECT doc_id, count(*) AS n FROM dgh GROUP BY doc_id),
 inter AS (
@@ -119,8 +115,54 @@ jacc AS (
   JOIN dsh na ON na.doc_id = p.doc_a
   JOIN dsh nb ON nb.doc_id = p.doc_b
   LEFT JOIN inter i ON i.doc_a = p.doc_a AND i.doc_b = p.doc_b
-)
+)"""
+    )
+
+
+def ngram_jaccard_sql(
+    shingle: int = 3,
+    threshold: float = 0.8,
+    num_perm: int = 32,
+    bands: int = 8,
+) -> str:
+    return (
+        "WITH "
+        + _jaccard_ctes(num_perm, bands, shingle)
+        + f"""
 SELECT doc_a, doc_b, jaccard FROM jacc WHERE jaccard >= {threshold}"""
+    )
+
+
+def dedup_clusters_sql(
+    shingle: int = 3,
+    threshold: float = 0.8,
+    num_perm: int = 32,
+    bands: int = 8,
+) -> str:
+    """Cluster resolution over the verified near-dup pairs: component
+    label = min doc_id of the connected component (transitive closure by
+    a recursive CTE; propagating only labels smaller than the target node
+    is safe — the component minimum is smaller than every other member —
+    and keeps the closure linear-ish)."""
+    return (
+        "WITH RECURSIVE "
+        + _jaccard_ctes(num_perm, bands, shingle)
+        + f""",
+dup AS (SELECT doc_a, doc_b FROM jacc WHERE jaccard >= {threshold}),
+edges AS (
+  SELECT doc_a AS a, doc_b AS b FROM dup
+  UNION ALL SELECT doc_b, doc_a FROM dup
+),
+reach(node, label) AS (
+  SELECT doc_id, doc_id FROM documents
+  UNION
+  SELECT e.b, r.label FROM reach r JOIN edges e ON e.a = r.node
+  WHERE r.label < e.b
+)
+SELECT node AS doc_id,
+       CAST(min(label) AS BIGINT) AS cluster,
+       node = min(label) AS keep
+FROM reach GROUP BY node"""
     )
 
 

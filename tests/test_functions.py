@@ -362,3 +362,38 @@ def test_curate_operators(ray_session):
         rows_d = sorted(out[did], key=lambda r: r["rank"])
         assert [r["term"] for r in rows_d] == want
         assert all(r["tf"] == tf[r["term"]] and r["df"] == df[r["term"]] for r in rows_d)
+
+
+def test_dedup_clusters(ray_session):
+    """Cluster resolution vs a union-find over the verified pair set; the
+    representative must be the numeric component minimum and keep must
+    mark exactly the representatives."""
+    from shaclex_ray.functions.dedup import dedup_clusters, ngram_jaccard_dups
+
+    pairs = [(r["doc_a"], r["doc_b"]) for r in ngram_jaccard_dups(SF).take_all()]
+    parent = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in pairs:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+
+    rows = dedup_clusters(SF).take_all()
+    assert len(rows) == 500 and len({r["doc_id"] for r in rows}) == 500
+    for r in rows:
+        want = find(r["doc_id"]) if r["doc_id"] in parent else r["doc_id"]
+        assert r["cluster"] == want
+        assert r["keep"] == (r["doc_id"] == r["cluster"])
+    assert sum(1 for r in rows if not r["keep"]) > 0  # corpus has real dups
+
+    # degenerate path: a threshold above 1.0 yields no pairs -> all keep
+    singletons = dedup_clusters(SF, threshold=1.01).take_all()
+    assert len(singletons) == 500
+    assert all(r["keep"] and r["cluster"] == r["doc_id"] for r in singletons)
