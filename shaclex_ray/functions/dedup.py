@@ -967,36 +967,40 @@ def dedup_clusters(
     threshold: float = 0.8,
     num_perm: int = 32,
     bands: int = 8,
+    distributed: bool | None = None,
 ):
     """End-to-end fuzzy dedup: verified near-dup pairs → connected
     components → one row per document with its cluster representative
     (the component's minimum doc_id) and the keep/drop decision.
 
-    The CC reduction is the distributed min-label propagation from
+    The component merge is size-adaptive, mirroring
+    ``stages/link.build_entity_links``: below
+    ``SHACLEX_DEDUP_CC_THRESHOLD`` pairs (default 1M) a driver union-find
+    resolves the (small) dup graph and the doc→cluster map broadcasts as
+    two sorted numpy arrays probed with one searchsorted per batch; above
+    it the merge runs as the distributed min-label propagation from
     stages/link.py (vectorized one-move hash exchange per round — no
-    per-node Python); doc ids ride it as zero-padded strings so the
-    lexicographic minimum the propagation computes IS the numeric
-    minimum. Non-duplicated docs never enter the propagation: they join
-    back as singletons, so the CC working set scales with |dup pairs|,
-    not |corpus|."""
+    per-node Python), with doc ids riding as zero-padded strings so the
+    lexicographic propagation minimum IS the numeric minimum. Both
+    regimes produce identical rows (tests pin the equality). Either way,
+    non-duplicated docs never enter the merge — the CC working set
+    scales with |dup pairs|, not |corpus|."""
+    import os as _os
+
     from shaclex_ray.stages.link import connected_components
 
-    pairs = ngram_jaccard_dups(sf_dir, shingle, threshold, num_perm, bands)
-
-    def to_edges(batch: pa.Table) -> pa.Table:
-        return pa.table(
-            {
-                "a": pc.utf8_lpad(
-                    pc.cast(batch.column("doc_a"), pa.string()), 19, "0"
-                ),
-                "b": pc.utf8_lpad(
-                    pc.cast(batch.column("doc_b"), pa.string()), 19, "0"
-                ),
-            }
+    pairs = ngram_jaccard_dups(
+        sf_dir, shingle, threshold, num_perm, bands
+    ).materialize()
+    n_pairs = pairs.count()
+    docs_path = f"{sf_dir}/documents.parquet"
+    if distributed is None:
+        cc_threshold = int(
+            _os.environ.get("SHACLEX_DEDUP_CC_THRESHOLD", "1000000")
         )
+        distributed = n_pairs >= cc_threshold
 
-    edges = pairs.map_batches(to_edges, batch_format="pyarrow").materialize()
-    if edges.count() == 0:
+    if n_pairs == 0:
         # no dup pairs: every document is its own singleton cluster —
         # don't route an empty dataset through the hash-shuffle join
         # (its right side would lose the key schema)
@@ -1011,9 +1015,70 @@ def dedup_clusters(
             )
 
         return ray.data.read_parquet(
-            f"{sf_dir}/documents.parquet", columns=["doc_id"]
+            docs_path, columns=["doc_id"]
         ).map_batches(singletons, batch_format="pyarrow")
 
+    if not distributed:
+        # driver union-find over the small pair list; broadcast the
+        # doc→cluster map once, probe vectorized per batch
+        rows = pairs.select_columns(["doc_a", "doc_b"]).take_all()
+        parent: dict[int, int] = {}
+
+        def find(x: int) -> int:
+            parent.setdefault(x, x)
+            while parent[x] != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        for r in rows:
+            ra, rb = find(r["doc_a"]), find(r["doc_b"])
+            if ra != rb:
+                parent[max(ra, rb)] = min(ra, rb)
+        keys = np.array(sorted(parent), dtype=np.int64)
+        vals = np.array([find(int(k)) for k in keys], dtype=np.int64)
+        map_ref = ray.put((keys, vals))
+
+        class Assign:
+            def __init__(self):
+                self.keys, self.vals = ray.get(map_ref)
+
+            def __call__(self, batch: pa.Table) -> pa.Table:
+                ids = (
+                    batch.column("doc_id")
+                    .to_numpy(zero_copy_only=False)
+                    .astype(np.int64)
+                )
+                idx = np.searchsorted(self.keys, ids)
+                idx[idx == len(self.keys)] = 0
+                hit = self.keys[idx] == ids
+                lab = np.where(hit, self.vals[idx], ids)
+                return pa.table(
+                    {
+                        "doc_id": pa.array(ids, pa.int64()),
+                        "cluster": pa.array(lab, pa.int64()),
+                        "keep": pa.array(ids == lab),
+                    }
+                )
+
+        ncpu = int(ray.cluster_resources().get("CPU", 4))
+        return ray.data.read_parquet(docs_path, columns=["doc_id"]).map_batches(
+            Assign, batch_format="pyarrow", concurrency=(1, max(2, ncpu))
+        )
+
+    def to_edges(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "a": pc.utf8_lpad(
+                    pc.cast(batch.column("doc_a"), pa.string()), 19, "0"
+                ),
+                "b": pc.utf8_lpad(
+                    pc.cast(batch.column("doc_b"), pa.string()), 19, "0"
+                ),
+            }
+        )
+
+    edges = pairs.map_batches(to_edges, batch_format="pyarrow")
     labels = connected_components(edges)
 
     _label_schema = pa.schema([("node", pa.string()), ("label", pa.string())])

@@ -397,3 +397,18 @@ def test_dedup_clusters(ray_session):
     singletons = dedup_clusters(SF, threshold=1.01).take_all()
     assert len(singletons) == 500
     assert all(r["keep"] and r["cluster"] == r["doc_id"] for r in singletons)
+
+
+def test_dedup_clusters_regimes_equal(ray_session):
+    """Driver union-find and distributed CC regimes produce identical rows."""
+    from shaclex_ray.functions.dedup import dedup_clusters
+
+    broadcast = sorted(
+        (r["doc_id"], r["cluster"], r["keep"])
+        for r in dedup_clusters(SF, distributed=False).take_all()
+    )
+    dist = sorted(
+        (r["doc_id"], r["cluster"], r["keep"])
+        for r in dedup_clusters(SF, distributed=True).take_all()
+    )
+    assert broadcast == dist
