@@ -15,7 +15,7 @@ lattice meet is commutative/associative, exactly partial+final aggregable
 
 from __future__ import annotations
 
-import pandas as pd
+import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
 
@@ -214,44 +214,100 @@ def infer_schema(
             pa.scalar("iri"),
             pc.if_else(pc.equal(okind, "bnode"), pa.scalar("bnode"), lit_kind),
         )
+        # lattice family code: the fold over distinct kinds reduces to
+        # min/max aggregates of (kind, fam) — see the constraint rule below
+        fam = pc.if_else(
+            pc.equal(okind, "iri"),
+            pa.scalar(1, pa.int64()),
+            pc.if_else(
+                pc.equal(okind, "bnode"),
+                pa.scalar(2, pa.int64()),
+                pc.if_else(
+                    pc.starts_with(kind, "lang:"),
+                    pa.scalar(3, pa.int64()),
+                    pa.scalar(4, pa.int64()),
+                ),
+            ),
+        )
         return pa.table(
             {
                 "pred": batch.column("pred"),
                 "subj": batch.column("subj"),
                 "kind": kind,
+                "fam": fam,
             }
         )
 
-    def finalize(group: pa.Table) -> pa.Table:
-        df = group.to_pandas()
-        pred = df["pred"].iloc[0]
-        per_subj = df.groupby("subj").size()
-        collapsed = None
-        for k in df["kind"].unique():
-            collapsed = _collapse2(collapsed, k)
-        return pa.Table.from_pandas(
-            pd.DataFrame(
-                {
-                    "pred": [pred],
-                    "n_arcs": [len(df)],
-                    "n_subjects": [int(per_subj.shape[0])],
-                    "max_per_subject": [int(per_subj.max())],
-                    "min_per_subject": [int(per_subj.min())],
-                    "constraint": [collapsed],
-                }
-            ),
-            preserve_index=False,
-        )
+    # per-pred stats, fully vectorized: two one-move hash exchanges
+    # (Arrow group_by partials, zero per-group Python) replace the former
+    # per-predicate map_groups — a hot predicate (rdf:type at corpus
+    # scale) no longer lands its whole arc set on one Python call
+    from shaclex_ray.stages.groupagg import grouped_aggregate_fast
 
-    stats = (
-        arcs.map_batches(project, batch_format="pyarrow")
-        .groupby("pred")
-        .map_groups(finalize, batch_format="pyarrow")
+    proj = arcs.map_batches(project, batch_format="pyarrow")
+    lvl1 = grouped_aggregate_fast(
+        proj,
+        ["pred", "subj"],
+        [
+            ("kind", "count"),
+            ("kind", "min"),
+            ("kind", "max"),
+            ("fam", "min"),
+            ("fam", "max"),
+        ],
+        ["cnt", "kmin", "kmax", "fmin", "fmax"],
     )
-    stats_tbl = pa.concat_tables(
-        list(stats.iter_batches(batch_format="pyarrow", batch_size=None))
+    lvl2 = grouped_aggregate_fast(
+        lvl1,
+        ["pred"],
+        [
+            ("cnt", "sum"),
+            ("subj", "count"),
+            ("cnt", "max"),
+            ("cnt", "min"),
+            ("kmin", "min"),
+            ("kmax", "max"),
+            ("fmin", "min"),
+            ("fmax", "max"),
+        ],
+        [
+            "n_arcs",
+            "n_subjects",
+            "max_per_subject",
+            "min_per_subject",
+            "kmin",
+            "kmax",
+            "fmin",
+            "fmax",
+        ],
+    )
+    agg_tbl = pa.concat_tables(
+        list(lvl2.iter_batches(batch_format="pyarrow", batch_size=None))
         or [pa.table({"pred": pa.array([], pa.string())})]
     )
+    if agg_tbl.num_rows:
+        # the _collapse2 lattice fold over a pred's DISTINCT kind set S,
+        # derived from aggregates (inputs are only iri/bnode/lang:*/lit:*):
+        # |S|=1 -> the kind; all lang-family -> langstring; all in the
+        # literal families -> literal; any iri/bnode mix -> TOP
+        kmin = agg_tbl.column("kmin").to_numpy(zero_copy_only=False)
+        kmax = agg_tbl.column("kmax").to_numpy(zero_copy_only=False)
+        fmin = agg_tbl.column("fmin").to_numpy(zero_copy_only=False)
+        fmax = agg_tbl.column("fmax").to_numpy(zero_copy_only=False)
+        constraint = np.where(
+            kmin == kmax,
+            kmin,
+            np.where(
+                (fmin == 3) & (fmax == 3),
+                "langstring",
+                np.where(fmin >= 3, "literal", TOP),
+            ),
+        )
+        stats_tbl = agg_tbl.drop_columns(["kmin", "kmax", "fmin", "fmax"]).append_column(
+            "constraint", pa.array(constraint, pa.string())
+        )
+    else:
+        stats_tbl = agg_tbl
 
     # cardinality rule (reference: n==1 per node ? {1,1} : {0,*};
     # InferredShape.scala:159-165 — refined with min/max evidence)

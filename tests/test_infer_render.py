@@ -155,3 +155,37 @@ def test_follow_on_recursion(ray_session):
                 follow_on_stem("http://www.wikidata.org/prop/"),
             ],
         )
+
+
+def test_constraint_rule_matches_collapse2_fold():
+    """The aggregate-derived constraint rule (kmin/kmax/fmin/fmax) must
+    equal the reference pairwise lattice fold (_collapse2) for every
+    multiset of input kinds, in every fold order."""
+    import itertools
+
+    from shaclex_ray.pipelines.infer import TOP, _collapse2
+
+    kinds = ["iri", "bnode", "lang:en", "lang:fr", "lit:http://www.w3.org/2001/XMLSchema#string", "lit:http://www.w3.org/2001/XMLSchema#integer"]
+
+    def fam(k):
+        return 1 if k == "iri" else 2 if k == "bnode" else 3 if k.startswith("lang:") else 4
+
+    def agg_rule(ks):
+        kmin, kmax = min(ks), max(ks)
+        fmin, fmax = min(map(fam, ks)), max(map(fam, ks))
+        if kmin == kmax:
+            return kmin
+        if fmin == 3 and fmax == 3:
+            return "langstring"
+        if fmin >= 3:
+            return "literal"
+        return TOP
+
+    for n in (1, 2, 3):
+        for combo in itertools.combinations_with_replacement(kinds, n):
+            distinct = sorted(set(combo))
+            for perm in itertools.permutations(distinct):
+                folded = None
+                for k in perm:
+                    folded = _collapse2(folded, k)
+                assert agg_rule(combo) == folded, (combo, perm)
