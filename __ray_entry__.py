@@ -362,6 +362,12 @@ def _q_curate_top_terms(sf_dir: str):
     return top_terms(sf_dir)
 
 
+def _q_curate_corpus(sf_dir: str):
+    from shaclex_ray.functions.curate import curate_corpus
+
+    return curate_corpus(sf_dir)
+
+
 def _q_text_langid(sf_dir: str):
     from shaclex_ray.functions.text import langid
 
@@ -538,6 +544,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "curate_split": _q_curate_split,
         "curate_decontaminate": _q_curate_decontaminate,
         "curate_top_terms": _q_curate_top_terms,
+        "curate_corpus": _q_curate_corpus,
         "text_langid": _q_text_langid,
         "dedup_exact": _q_dedup_exact,
         "dedup_minhash": _q_dedup_minhash,
@@ -694,6 +701,7 @@ def oracle_sql() -> dict[str, str]:
         "curate_split": _curate.split_assign_sql(),
         "curate_decontaminate": _curate.decontaminate_sql(),
         "curate_top_terms": _curate.top_terms_sql(),
+        "curate_corpus": _curate.curate_corpus_sql(),
         "dedup_minhash": _sql_oracles.minhash_candidates_sql(),
         "dedup_simhash": _sql_oracles.simhash_sql(),
         "dedup_simhash_groups": _sql_oracles.simhash_groups_sql(),

@@ -252,6 +252,163 @@ def top_terms(sf_dir: str, k: int = 3):
     )
 
 
+def curate_corpus(
+    sf_dir: str,
+    min_tokens: int = 20,
+    max_tokens: int = 100_000,
+    min_stop_pct: int = 2,
+    max_rep_pct: int = 20,
+    train: int = 90,
+    valid: int = 5,
+):
+    """The composed curation pass a pretraining pipeline runs end-to-end:
+    per document, quality gates (token-count bounds, stopword floor),
+    a repetition gate (top bigram share), the fuzzy-dedup keep/drop
+    decision, the final keep verdict, and the train/valid/test split.
+
+    Shape: every per-doc signal except dedup is batch-local, so they all
+    compute in ONE map task over the pruned (doc_id, text) read; the
+    dedup verdict (global by nature) hash-joins on doc_id — exactly one
+    corpus-sized exchange in the whole pass. All gate arithmetic is
+    integer cross-multiplication (no float thresholds), so every emitted
+    value hash-compares against the SQL twin."""
+    from shaclex_ray.functions.dedup import dedup_clusters
+    from shaclex_ray.functions.text import repetition_batch, token_stats_batch
+
+    hi = train + valid
+
+    def local_signals(batch: pa.Table) -> pa.Table:
+        st = token_stats_batch(batch)
+        rep = repetition_batch(batch)
+        n_tok = st.column("n_tokens").to_numpy(zero_copy_only=False)
+        n_stop = st.column("n_stopwords").to_numpy(zero_copy_only=False)
+        n_big = rep.column("n_bigrams").to_numpy(zero_copy_only=False)
+        top = rep.column("top_bigram_count").to_numpy(zero_copy_only=False)
+        len_ok = (n_tok >= min_tokens) & (n_tok <= max_tokens)
+        stop_ok = n_stop * 100 >= n_tok * min_stop_pct
+        rep_ok = top * 100 <= np.maximum(n_big, 1) * max_rep_pct
+        keys = pc.binary_join_element_wise(
+            pc.cast(batch.column("doc_id"), pa.string()), ":split", ""
+        )
+        bucket = (md5_u64_batch(keys) % np.uint64(100)).astype(np.int64)
+        split = np.where(
+            bucket < train, "train", np.where(bucket < hi, "valid", "test")
+        )
+        return pa.table(
+            {
+                "doc_id": batch.column("doc_id"),
+                "len_ok": pa.array(len_ok),
+                "stop_ok": pa.array(stop_ok),
+                "rep_ok": pa.array(rep_ok),
+                "split": pa.array(split, pa.string()),
+            }
+        )
+
+    signals = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    ).map_batches(local_signals, batch_format="pyarrow")
+
+    dedup = dedup_clusters(sf_dir).map_batches(
+        lambda b: pa.table(
+            {"doc_id": b.column("doc_id"), "dedup_keep": b.column("keep")}
+        ),
+        batch_format="pyarrow",
+    )
+    ncpu = int(ray.cluster_resources().get("CPU", 4))
+    joined = signals.join(
+        dedup, "inner", num_partitions=max(2, ncpu // 2), on=("doc_id",)
+    )
+
+    def finish(batch: pa.Table) -> pa.Table:
+        cols = ["doc_id", "len_ok", "stop_ok", "rep_ok", "dedup_keep", "split"]
+        out_schema = pa.schema(
+            [
+                ("doc_id", pa.int64()),
+                ("len_ok", pa.bool_()),
+                ("stop_ok", pa.bool_()),
+                ("rep_ok", pa.bool_()),
+                ("dedup_keep", pa.bool_()),
+                ("keep", pa.bool_()),
+                ("split", pa.string()),
+            ]
+        )
+        if not set(cols) <= set(batch.column_names):
+            return out_schema.empty_table()
+        keep = pc.and_(
+            pc.and_(batch.column("len_ok"), batch.column("stop_ok")),
+            pc.and_(batch.column("rep_ok"), batch.column("dedup_keep")),
+        )
+        return pa.table(
+            {
+                "doc_id": batch.column("doc_id").combine_chunks().cast(pa.int64()),
+                "len_ok": batch.column("len_ok"),
+                "stop_ok": batch.column("stop_ok"),
+                "rep_ok": batch.column("rep_ok"),
+                "dedup_keep": batch.column("dedup_keep"),
+                "keep": keep,
+                "split": batch.column("split"),
+            }
+        )
+
+    return joined.map_batches(finish, batch_format="pyarrow")
+
+
+def curate_corpus_sql(
+    min_tokens: int = 20,
+    max_tokens: int = 100_000,
+    min_stop_pct: int = 2,
+    max_rep_pct: int = 20,
+    train: int = 90,
+    valid: int = 5,
+) -> str:
+    from shaclex_ray.functions.sql_oracles import dedup_clusters_sql
+
+    hi = train + valid
+    cluster_sql = dedup_clusters_sql()
+    return f"""
+    WITH clusters AS ({cluster_sql}),
+    st AS (
+      SELECT doc_id,
+             CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+             CAST((SELECT count(*) FROM unnest(string_split(text, ' ')) AS u(tok)
+                   WHERE u.tok IN ('the', 'a')) AS BIGINT) AS n_stopwords
+      FROM documents
+    ),
+    toksr AS (
+      SELECT doc_id, string_split(text, ' ') AS t FROM documents
+    ), bigrams AS (
+      SELECT doc_id, t[u.i] || ' ' || t[u.i + 1] AS bg
+      FROM toksr, unnest(generate_series(1, len(t) - 1)) AS u(i)
+    ), perbg AS (
+      SELECT doc_id, bg, count(*) AS c FROM bigrams GROUP BY doc_id, bg
+    ), rep AS (
+      SELECT d.doc_id,
+             CAST(coalesce(sum(p.c), 0) AS BIGINT) AS n_bigrams,
+             CAST(coalesce(max(p.c), 0) AS BIGINT) AS top_bigram_count
+      FROM documents d LEFT JOIN perbg p USING (doc_id)
+      GROUP BY d.doc_id
+    ),
+    gates AS (
+      SELECT st.doc_id,
+             st.n_tokens >= {min_tokens} AND st.n_tokens <= {max_tokens}
+               AS len_ok,
+             st.n_stopwords * 100 >= st.n_tokens * {min_stop_pct} AS stop_ok,
+             rep.top_bigram_count * 100
+               <= greatest(rep.n_bigrams, 1) * {max_rep_pct} AS rep_ok,
+             CASE WHEN md5_number_lower(CAST(st.doc_id AS VARCHAR) || ':split')
+                       % 100 < {train} THEN 'train'
+                  WHEN md5_number_lower(CAST(st.doc_id AS VARCHAR) || ':split')
+                       % 100 < {hi} THEN 'valid'
+                  ELSE 'test' END AS split
+      FROM st JOIN rep USING (doc_id)
+    )
+    SELECT g.doc_id, g.len_ok, g.stop_ok, g.rep_ok, c.keep AS dedup_keep,
+           g.len_ok AND g.stop_ok AND g.rep_ok AND c.keep AS keep,
+           g.split
+    FROM gates g JOIN clusters c USING (doc_id)
+    """
+
+
 def top_terms_sql(k: int = 3) -> str:
     return f"""
     WITH tokens AS (

@@ -87,6 +87,13 @@ NAMES = [
     "ann_lsh_topk",
     "media_features",
     "pack_sequences",
+    "text_term_stats",
+    "text_repetition",
+    "curate_split",
+    "curate_decontaminate",
+    "curate_top_terms",
+    "curate_corpus",
+    "dedup_clusters",
 ]
 
 
