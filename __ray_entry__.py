@@ -368,6 +368,24 @@ def _q_curate_corpus(sf_dir: str):
     return curate_corpus(sf_dir)
 
 
+def _q_text_redact(sf_dir: str):
+    from shaclex_ray.functions.text import redact
+
+    return redact(sf_dir)
+
+
+def _q_curate_sample(sf_dir: str):
+    from shaclex_ray.functions.curate import sample_balanced
+
+    return sample_balanced(sf_dir, n=10)
+
+
+def _q_dedup_substring(sf_dir: str):
+    from shaclex_ray.functions.substr import dedup_substring
+
+    return dedup_substring(sf_dir)
+
+
 def _q_text_langid(sf_dir: str):
     from shaclex_ray.functions.text import langid
 
@@ -545,7 +563,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "curate_decontaminate": _q_curate_decontaminate,
         "curate_top_terms": _q_curate_top_terms,
         "curate_corpus": _q_curate_corpus,
+        "curate_sample": _q_curate_sample,
+        "text_redact": _q_text_redact,
         "text_langid": _q_text_langid,
+        "dedup_substring": _q_dedup_substring,
         "dedup_exact": _q_dedup_exact,
         "dedup_minhash": _q_dedup_minhash,
         "dedup_simhash": _q_dedup_simhash,
@@ -569,6 +590,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
 def oracle_sql() -> dict[str, str]:
     from shaclex_ray.functions import curate as _curate
     from shaclex_ray.functions import sql_oracles as _sql_oracles
+    from shaclex_ray.functions import substr as _substr
+    from shaclex_ray.functions import text as _text
     from shaclex_ray.functions.pack import pack_sequences_sql
 
     return {
@@ -702,6 +725,9 @@ def oracle_sql() -> dict[str, str]:
         "curate_decontaminate": _curate.decontaminate_sql(),
         "curate_top_terms": _curate.top_terms_sql(),
         "curate_corpus": _curate.curate_corpus_sql(),
+        "curate_sample": _curate.sample_balanced_sql(n=10),
+        "text_redact": _text.redact_sql(),
+        "dedup_substring": _substr.dedup_substring_sql(),
         "dedup_minhash": _sql_oracles.minhash_candidates_sql(),
         "dedup_simhash": _sql_oracles.simhash_sql(),
         "dedup_simhash_groups": _sql_oracles.simhash_groups_sql(),

@@ -409,6 +409,111 @@ def curate_corpus_sql(
     """
 
 
+def _sample_partial(tbl: pa.Table, n: int) -> pa.Table:
+    """Keep the n smallest doc_ids per source (exact partial top-n: the
+    global per-source minimum-n is a subset of every split's local
+    minimum-n, so the exchange moves at most n×|sources| rows per split)."""
+    doc = tbl.column("doc_id").to_numpy(zero_copy_only=False)
+    src = tbl.column("source").combine_chunks().dictionary_encode()
+    codes = src.indices.to_numpy(zero_copy_only=False)
+    order = np.lexsort((doc, codes))
+    codes_s = codes[order]
+    new_seg = np.empty(len(order), dtype=bool)
+    if len(order):
+        new_seg[0] = True
+        new_seg[1:] = codes_s[1:] != codes_s[:-1]
+    starts = np.flatnonzero(new_seg)
+    rank = np.arange(len(order)) - np.repeat(
+        starts, np.diff(np.append(starts, len(order)))
+    )
+    keep = order[rank < n]
+    return tbl.take(pa.array(np.sort(keep)))
+
+
+def _sample_split_impl(nbuckets: int, n: int, *tbls: pa.Table):
+    parts = [t for t in tbls if t.num_rows > 0]
+    tbl = pa.concat_tables(parts) if parts else tbls[0]
+    tbl = _sample_partial(tbl, n)
+    if nbuckets == 1:
+        return tbl
+    bucket = md5_u64_batch(tbl.column("source")) % np.uint64(nbuckets)
+    return tuple(
+        tbl.take(pa.array(np.flatnonzero(bucket == b))) for b in range(nbuckets)
+    )
+
+
+def _sample_bucket_impl(n: int, *parts: pa.Table) -> pa.Table:
+    real = [t for t in parts if t.num_rows > 0]
+    if not real:
+        return parts[0]
+    return _sample_partial(pa.concat_tables(real), n)
+
+
+def sample_balanced(sf_dir: str, n: int | None = None):
+    """Balanced stratified sampling: keep the n smallest doc_ids of every
+    source (deterministic rank-based downsampling — the corpus-mixing
+    primitive that caps each domain's contribution). When ``n`` is None it
+    defaults to the smallest source's count, i.e. a fully balanced corpus.
+
+    Shape: per-source counts are a vocabulary-sized aggregate (one-move
+    exchange, driver sees |sources| rows); selection is a second one-move
+    exchange keyed by source with an EXACT map-side partial top-n combine,
+    so the shuffle payload is bounded by n×|sources| per split task —
+    independent of corpus size."""
+    from shaclex_ray.stages.groupagg import grouped_aggregate_fast
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "source"]
+    )
+    if n is None:
+        counts = grouped_aggregate_fast(
+            ds, ["source"], [("doc_id", "count")], ["cnt"]
+        ).take_all()
+        n = min(int(r["cnt"]) for r in counts)
+
+    mat = ds.materialize()
+    refs = mat.to_arrow_refs()
+    ncpu = int(ray.cluster_resources().get("CPU", 8))
+    nbuckets = max(1, min(ncpu, mat.count() // 200_000 + 1))
+    import math as _math
+    import os as _os
+
+    target = int(_os.environ.get("SHACLEX_SPLIT_ROWS", "2000000"))
+    ngroups = max(1, min(len(refs), max(nbuckets, _math.ceil(mat.count() / target))))
+    groups = [refs[g::ngroups] for g in range(ngroups)]
+    split_task = ray.remote(_sample_split_impl)
+    bucket_task = ray.remote(_sample_bucket_impl)
+    split_refs = [
+        split_task.options(num_returns=nbuckets).remote(nbuckets, n, *grp)
+        for grp in groups
+    ]
+    if nbuckets == 1:
+        split_refs = [[r] for r in split_refs]
+    out_refs = [
+        bucket_task.remote(n, *[grp[b] for grp in split_refs])
+        for b in range(nbuckets)
+    ]
+    import ray.data as rd
+
+    return rd.from_arrow_refs(out_refs)
+
+
+def sample_balanced_sql(n: int | None = None) -> str:
+    n_expr = (
+        "(SELECT min(cnt) FROM (SELECT count(*) AS cnt FROM documents GROUP BY source))"
+        if n is None
+        else str(n)
+    )
+    return f"""
+    WITH r AS (
+      SELECT doc_id, source,
+             row_number() OVER (PARTITION BY source ORDER BY doc_id) AS rn
+      FROM documents
+    )
+    SELECT doc_id, source FROM r WHERE rn <= {n_expr}
+    """
+
+
 def top_terms_sql(k: int = 3) -> str:
     return f"""
     WITH tokens AS (

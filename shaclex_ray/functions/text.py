@@ -187,6 +187,55 @@ def repetition(sf_dir: str):
     return ds.map_batches(repetition_batch, batch_format="pyarrow")
 
 
+# Content scrubbing / normalization: the PII-redaction shape (emails, phone
+# numbers, IPs in a real corpus). The synthetic corpus carries no digits, so
+# the default pattern targets terms that DO occur — the kernel under test
+# (vectorized RE2 count + global replace) is identical either way, and both
+# pyarrow.compute and DuckDB compile the same RE2 syntax, so the oracle is
+# an exact twin.
+REDACT_PATTERN = r"\b(customer|spark)\b"
+REDACT_REPLACEMENT = "<ENT>"
+
+
+def redact_batch(batch: pa.Table, pattern: str, replacement: str) -> pa.Table:
+    text = batch.column("text").combine_chunks()
+    n_hits = pc.count_substring_regex(text, pattern).cast(pa.int64())
+    clean = pc.replace_substring_regex(text, pattern, replacement)
+    return pa.table(
+        {
+            "doc_id": batch.column("doc_id"),
+            "n_redactions": n_hits,
+            "clean_text": clean,
+        }
+    )
+
+
+def redact(
+    sf_dir: str,
+    pattern: str = REDACT_PATTERN,
+    replacement: str = REDACT_REPLACEMENT,
+):
+    """Per-document regex redaction: count matches and rewrite them, one
+    vectorized RE2 pass per batch (no per-row Python; the pattern compiles
+    once inside the Arrow kernel). Embarrassingly parallel — no shuffle."""
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    return ds.map_batches(
+        lambda b: redact_batch(b, pattern, replacement), batch_format="pyarrow"
+    )
+
+
+def redact_sql(
+    pattern: str = REDACT_PATTERN, replacement: str = REDACT_REPLACEMENT
+) -> str:
+    return f"""
+    SELECT doc_id,
+           CAST(len(regexp_extract_all(text, '{pattern}')) AS BIGINT)
+             AS n_redactions,
+           regexp_replace(text, '{pattern}', '{replacement}', 'g') AS clean_text
+    FROM documents
+    """
+
+
 # language-ID: character-bigram profile heuristic. The synthetic corpus uses
 # one shared vocabulary across langs, so content-based ID is impossible —
 # the operator is exercised on its real mechanics (n-gram profile cosine)

@@ -94,6 +94,9 @@ NAMES = [
     "curate_top_terms",
     "curate_corpus",
     "dedup_clusters",
+    "curate_sample",
+    "text_redact",
+    "dedup_substring",
 ]
 
 

@@ -1,0 +1,89 @@
+"""Unit tests for substring dedup and balanced-sampling kernels."""
+
+import numpy as np
+import pyarrow as pa
+
+from shaclex_ray.functions.curate import _sample_partial
+from shaclex_ray.functions.substr import (
+    _dup_bucket_impl,
+    _span_bucket_impl,
+    _windows_batch,
+)
+
+
+def _doc(doc_id, text):
+    return pa.table({"doc_id": pa.array([doc_id], pa.int64()), "text": [text]})
+
+
+def test_windows_short_doc_yields_none():
+    out = _windows_batch(_doc(1, "a b c"), k=8)
+    assert out.num_rows == 0
+
+
+def test_windows_count_and_offsets():
+    text = " ".join(str(i) for i in range(10))
+    out = _windows_batch(_doc(7, text), k=8)
+    assert out.num_rows == 3  # starts 0, 1, 2
+    assert out.column("start").to_pylist() == [0, 1, 2]
+    assert set(out.column("doc_id").to_pylist()) == {7}
+
+
+def test_windows_never_cross_docs():
+    batch = pa.table(
+        {
+            "doc_id": pa.array([1, 2], pa.int64()),
+            "text": ["a b c d e f g h", "a b c d e f g h"],
+        }
+    )
+    out = _windows_batch(batch, k=8)
+    # each doc has exactly one window; both hash identically
+    assert out.num_rows == 2
+    h = out.column("h1").to_pylist()
+    assert h[0] == h[1]
+
+
+def test_dup_bucket_keeps_only_repeated_hashes():
+    tbl = pa.table(
+        {
+            "h1": pa.array([1, 1, 2], pa.uint64()),
+            "h2": pa.array([9, 9, 9], pa.uint64()),
+            "doc_id": pa.array([10, 11, 12], pa.int64()),
+            "start": pa.array([0, 5, 3], pa.int64()),
+        }
+    )
+    out = _dup_bucket_impl(2, tbl)
+    assert sorted(out.column("doc_id").to_pylist()) == [10, 11]
+
+
+def test_span_merge_overlap_adjacent_and_gap():
+    k = 4
+    # doc 1: windows at 0,2 overlap -> one span [0,6); window at 6 is
+    # adjacent (6 == 2+4) -> merges into [0,10); window at 11 gaps -> own span
+    tbl = pa.table(
+        {
+            "doc_id": pa.array([1, 1, 1, 1, 2], pa.int64()),
+            "start": pa.array([0, 2, 6, 11, 0], pa.int64()),
+        }
+    )
+    out = _span_bucket_impl(k, tbl)
+    rows = sorted(
+        zip(
+            out.column("doc_id").to_pylist(),
+            out.column("span_start").to_pylist(),
+            out.column("span_end").to_pylist(),
+            out.column("n_windows").to_pylist(),
+        )
+    )
+    assert rows == [(1, 0, 10, 3), (1, 11, 15, 1), (2, 0, 4, 1)]
+
+
+def test_sample_partial_keeps_n_smallest_per_source():
+    tbl = pa.table(
+        {
+            "doc_id": pa.array([5, 3, 9, 1, 2, 8], pa.int64()),
+            "source": ["a", "a", "a", "b", "b", "b"],
+        }
+    )
+    out = _sample_partial(tbl, 2)
+    got = sorted(zip(out.column("source").to_pylist(), out.column("doc_id").to_pylist()))
+    assert got == [("a", 3), ("a", 5), ("b", 1), ("b", 2)]
