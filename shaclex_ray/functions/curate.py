@@ -113,44 +113,41 @@ def decontaminate(sf_dir: str, shingle: int = 5, bench_mod: int = 20):
     gram_set = np.unique(np.array([r["h"] for r in parts], dtype=np.uint64))
     gram_ref = ray.put(gram_set)
 
-    class Probe:
-        def __init__(self):
-            self.grams = ray.get(gram_ref)  # once per actor
-
-        def __call__(self, batch: pa.Table) -> pa.Table:
-            batch = _side(batch, bench_side=False)
-            empty = pa.table(
-                {
-                    "doc_id": pa.array([], pa.int64()),
-                    "n_grams": pa.array([], pa.int64()),
-                    "n_hits": pa.array([], pa.int64()),
-                }
-            )
-            if batch.num_rows == 0:
-                return empty
-            h, starts = _batch_gram_hashes(batch.column("text"), shingle)
-            if len(self.grams):
-                idx = np.searchsorted(self.grams, h)
-                idx[idx == len(self.grams)] = 0
-                hit = self.grams[idx] == h
-            else:
-                hit = np.zeros(len(h), bool)
-            # every doc has >=1 gram (short docs hash the whole text), so
-            # segments are never empty and reduceat is exact
-            n_hits = np.add.reduceat(hit.astype(np.int64), starts[:-1])
-            return pa.table(
-                {
-                    "doc_id": batch.column("doc_id"),
-                    "n_grams": pa.array(np.diff(starts), pa.int64()),
-                    "n_hits": pa.array(n_hits, pa.int64()),
-                }
-            )
+    def probe(batch: pa.Table) -> pa.Table:
+        # ray.get on a plasma-resident numpy array is a zero-copy view —
+        # this IS the broadcast (shipped to each node once, mapped into
+        # every task); no actor pool needed for read-only state
+        grams = ray.get(gram_ref)
+        batch = _side(batch, bench_side=False)
+        empty = pa.table(
+            {
+                "doc_id": pa.array([], pa.int64()),
+                "n_grams": pa.array([], pa.int64()),
+                "n_hits": pa.array([], pa.int64()),
+            }
+        )
+        if batch.num_rows == 0:
+            return empty
+        h, starts = _batch_gram_hashes(batch.column("text"), shingle)
+        if len(grams):
+            idx = np.searchsorted(grams, h)
+            idx[idx == len(grams)] = 0
+            hit = grams[idx] == h
+        else:
+            hit = np.zeros(len(h), bool)
+        # every doc has >=1 gram (short docs hash the whole text), so
+        # segments are never empty and reduceat is exact
+        n_hits = np.add.reduceat(hit.astype(np.int64), starts[:-1])
+        return pa.table(
+            {
+                "doc_id": batch.column("doc_id"),
+                "n_grams": pa.array(np.diff(starts), pa.int64()),
+                "n_hits": pa.array(n_hits, pa.int64()),
+            }
+        )
 
     train = ray.data.read_parquet(path, columns=["doc_id", "text"])
-    ncpu = int(ray.cluster_resources().get("CPU", 4))
-    return train.map_batches(
-        Probe, batch_format="pyarrow", concurrency=(1, max(2, ncpu))
-    )
+    return train.map_batches(probe, batch_format="pyarrow")
 
 
 def decontaminate_sql(shingle: int = 5, bench_mod: int = 20) -> str:
@@ -190,14 +187,15 @@ def top_terms(sf_dir: str, k: int = 3):
     from shaclex_ray.functions.text import term_stats
 
     df_rows = term_stats(sf_dir).take_all()  # vocab-sized aggregate
-    df_map = {r["term"]: r["df"] for r in df_rows}
-    df_ref = ray.put(df_map)
+    all_terms = np.array([r["term"] for r in df_rows], dtype=str)
+    all_df = np.array([r["df"] for r in df_rows], dtype=np.int64)
+    t_order = np.argsort(all_terms)
+    # sorted numpy arrays (not a dict): zero-copy views out of plasma in
+    # every task, probed with one searchsorted per batch
+    df_ref = ray.put((all_terms[t_order], all_df[t_order]))
 
-    class Rank:
-        def __init__(self):
-            self.df = ray.get(df_ref)
-
-        def __call__(self, batch: pa.Table) -> pa.Table:
+    def rank_batch(batch: pa.Table) -> pa.Table:
+            df_terms, df_vals = ray.get(df_ref)
             toks = pc.split_pattern(batch.column("text").combine_chunks(), " ")
             flat = pc.list_flatten(toks)
             parents = pc.list_parent_indices(toks).to_numpy(
@@ -205,13 +203,13 @@ def top_terms(sf_dir: str, k: int = 3):
             )
             enc = pc.dictionary_encode(flat)
             codes = enc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
-            vocab = enc.dictionary.to_pylist()  # batch-local uniques
-            vdf = np.array([self.df[t] for t in vocab], dtype=np.int64)
+            vocab = np.array(enc.dictionary.to_pylist(), dtype=str)
+            # every batch-local term exists in the global df table (same
+            # corpus), so the searchsorted probe is exact
+            vdf = df_vals[np.searchsorted(df_terms, vocab)]
             # string rank of each code: argsort once over batch uniques
             str_rank = np.empty(len(vocab), np.int64)
-            str_rank[np.argsort(np.array(vocab, dtype=object))] = np.arange(
-                len(vocab)
-            )
+            str_rank[np.argsort(vocab)] = np.arange(len(vocab))
             # per (doc, code) term frequency via one lexsort
             order = np.lexsort((codes, parents))
             d_s, c_s = parents[order], codes[order]
@@ -246,10 +244,7 @@ def top_terms(sf_dir: str, k: int = 3):
     ds = ray.data.read_parquet(
         f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
     )
-    ncpu = int(ray.cluster_resources().get("CPU", 4))
-    return ds.map_batches(
-        Rank, batch_format="pyarrow", concurrency=(1, max(2, ncpu))
-    )
+    return ds.map_batches(rank_batch, batch_format="pyarrow")
 
 
 def curate_corpus(
@@ -314,10 +309,14 @@ def curate_corpus(
         ),
         batch_format="pyarrow",
     )
+    import pyarrow.parquet as pq
+
     ncpu = int(ray.cluster_resources().get("CPU", 4))
-    joined = signals.join(
-        dedup, "inner", num_partitions=max(2, ncpu // 2), on=("doc_id",)
-    )
+    # scale join fan-out with corpus size (parquet metadata is free), not
+    # CPU count — tiny inputs shouldn't pay 16 partitions of fixed cost
+    nrows = pq.read_metadata(f"{sf_dir}/documents.parquet").num_rows
+    nparts = max(2, min(max(2, ncpu // 2), nrows // 100_000 + 1))
+    joined = signals.join(dedup, "inner", num_partitions=nparts, on=("doc_id",))
 
     def finish(batch: pa.Table) -> pa.Table:
         cols = ["doc_id", "len_ok", "stop_ok", "rep_ok", "dedup_keep", "split"]

@@ -1039,31 +1039,29 @@ def dedup_clusters(
         vals = np.array([find(int(k)) for k in keys], dtype=np.int64)
         map_ref = ray.put((keys, vals))
 
-        class Assign:
-            def __init__(self):
-                self.keys, self.vals = ray.get(map_ref)
+        def assign(batch: pa.Table) -> pa.Table:
+            # ray.get of plasma-resident numpy arrays is a zero-copy view —
+            # the broadcast itself; no actor pool needed for read-only state
+            keys, vals = ray.get(map_ref)
+            ids = (
+                batch.column("doc_id")
+                .to_numpy(zero_copy_only=False)
+                .astype(np.int64)
+            )
+            idx = np.searchsorted(keys, ids)
+            idx[idx == len(keys)] = 0
+            hit = keys[idx] == ids
+            lab = np.where(hit, vals[idx], ids)
+            return pa.table(
+                {
+                    "doc_id": pa.array(ids, pa.int64()),
+                    "cluster": pa.array(lab, pa.int64()),
+                    "keep": pa.array(ids == lab),
+                }
+            )
 
-            def __call__(self, batch: pa.Table) -> pa.Table:
-                ids = (
-                    batch.column("doc_id")
-                    .to_numpy(zero_copy_only=False)
-                    .astype(np.int64)
-                )
-                idx = np.searchsorted(self.keys, ids)
-                idx[idx == len(self.keys)] = 0
-                hit = self.keys[idx] == ids
-                lab = np.where(hit, self.vals[idx], ids)
-                return pa.table(
-                    {
-                        "doc_id": pa.array(ids, pa.int64()),
-                        "cluster": pa.array(lab, pa.int64()),
-                        "keep": pa.array(ids == lab),
-                    }
-                )
-
-        ncpu = int(ray.cluster_resources().get("CPU", 4))
         return ray.data.read_parquet(docs_path, columns=["doc_id"]).map_batches(
-            Assign, batch_format="pyarrow", concurrency=(1, max(2, ncpu))
+            assign, batch_format="pyarrow"
         )
 
     def to_edges(batch: pa.Table) -> pa.Table:
@@ -1106,11 +1104,16 @@ def dedup_clusters(
         ),
         batch_format="pyarrow",
     )
+    import pyarrow.parquet as _pq
+
     ncpu = int(ray.cluster_resources().get("CPU", 8))
+    # join fan-out scales with corpus size (parquet metadata is free, and
+    # this branch only runs in the distributed >=1M-pair regime anyway)
+    _nrows = _pq.read_metadata(docs_path).num_rows
     joined = docs.join(
         labels,
         "left_outer",
-        num_partitions=max(2, ncpu // 2),
+        num_partitions=max(2, min(max(2, ncpu // 2), _nrows // 100_000 + 1)),
         on=("node",),
     )
 
