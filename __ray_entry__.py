@@ -332,6 +332,18 @@ def _q_ann_lsh_topk(sf_dir: str):
     return lsh_topk(sf_dir, n_queries=10, k=5)
 
 
+def _q_ann_ivf_lists(sf_dir: str):
+    from shaclex_ray.functions.ann import ivf_lists
+
+    return ivf_lists(sf_dir)
+
+
+def _q_ann_ivf_topk(sf_dir: str):
+    from shaclex_ray.functions.ann import ivf_topk
+
+    return ivf_topk(sf_dir, n_queries=10, k=5)
+
+
 def _q_text_term_stats(sf_dir: str):
     from shaclex_ray.functions.text import term_stats
 
@@ -583,6 +595,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ann_topk": _q_ann_topk,
         "ann_lsh_buckets": _q_ann_lsh_buckets,
         "ann_lsh_topk": _q_ann_lsh_topk,
+        "ann_ivf_lists": _q_ann_ivf_lists,
+        "ann_ivf_topk": _q_ann_ivf_topk,
         "media_features": _q_media_features,
     }
 
@@ -741,6 +755,8 @@ def oracle_sql() -> dict[str, str]:
         "events_json_stats": _sql_oracles.events_json_stats_sql(),
         "ann_lsh_buckets": _sql_oracles.lsh_buckets_sql(dim=64),
         "ann_lsh_topk": _sql_oracles.lsh_topk_sql(dim=64),
+        "ann_ivf_lists": _sql_oracles.ivf_lists_sql(),
+        "ann_ivf_topk": _sql_oracles.ivf_topk_sql(),
         "ann_topk": """
         WITH q AS (
           SELECT vec_id AS query_id, embedding AS qe FROM embeddings

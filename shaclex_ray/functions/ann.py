@@ -282,6 +282,188 @@ _TOPK_SCHEMA = pa.schema(
 )
 
 
+# --------------------------------------------------------------- IVF path
+
+
+def _ivf_stride(sf_dir: str, nlist: int) -> int:
+    import pyarrow.parquet as pq
+
+    n = pq.read_metadata(f"{sf_dir}/embeddings.parquet").num_rows
+    return max(1, n // nlist)
+
+
+def ivf_centroids(sf_dir: str, nlist: int = 16) -> tuple[np.ndarray, np.ndarray]:
+    """Deterministic data-sampled centroids: the vectors at vec_id ==
+    cid * stride for cid in [0, nlist), stride = N // nlist (N from
+    parquet metadata — free). One streamed, vectorized filter pass over
+    (vec_id, embedding); the centroid table is nlist rows — broadcastable
+    by construction, exactly like an IVF codebook out of k-means (which
+    can slot in here without changing any downstream shape)."""
+    import pyarrow.parquet as pq
+
+    stride = _ivf_stride(sf_dir, nlist)
+    pf = pq.ParquetFile(f"{sf_dir}/embeddings.parquet")
+    ids_parts, emb_parts = [], []
+    for rb in pf.iter_batches(columns=["vec_id", "embedding"]):
+        tbl = pa.Table.from_batches([rb])
+        ids = tbl.column("vec_id").to_numpy(zero_copy_only=False)
+        mask = (ids % stride == 0) & (ids // stride < nlist)
+        if mask.any():
+            sub = tbl.filter(pa.array(mask))
+            ids_parts.append(sub.column("vec_id").to_numpy(zero_copy_only=False))
+            emb_parts.append(_list_to_matrix(sub.column("embedding")))
+    cids = np.concatenate(ids_parts) // stride
+    cm = np.vstack(emb_parts)
+    order = np.argsort(cids)
+    cm = cm[order]
+    cn = np.linalg.norm(cm, axis=1, keepdims=True)
+    return cids[order], cm / np.maximum(cn, 1e-12)
+
+
+def _ivf_assign(emb: np.ndarray, cm_norm: np.ndarray) -> np.ndarray:
+    """Nearest-centroid list id by cosine; argmax takes the SMALLEST
+    centroid id on ties (matches the SQL twin's ORDER BY cos DESC, cid)."""
+    en = np.linalg.norm(emb, axis=1, keepdims=True)
+    sims = (emb / np.maximum(en, 1e-12)) @ cm_norm.T
+    return np.argmax(sims, axis=1).astype(np.int64)
+
+
+def ivf_lists(sf_dir: str, nlist: int = 16):
+    """(vec_id, list_id) inverted-file assignment: the centroid matrix is
+    broadcast once (plasma-resident numpy — zero-copy per task), each
+    batch does one matmul."""
+    cent_ref = ray.put(ivf_centroids(sf_dir, nlist)[1])
+
+    def assign(batch: pa.Table) -> pa.Table:
+        cm = ray.get(cent_ref)
+        ids, emb = _to_matrix(batch)
+        return pa.table(
+            {
+                "vec_id": pa.array(ids, pa.int64()),
+                "list_id": pa.array(_ivf_assign(emb, cm), pa.int64()),
+            }
+        )
+
+    return _read_emb(sf_dir).map_batches(assign, batch_format="pyarrow")
+
+
+def _ivf_index_dir(sf_dir: str, nlist: int) -> str:
+    import hashlib
+    import os
+    import tempfile
+
+    src = os.path.abspath(f"{sf_dir}/embeddings.parquet")
+    st = os.stat(src)
+    key = hashlib.md5(
+        f"{src}:{st.st_mtime_ns}:{st.st_size}:ivf:{nlist}:v1".encode()
+    ).hexdigest()[:16]
+    return os.path.join(tempfile.gettempdir(), "shaclex_ann_index", key)
+
+
+def build_ivf_index(sf_dir: str, nlist: int = 16, out_dir: str | None = None) -> str:
+    """Write the embeddings hive-partitioned by ``list_id`` (the inverted
+    file). Queries read only the lists they probe — bytes scale with
+    nprobe/nlist of the table. Digest-cached like the LSH index."""
+    import os
+    import shutil
+
+    out_dir = out_dir or _ivf_index_dir(sf_dir, nlist)
+    if os.path.exists(os.path.join(out_dir, "_SUCCESS")):
+        return out_dir
+    cent_ref = ray.put(ivf_centroids(sf_dir, nlist)[1])
+
+    def add_list(batch: pa.Table) -> pa.Table:
+        cm = ray.get(cent_ref)
+        _, emb = _to_matrix(batch)
+        lid = _ivf_assign(emb, cm)
+        return batch.append_column("list_id", pa.array(lid, pa.int64()))
+
+    tmp = out_dir + ".tmp"
+    shutil.rmtree(tmp, ignore_errors=True)
+    _read_emb(sf_dir).map_batches(add_list, batch_format="pyarrow").write_parquet(
+        tmp, partition_cols=["list_id"]
+    )
+    shutil.rmtree(out_dir, ignore_errors=True)
+    os.replace(tmp, out_dir)
+    with open(os.path.join(out_dir, "_SUCCESS"), "w"):
+        pass
+    return out_dir
+
+
+def ivf_topk(
+    sf_dir: str,
+    n_queries: int = 10,
+    k: int = 5,
+    nlist: int = 16,
+    nprobe: int = 4,
+    use_index: bool = True,
+):
+    """IVF approximate top-k: each query scores only the vectors of its
+    ``nprobe`` nearest inverted lists. Returns (query_id, vec_id, rank).
+    With ``use_index`` the scan covers only the probed lists' partitions
+    of the hive-partitioned index; the full-scan fallback re-derives list
+    assignment per batch (parity baseline in tests)."""
+    _, cm = ivf_centroids(sf_dir, nlist)
+    qids, qm = _load_queries(sf_dir, n_queries)
+    qn = np.linalg.norm(qm, axis=1, keepdims=True)
+    qmn = qm / np.maximum(qn, 1e-12)
+    qsims = qmn @ cm.T  # (nq, nlist)
+    # nprobe nearest lists per query, ties to the smaller list id
+    probe = np.argsort(-qsims, axis=1, kind="stable")[:, :nprobe]
+    probe_sets = [set(int(x) for x in row) for row in probe]
+
+    state = (qids, qmn, probe_sets)
+
+    def score(batch: pa.Table) -> pa.Table:
+        ids, emb = _to_matrix(batch)
+        if "list_id" in batch.column_names:
+            lids = batch.column("list_id").to_numpy(zero_copy_only=False).astype(np.int64)
+        else:
+            lids = _ivf_assign(emb, cm)
+        en = np.linalg.norm(emb, axis=1, keepdims=True)
+        embn = emb / np.maximum(en, 1e-12)
+        out_q: list = []
+        out_v: list = []
+        out_s: list = []
+        s_qids, s_qm, s_probe = state
+        for qi, qid in enumerate(s_qids):
+            mask = np.isin(lids, list(s_probe[qi])) & (ids != qid)
+            if not mask.any():
+                continue
+            sims = (s_qm[qi] @ embn[mask].T)[None, :]
+            _partial_topk([qid], ids[mask], sims, k, out_q, out_v, out_s)
+        return pa.table(
+            {
+                "query_id": pa.array(out_q, pa.int64()),
+                "vec_id": pa.array(out_v, pa.int64()),
+                "cos": pa.array(out_s, pa.float64()),
+            }
+        )
+
+    if use_index:
+        import glob
+
+        index = build_ivf_index(sf_dir, nlist)
+        hit = sorted({int(x) for s in probe_sets for x in s})
+        paths = [
+            f
+            for lid in hit
+            for f in sorted(glob.glob(f"{index}/list_id={lid}/*.parquet"))
+        ]
+        if not paths:
+            return ray.data.from_arrow(_TOPK_SCHEMA.empty_table())
+        # explicit file paths don't surface the hive partition column, so
+        # list assignment is re-derived per batch (one nlist-wide matmul)
+        # — the I/O pruning is what the index buys
+        src = ray.data.read_parquet(paths, columns=["vec_id", "embedding"])
+    else:
+        src = _read_emb(sf_dir)
+    partials = src.map_batches(score, batch_format="pyarrow")
+    return partials.groupby("query_id").map_groups(
+        _reduce_topk(k), batch_format="pyarrow"
+    )
+
+
 def lsh_topk(
     sf_dir: str,
     n_queries: int = 10,

@@ -241,6 +241,68 @@ def lsh_buckets_sql(dim: int, nbits: int = 8) -> str:
     return f"SELECT vec_id, {_sig_expr(dim, nbits)} AS bucket_sig FROM embeddings"
 
 
+_IVF_COMMON = """
+s AS (
+  SELECT greatest(1, (SELECT count(*) FROM embeddings) // {nlist}) AS st
+),
+emb AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings
+),
+cent AS (
+  SELECT CAST(vec_id // s.st AS BIGINT) AS cid, e AS ce
+  FROM emb, s WHERE vec_id % s.st = 0 AND vec_id // s.st < {nlist}
+),
+vassign AS (
+  SELECT vec_id, e, cid FROM (
+    SELECT v.vec_id, v.e, c.cid,
+           row_number() OVER (PARTITION BY v.vec_id
+             ORDER BY list_cosine_similarity(v.e, c.ce) DESC, c.cid) AS rn
+    FROM emb v CROSS JOIN cent c
+  ) WHERE rn = 1
+)"""
+
+
+def ivf_lists_sql(nlist: int = 16) -> str:
+    return (
+        "WITH "
+        + _IVF_COMMON.format(nlist=nlist)
+        + "\nSELECT vec_id, CAST(cid AS BIGINT) AS list_id FROM vassign"
+    )
+
+
+def ivf_topk_sql(
+    n_queries: int = 10, k: int = 5, nlist: int = 16, nprobe: int = 4
+) -> str:
+    return (
+        "WITH "
+        + _IVF_COMMON.format(nlist=nlist)
+        + f""",
+q AS (
+  SELECT vec_id AS query_id, e AS qe FROM emb ORDER BY vec_id LIMIT {n_queries}
+),
+qprobe AS (
+  SELECT query_id, qe, cid FROM (
+    SELECT q.query_id, q.qe, c.cid,
+           row_number() OVER (PARTITION BY q.query_id
+             ORDER BY list_cosine_similarity(q.qe, c.ce) DESC, c.cid) AS rn
+    FROM q CROSS JOIN cent c
+  ) WHERE rn <= {nprobe}
+),
+scored AS (
+  SELECT p.query_id, v.vec_id, list_cosine_similarity(p.qe, v.e) AS cos
+  FROM qprobe p JOIN vassign v ON v.cid = p.cid AND v.vec_id != p.query_id
+),
+ranked AS (
+  SELECT query_id, vec_id,
+         CAST(row_number() OVER (PARTITION BY query_id
+              ORDER BY cos DESC, vec_id) AS BIGINT) AS rank
+  FROM scored
+)
+SELECT query_id, vec_id, rank FROM ranked WHERE rank <= {k}
+"""
+    )
+
+
 def lsh_topk_sql(dim: int, n_queries: int = 10, k: int = 5, nbits: int = 8) -> str:
     return f"""
 WITH sigs AS (

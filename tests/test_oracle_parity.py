@@ -97,6 +97,8 @@ NAMES = [
     "curate_sample",
     "text_redact",
     "dedup_substring",
+    "ann_ivf_lists",
+    "ann_ivf_topk",
 ]
 
 
