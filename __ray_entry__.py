@@ -356,6 +356,12 @@ def _q_text_repetition(sf_dir: str):
     return repetition(sf_dir)
 
 
+def _q_text_lm_novelty(sf_dir: str):
+    from shaclex_ray.functions.lm import lm_novelty
+
+    return lm_novelty(sf_dir)
+
+
 def _q_curate_split(sf_dir: str):
     from shaclex_ray.functions.curate import split_assign
 
@@ -571,6 +577,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "text_quality": _q_text_quality,
         "text_term_stats": _q_text_term_stats,
         "text_repetition": _q_text_repetition,
+        "text_lm_novelty": _q_text_lm_novelty,
         "curate_split": _q_curate_split,
         "curate_decontaminate": _q_curate_decontaminate,
         "curate_top_terms": _q_curate_top_terms,
@@ -606,6 +613,7 @@ def oracle_sql() -> dict[str, str]:
     from shaclex_ray.functions import sql_oracles as _sql_oracles
     from shaclex_ray.functions import substr as _substr
     from shaclex_ray.functions import text as _text
+    from shaclex_ray.functions.lm import lm_novelty_sql
     from shaclex_ray.functions.pack import pack_sequences_sql
 
     return {
@@ -735,6 +743,7 @@ def oracle_sql() -> dict[str, str]:
         FROM documents d LEFT JOIN per p USING (doc_id)
         GROUP BY d.doc_id
         """,
+        "text_lm_novelty": lm_novelty_sql(),
         "curate_split": _curate.split_assign_sql(),
         "curate_decontaminate": _curate.decontaminate_sql(),
         "curate_top_terms": _curate.top_terms_sql(),

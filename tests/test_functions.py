@@ -439,3 +439,41 @@ def test_dedup_clusters_regimes_equal(ray_session):
         for r in dedup_clusters(SF, distributed=True).take_all()
     )
     assert broadcast == dist
+
+
+def test_lm_perplexity_matches_python_reference(ray_session):
+    """Add-one-smoothed bigram perplexity vs a pure-Python scorer at
+    sf0.001 (floats — pinned here instead of the DuckDB oracle, whose
+    aggregate reorders the sum)."""
+    import math
+    from collections import Counter
+
+    import pyarrow.parquet as pq
+
+    from shaclex_ray.functions.lm import lm_perplexity
+
+    got = lm_perplexity(SF).to_pandas().set_index("doc_id").sort_index()
+    t = pq.read_table(
+        f"{SF}/documents.parquet", columns=["doc_id", "text"]
+    ).to_pandas()
+    bg, uni = Counter(), Counter()
+    for txt in t[t.doc_id % 10 == 0].text:
+        ws = txt.split(" ")
+        uni.update(ws)
+        bg.update(f"{a} {b}" for a, b in zip(ws, ws[1:]))
+    vocab = len(uni)
+    scored = t[t.doc_id % 10 != 0]
+    assert len(got) == len(scored)
+    for _, row in scored.iterrows():
+        ws = row.text.split(" ")
+        pairs = list(zip(ws, ws[1:]))
+        gotv = got.loc[row.doc_id, "ppl"]
+        if not pairs:
+            assert math.isnan(gotv)
+            continue
+        s = sum(
+            math.log((bg.get(f"{a} {b}", 0) + 1) / (uni.get(a, 0) + vocab))
+            for a, b in pairs
+        )
+        exp = math.exp(-s / len(pairs))
+        assert abs(gotv - exp) <= 1e-9 * max(1.0, abs(exp))

@@ -99,6 +99,7 @@ NAMES = [
     "dedup_substring",
     "ann_ivf_lists",
     "ann_ivf_topk",
+    "text_lm_novelty",
 ]
 
 
