@@ -362,6 +362,24 @@ def _q_text_lm_novelty(sf_dir: str):
     return lm_novelty(sf_dir)
 
 
+def _q_text_bpe_tokens(sf_dir: str):
+    from shaclex_ray.functions.text import bpe_token_stats
+
+    return bpe_token_stats(sf_dir)
+
+
+def _q_ann_knn_label(sf_dir: str):
+    from shaclex_ray.functions.ann import knn_label
+
+    return knn_label(sf_dir)
+
+
+def _q_curate_mixture(sf_dir: str):
+    from shaclex_ray.functions.curate import mixture_report
+
+    return mixture_report(sf_dir)
+
+
 def _q_curate_split(sf_dir: str):
     from shaclex_ray.functions.curate import split_assign
 
@@ -578,6 +596,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "text_term_stats": _q_text_term_stats,
         "text_repetition": _q_text_repetition,
         "text_lm_novelty": _q_text_lm_novelty,
+        "text_bpe_tokens": _q_text_bpe_tokens,
+        "ann_knn_label": _q_ann_knn_label,
+        "curate_mixture": _q_curate_mixture,
         "curate_split": _q_curate_split,
         "curate_decontaminate": _q_curate_decontaminate,
         "curate_top_terms": _q_curate_top_terms,
@@ -613,6 +634,7 @@ def oracle_sql() -> dict[str, str]:
     from shaclex_ray.functions import sql_oracles as _sql_oracles
     from shaclex_ray.functions import substr as _substr
     from shaclex_ray.functions import text as _text
+    from shaclex_ray.functions.ann import knn_label_sql as _ann_knn_label_sql
     from shaclex_ray.functions.lm import lm_novelty_sql
     from shaclex_ray.functions.pack import pack_sequences_sql
 
@@ -744,6 +766,9 @@ def oracle_sql() -> dict[str, str]:
         GROUP BY d.doc_id
         """,
         "text_lm_novelty": lm_novelty_sql(),
+        "text_bpe_tokens": _text.bpe_token_stats_sql(),
+        "ann_knn_label": _ann_knn_label_sql(),
+        "curate_mixture": _curate.mixture_report_sql(),
         "curate_split": _curate.split_assign_sql(),
         "curate_decontaminate": _curate.decontaminate_sql(),
         "curate_top_terms": _curate.top_terms_sql(),

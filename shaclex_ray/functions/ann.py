@@ -506,3 +506,107 @@ def lsh_topk(
     return partials.groupby("query_id").map_groups(
         _reduce_topk(k), batch_format="pyarrow"
     )
+
+
+# ------------------------------------------------------- kNN label spread
+class KnnLabelVote:
+    """Actor-pool stage for pseudo-labeling: the (fixed-size, human-curated)
+    seed set — normalized matrix + labels — is prepared once per actor;
+    each batch does one matmul against it and votes vectorized. The corpus
+    side never shuffles: this is the broadcast-small-side shape, sized by
+    the seed set, not the corpus."""
+
+    def __init__(self, seeds, k: int):
+        seeds = ray.get(seeds) if isinstance(seeds, ray.ObjectRef) else seeds
+        self.seed_ids, sm, self.seed_labels = seeds
+        sn = np.linalg.norm(sm, axis=1, keepdims=True)
+        self.sm = sm / np.maximum(sn, 1e-12)
+        self.labels_u = np.unique(self.seed_labels)
+        self.k = k
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids, emb = _to_matrix(batch)
+        keep = ~np.isin(ids, self.seed_ids)
+        ids, emb = ids[keep], emb[keep]
+        if len(ids) == 0:
+            return pa.table(
+                {
+                    "vec_id": pa.array([], pa.int64()),
+                    "pred_label": pa.array([], pa.int64()),
+                    "n_votes": pa.array([], pa.int64()),
+                }
+            )
+        en = np.linalg.norm(emb, axis=1, keepdims=True)
+        emb = emb / np.maximum(en, 1e-12)
+        sims = emb @ self.sm.T  # (nb, n_seed)
+        # top-k by (-cos, seed_id): seeds are stored id-ascending, and a
+        # stable sort keeps that order among cos ties
+        order = np.argsort(-sims, axis=1, kind="stable")[:, : self.k]
+        top_labels = self.seed_labels[order]  # (nb, k)
+        # vectorized majority vote; argmax over ascending label values
+        # realises the (count DESC, label ASC) tie-break exactly
+        counts = (top_labels[:, :, None] == self.labels_u[None, None, :]).sum(
+            axis=1
+        )
+        best = counts.argmax(axis=1)
+        return pa.table(
+            {
+                "vec_id": pa.array(ids, pa.int64()),
+                "pred_label": pa.array(
+                    self.labels_u[best].astype(np.int64), pa.int64()
+                ),
+                "n_votes": pa.array(
+                    counts[np.arange(len(ids)), best].astype(np.int64),
+                    pa.int64(),
+                ),
+            }
+        )
+
+
+def knn_label(sf_dir: str, n_seed: int = 100, k: int = 5):
+    """k-NN pseudo-labeling over the embeddings table: the first ``n_seed``
+    vectors (by vec_id) act as the labeled seed set; every other vector
+    gets the majority label of its k nearest seeds by cosine (ties: more
+    votes, then smaller label; neighbor ties: higher cos, then smaller
+    seed id). Returns (vec_id, pred_label, n_votes) — all integers, so the
+    result hash-compares exactly against the SQL twin."""
+    import pyarrow.parquet as pq
+
+    st = pq.read_table(
+        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding", "label"]
+    ).slice(0, n_seed)
+    seed_ids, sm = _to_matrix(st)
+    seed_labels = st.column("label").to_numpy(zero_copy_only=False).astype(np.int64)
+    return _read_emb(sf_dir).map_batches(
+        KnnLabelVote((seed_ids, sm, seed_labels), k), batch_format="pyarrow"
+    )
+
+
+def knn_label_sql(n_seed: int = 100, k: int = 5) -> str:
+    return f"""
+    WITH seeds AS (
+      SELECT vec_id AS sid, embedding AS se, label
+      FROM embeddings ORDER BY vec_id LIMIT {n_seed}
+    ), rest AS (
+      SELECT vec_id, embedding FROM embeddings
+      WHERE vec_id NOT IN (SELECT sid FROM seeds)
+    ), ranked AS (
+      SELECT r.vec_id, s.label,
+             row_number() OVER (
+               PARTITION BY r.vec_id
+               ORDER BY list_cosine_similarity(r.embedding, s.se) DESC, s.sid
+             ) AS rk
+      FROM rest r CROSS JOIN seeds s
+    ), votes AS (
+      SELECT vec_id, label, CAST(count(*) AS BIGINT) AS n_votes
+      FROM ranked WHERE rk <= {k} GROUP BY vec_id, label
+    ), best AS (
+      SELECT vec_id, label, n_votes,
+             row_number() OVER (
+               PARTITION BY vec_id ORDER BY n_votes DESC, label
+             ) AS brk
+      FROM votes
+    )
+    SELECT vec_id, CAST(label AS BIGINT) AS pred_label, n_votes
+    FROM best WHERE brk = 1
+    """

@@ -534,3 +534,110 @@ def top_terms_sql(k: int = 3) -> str:
     )
     SELECT * FROM ranked WHERE rank <= {k}
     """
+
+
+# ------------------------------------------------------- mixture report
+def mixture_report(sf_dir: str):
+    """Per-source corpus mixture statistics — the report a pretraining run
+    reads before setting sampling weights: document/token/char volume,
+    language spread, and exact-unique text count per source.
+
+    Scale shape: sums and counts pre-aggregate per batch (the exchange
+    moves |sources| rows per block); the two distinct counts ride their
+    own one-move hash exchanges keyed on compact values — (source, lang)
+    is vocabulary-sized, (source, md5) is one 32-byte digest per document,
+    never the text itself. The final join runs on |sources| rows."""
+    import hashlib as _hl
+
+    from shaclex_ray.stages.groupagg import grouped_aggregate_fast
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["text", "lang", "source"]
+    )
+
+    def sum_partials(batch: pa.Table) -> pa.Table:
+        text = batch.column("text").combine_chunks()
+        t = pa.table(
+            {
+                "source": batch.column("source"),
+                "n_tokens": pc.list_value_length(
+                    pc.split_pattern(text, " ")
+                ).cast(pa.int64()),
+                "n_chars": pc.utf8_length(text).cast(pa.int64()),
+            }
+        )
+        agg = t.group_by("source", use_threads=False).aggregate(
+            [("n_tokens", "count"), ("n_tokens", "sum"), ("n_chars", "sum")]
+        )
+        return pa.table(
+            {
+                "source": agg.column("source"),
+                "n_docs": agg.column("n_tokens_count").cast(pa.int64()),
+                "n_tokens": agg.column("n_tokens_sum").cast(pa.int64()),
+                "n_chars": agg.column("n_chars_sum").cast(pa.int64()),
+            }
+        )
+
+    sums = grouped_aggregate_fast(
+        ds.map_batches(sum_partials, batch_format="pyarrow"),
+        ["source"],
+        [("n_docs", "sum"), ("n_tokens", "sum"), ("n_chars", "sum")],
+        ["n_docs", "n_tokens", "n_chars"],
+    )
+
+    def fp_partial(batch: pa.Table) -> pa.Table:
+        text = batch.column("text").combine_chunks().cast(pa.binary())
+        fps = [_hl.md5(s).hexdigest() for s in text.to_pylist()]
+        t = pa.table(
+            {"source": batch.column("source"), "fp": pa.array(fps, pa.string())}
+        )
+        return t.group_by(["source", "fp"], use_threads=False).aggregate([])
+
+    def lang_partial(batch: pa.Table) -> pa.Table:
+        t = pa.table(
+            {"source": batch.column("source"), "lang": batch.column("lang")}
+        )
+        return t.group_by(["source", "lang"], use_threads=False).aggregate([])
+
+    def _count_distinct(partials, key2: str, out: str):
+        # one hash exchange dedupes (source, key2); a second, |sources|-
+        # sized pass counts survivors per source
+        ded = grouped_aggregate_fast(
+            partials, ["source", key2], [(key2, "count")], ["_c"]
+        )
+        return grouped_aggregate_fast(
+            ded, ["source"], [("_c", "count")], [out]
+        )
+
+    uniq = _count_distinct(
+        ds.map_batches(fp_partial, batch_format="pyarrow"), "fp", "n_unique_texts"
+    )
+    langs = _count_distinct(
+        ds.map_batches(lang_partial, batch_format="pyarrow"), "lang", "n_langs"
+    )
+
+    def _collect(d) -> pa.Table:
+        return pa.concat_tables(
+            [ray.get(r) for r in d.materialize().to_arrow_refs()]
+        ).combine_chunks()
+
+    out = (
+        _collect(sums)
+        .join(_collect(langs), keys=["source"])
+        .join(_collect(uniq), keys=["source"])
+    )
+    return out.select(
+        ["source", "n_docs", "n_tokens", "n_chars", "n_langs", "n_unique_texts"]
+    )
+
+
+def mixture_report_sql() -> str:
+    return """
+    SELECT source,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS n_tokens,
+           CAST(sum(length(text)) AS BIGINT) AS n_chars,
+           CAST(count(DISTINCT lang) AS BIGINT) AS n_langs,
+           CAST(count(DISTINCT md5(text)) AS BIGINT) AS n_unique_texts
+    FROM documents GROUP BY source
+    """

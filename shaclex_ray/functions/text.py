@@ -101,6 +101,51 @@ def fingerprints(sf_dir: str):
     return ds.map_batches(fingerprint_batch, batch_format="pyarrow")
 
 
+# GPT-2-style pre-tokenizer, minus the \s+(?!\S) lookahead RE2 lacks:
+# contraction suffixes, space-prefixed letter/digit/punct runs, whitespace
+# runs. RE2 on both sides (pyarrow and DuckDB), so match counts are
+# bit-identical between the operator and its SQL oracle.
+BPE_PATTERN = r"'s|'t|'re|'ve|'m|'ll|'d| ?\p{L}+| ?\p{N}+| ?[^\s\p{L}\p{N}]+|\s+"
+
+
+def bpe_token_stats_batch(batch: pa.Table) -> pa.Table:
+    """Per-doc token counts under the BPE-ish pre-tokenizer vs whitespace:
+    the LLM-cost estimate (sequence length ≈ n_bpe_tokens) next to the
+    cheap splitter. One compiled-regex C pass per batch."""
+    text = batch.column("text").combine_chunks()
+    return pa.table(
+        {
+            "doc_id": batch.column("doc_id"),
+            "n_bpe_tokens": pc.count_substring_regex(text, BPE_PATTERN).cast(
+                pa.int64()
+            ),
+            "n_ws_tokens": pc.list_value_length(
+                pc.split_pattern(text, " ")
+            ).cast(pa.int64()),
+            "n_chars": pc.utf8_length(text).cast(pa.int64()),
+        }
+    )
+
+
+def bpe_token_stats(sf_dir: str):
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    )
+    return ds.map_batches(bpe_token_stats_batch, batch_format="pyarrow")
+
+
+def bpe_token_stats_sql() -> str:
+    # DuckDB is RE2 too — same pattern, same leftmost-first match walk
+    pat = BPE_PATTERN.replace("'", "''")
+    return f"""
+    SELECT doc_id,
+           CAST(len(regexp_extract_all(text, '{pat}')) AS BIGINT) AS n_bpe_tokens,
+           CAST(len(string_split(text, ' ')) AS BIGINT) AS n_ws_tokens,
+           CAST(length(text) AS BIGINT) AS n_chars
+    FROM documents
+    """
+
+
 def _term_partials_batch(batch: pa.Table) -> pa.Table:
     """Per-batch partial term statistics: (term, tf, df) combined INSIDE the
     map task so the global exchange moves |vocab|-sized partials, not one row

@@ -100,6 +100,9 @@ NAMES = [
     "ann_ivf_lists",
     "ann_ivf_topk",
     "text_lm_novelty",
+    "text_bpe_tokens",
+    "ann_knn_label",
+    "curate_mixture",
 ]
 
 
