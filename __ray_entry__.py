@@ -374,6 +374,21 @@ def _q_ann_knn_label(sf_dir: str):
     return knn_label(sf_dir)
 
 
+def _q_text_bpe_merges(sf_dir: str):
+    # iterative algorithm (merge r depends on r-1) — no SQL twin; pinned
+    # against an independent pure-Python reference in tests/test_bpe.py
+    from shaclex_ray.functions.bpe import bpe_train
+
+    return bpe_train(sf_dir)
+
+
+def _q_text_bpe_encode(sf_dir: str):
+    # same no-SQL-oracle class as bpe_merges; tests/test_bpe.py pins it
+    from shaclex_ray.functions.bpe import bpe_encode
+
+    return bpe_encode(sf_dir)
+
+
 def _q_curate_mixture(sf_dir: str):
     from shaclex_ray.functions.curate import mixture_report
 
@@ -597,6 +612,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "text_repetition": _q_text_repetition,
         "text_lm_novelty": _q_text_lm_novelty,
         "text_bpe_tokens": _q_text_bpe_tokens,
+        "text_bpe_merges": _q_text_bpe_merges,
+        "text_bpe_encode": _q_text_bpe_encode,
         "ann_knn_label": _q_ann_knn_label,
         "curate_mixture": _q_curate_mixture,
         "curate_split": _q_curate_split,
