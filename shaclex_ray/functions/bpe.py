@@ -62,7 +62,12 @@ def _word_freqs(sf_dir: str, max_words: int):
 
     stats = term_stats(sf_dir)
 
+    empty = pa.schema([("term", pa.string()), ("tf", pa.int64())]).empty_table()
+
     def block_topn(batch: pa.Table) -> pa.Table:
+        # Ray can hand a schema-less empty block after a groupby
+        if batch.num_rows == 0 or "term" not in batch.column_names:
+            return empty
         t = batch.select(["term", "tf"])
         idx = pc.sort_indices(
             t,
@@ -70,13 +75,20 @@ def _word_freqs(sf_dir: str, max_words: int):
         )[:max_words]
         return t.take(idx)
 
-    parts = pa.concat_tables(
-        ray.get(
+    # Ray forwards empty blocks without invoking the UDF, so schema-less
+    # empties can reach the collect — drop zero-row tables before concat
+    collected = [
+        t
+        for t in ray.get(
             stats.map_batches(block_topn, batch_format="pyarrow")
             .materialize()
             .to_arrow_refs()
         )
-    ).combine_chunks()
+        if t.num_rows > 0
+    ]
+    parts = (
+        pa.concat_tables(collected).combine_chunks() if collected else empty
+    )
     idx = pc.sort_indices(
         parts, sort_keys=[("tf", "descending"), ("term", "ascending")]
     )
