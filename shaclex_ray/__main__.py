@@ -101,6 +101,15 @@ def main(argv=None):
     k.add_argument("--sf-dir", required=True)
     k.add_argument("--out", required=True)
 
+    cu = sub.add_parser(
+        "curate",
+        help="end-to-end corpus curation: gates + dedup + split + packed "
+        "train sequences, checkpointed under --out",
+    )
+    cu.add_argument("--sf-dir", required=True)
+    cu.add_argument("--out", required=True)
+    cu.add_argument("--capacity", type=int, default=512)
+
     q = sub.add_parser(
         "query",
         help="run one named operator pipeline over an sf dir "
@@ -243,6 +252,11 @@ def main(argv=None):
                 "violations": out["report"].num_rows if "report" in out else None,
             }
         )
+    elif args.cmd == "curate":
+        from shaclex_ray.pipelines.curation import run_curation_pipeline
+
+        out = run_curation_pipeline(args.sf_dir, args.out, capacity=args.capacity)
+        print({"kept": out["kept"], "chunks": out["chunks"]})
     elif args.cmd == "shell":
         from shaclex_ray.repl import run_repl
 

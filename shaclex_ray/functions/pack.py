@@ -65,22 +65,32 @@ def _doc_id_bounds(path: str) -> tuple[int | None, int | None]:
     return lo, hi
 
 
-def pack_sequences(sf_dir: str, capacity: int = 512, nbuckets: int | None = None):
+def pack_sequences(
+    sf_dir: str | None = None,
+    capacity: int = 512,
+    nbuckets: int | None = None,
+    docs_path: str | None = None,
+):
     """documents.parquet -> (chunk_id, doc_id, begin_in_chunk, ntok_in_chunk)
 
     ``begin_in_chunk`` is the token offset of this doc's first token inside
     ``chunk_id``; a doc spanning k chunks emits k rows. Deterministic given
-    the input (doc_id order), independent of partitioning."""
+    the input (doc_id order), independent of partitioning.
+
+    ``docs_path`` overrides the default ``<sf_dir>/documents.parquet`` —
+    the curation pipeline packs its curated-train shard this way."""
     if nbuckets is None:
         nbuckets = max(8, int(ray.cluster_resources().get("CPU", 8)))
+    if docs_path is None:
+        docs_path = f"{sf_dir}/documents.parquet"
 
-    docs = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    docs = rd.read_parquet(docs_path, columns=["doc_id", "text"])
     counts = docs.map_batches(_token_counts, batch_format="pyarrow")
 
     # dense int64 doc_ids → range buckets by arithmetic (no quantile pass);
     # min/max come from parquet row-group STATISTICS — metadata only, no
     # data scan (falls back to one aggregate pass when stats are absent)
-    lo, hi = _doc_id_bounds(f"{sf_dir}/documents.parquet")
+    lo, hi = _doc_id_bounds(docs_path)
     if lo is None:
         from ray.data.aggregate import Max, Min
 
