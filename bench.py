@@ -99,6 +99,62 @@ def _build_scale_input(sf_dir: str, factor: int) -> str:
     return out_dir
 
 
+def _build_curation_scale_input(sf_dir: str, factor: int) -> str:
+    """Curation-scale corpus: ``factor`` replicas of documents.parquet,
+    replica k>0 = per-doc token permutation seeded by k (offset doc_ids),
+    ONE FILE PER REPLICA.
+
+    Two deliberate differences from ``_build_scale_input``: (a) permuted
+    replicas preserve the base corpus's natural duplicate rate — identical
+    docs permuted with the same seed stay identical, cross-replica pairs
+    don't collide — so dedup work scales linearly with the corpus instead
+    of quadratically (verbatim replication makes EVERY doc a 300-way
+    near-dup: billions of candidate pairs, a corpus no curation pipeline
+    is sized for); (b) the many-file layout is the one a 100-TB corpus
+    actually has — a single giant parquet file serializes the read into
+    one task and caps scaling at 1x regardless of CPUs."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+
+    base = "/dev/shm" if os.path.isdir("/dev/shm") else "/tmp"
+    out_dir = f"{base}/graft_curation_input_x{factor}"
+    marker = os.path.join(out_dir, "_built.json")
+    if os.path.exists(marker):
+        return out_dir
+    os.makedirs(f"{out_dir}/documents.parquet", exist_ok=True)
+    src = pq.read_table(f"{sf_dir}/documents.parquet")
+    n = src.num_rows
+    text = src.column("text").combine_chunks()
+    toks = pc.split_pattern(text, " ")
+    flat = pc.list_flatten(toks)
+    if isinstance(flat, pa.ChunkedArray):
+        flat = flat.combine_chunks()
+    par = pc.list_parent_indices(toks).to_numpy(zero_copy_only=False)
+    lens = pc.list_value_length(toks).to_numpy(zero_copy_only=False)
+    offs = np.concatenate([[0], np.cumsum(lens)]).astype(np.int32)
+    did_idx = src.schema.get_field_index("doc_id")
+    txt_idx = src.schema.get_field_index("text")
+    for k in range(factor):
+        if k == 0:
+            t = src
+        else:
+            keys = np.random.default_rng(k).random(len(par))
+            order = np.lexsort((keys, par))
+            lst = pa.ListArray.from_arrays(
+                pa.array(offs, pa.int32()), flat.take(pa.array(order))
+            )
+            t = src.set_column(txt_idx, "text", pc.binary_join(lst, " "))
+        t = t.set_column(
+            did_idx, "doc_id", pa.compute.add(src.column("doc_id"), k * n)
+        )
+        pq.write_table(t, f"{out_dir}/documents.parquet/part-{k:05d}.parquet")
+    with open(marker, "w") as f:
+        json.dump({"src": sf_dir, "factor": factor, "rows": n * factor}, f)
+    return out_dir
+
+
 def _substrate_calibration(levels=(8, 32)) -> dict:
     """Wall time per parallelism level of a pure embarrassingly-parallel
     CPU burn in fresh Ray sessions — the empirical parallelism ceiling of
@@ -133,6 +189,65 @@ def _substrate_calibration(levels=(8, 32)) -> dict:
 def main():
     sf_dir = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
     num_cpus = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
+
+    if "--curation-scaling" in sys.argv:
+        # the second headline (curation pipeline) at two-or-more
+        # parallelism levels on the permuted multi-file scale corpus
+        factor = int(os.environ.get("GRAFT_SCALE_FACTOR", "300"))
+        scale_dir = _build_curation_scale_input(sf_dir, factor)
+        levels = sorted(
+            int(x)
+            for x in os.environ.get("GRAFT_SCALE_LEVELS", "8,32").split(",")
+        )
+        code = (
+            "import ray, sys, time, shutil, json\n"
+            "sys.path.insert(0, %r)\n"
+            "n, sf = int(sys.argv[1]), sys.argv[2]\n"
+            "ray.init(address='local', num_cpus=n, include_dashboard=False,"
+            " logging_level='ERROR', log_to_driver=False)\n"
+            "from shaclex_ray.pipelines.curation import run_curation_pipeline\n"
+            "from shaclex_ray.sources.documents import parquet_num_rows\n"
+            "out = '/tmp/graft_bench/curation_scale_%%d' %% n\n"
+            "shutil.rmtree(out, ignore_errors=True)\n"
+            "t0 = time.perf_counter()\n"
+            "res = run_curation_pipeline(sf, out, resume=False)\n"
+            "wall = time.perf_counter() - t0\n"
+            "nd = parquet_num_rows(sf + '/documents.parquet')\n"
+            "print(json.dumps({'wall': wall, 'docs': nd,"
+            " 'docs_per_sec': nd / wall, 'kept': res['kept']}))\n"
+            "ray.shutdown()\n"
+        ) % os.path.dirname(os.path.abspath(__file__))
+        os.makedirs("/tmp/graft_bench", exist_ok=True)
+        results = {}
+        for n in sorted(levels, reverse=True):
+            p = subprocess.run(
+                [sys.executable, "-c", code, str(n), scale_dir],
+                capture_output=True,
+                text=True,
+            )
+            results[n] = json.loads(
+                [l for l in p.stdout.splitlines() if l.startswith("{")][-1]
+            )
+            time.sleep(10)
+        lo, hi = levels[0], levels[-1]
+        sp = results[hi]["docs_per_sec"] / results[lo]["docs_per_sec"]
+        cal_walls = _substrate_calibration((lo, hi))
+        cal = round(cal_walls[lo] / cal_walls[hi], 3) if cal_walls else 0.0
+        out = {
+            "metric": "curation_pipeline_scaling",
+            "value": round(sp / (hi / lo), 4),
+            "unit": "efficiency",
+            "sf": scale_dir,
+            "docs": results[hi]["docs"],
+            "throughputs": {
+                str(n): round(results[n]["docs_per_sec"]) for n in levels
+            },
+            "walls": {str(n): round(results[n]["wall"], 1) for n in levels},
+            "substrate_speedup": cal,
+            "substrate_normalized_efficiency": round(sp / cal, 4) if cal else None,
+        }
+        print(json.dumps(out))
+        return
 
     if "--scaling" in sys.argv:
         # the sf0.1 corpus alone is overhead-bound; replicate it

@@ -309,12 +309,12 @@ def curate_corpus(
         ),
         batch_format="pyarrow",
     )
-    import pyarrow.parquet as pq
-
     ncpu = int(ray.cluster_resources().get("CPU", 4))
     # scale join fan-out with corpus size (parquet metadata is free), not
     # CPU count — tiny inputs shouldn't pay 16 partitions of fixed cost
-    nrows = pq.read_metadata(f"{sf_dir}/documents.parquet").num_rows
+    from shaclex_ray.sources.documents import parquet_num_rows
+
+    nrows = parquet_num_rows(f"{sf_dir}/documents.parquet")
     nparts = max(2, min(max(2, ncpu // 2), nrows // 100_000 + 1))
     joined = signals.join(dedup, "inner", num_partitions=nparts, on=("doc_id",))
 

@@ -1104,12 +1104,12 @@ def dedup_clusters(
         ),
         batch_format="pyarrow",
     )
-    import pyarrow.parquet as _pq
+    from shaclex_ray.sources.documents import parquet_num_rows
 
     ncpu = int(ray.cluster_resources().get("CPU", 8))
     # join fan-out scales with corpus size (parquet metadata is free, and
     # this branch only runs in the distributed >=1M-pair regime anyway)
-    _nrows = _pq.read_metadata(docs_path).num_rows
+    _nrows = parquet_num_rows(docs_path)
     joined = docs.join(
         labels,
         "left_outer",

@@ -86,7 +86,9 @@ def run_curation_pipeline(
         ncpu = int(_ray.cluster_resources().get("CPU", 4))
         import pyarrow.parquet as _pq
 
-        nrows = _pq.read_metadata(f"{sf_dir}/documents.parquet").num_rows
+        from shaclex_ray.sources.documents import parquet_num_rows
+
+        nrows = parquet_num_rows(f"{sf_dir}/documents.parquet")
         nparts = max(2, min(max(2, ncpu // 2), nrows // 100_000 + 1))
         joined = docs.join(
             verdicts, "inner", num_partitions=nparts, on=("doc_id",)
