@@ -389,6 +389,24 @@ def _q_text_bpe_encode(sf_dir: str):
     return bpe_encode(sf_dir)
 
 
+def _q_rel_pricing_summary(sf_dir: str):
+    from shaclex_ray.functions.relational import pricing_summary
+
+    return pricing_summary(sf_dir)
+
+
+def _q_rel_top_orders(sf_dir: str):
+    from shaclex_ray.functions.relational import top_orders
+
+    return top_orders(sf_dir)
+
+
+def _q_rel_regional_volume(sf_dir: str):
+    from shaclex_ray.functions.relational import regional_volume
+
+    return regional_volume(sf_dir)
+
+
 def _q_curate_mixture(sf_dir: str):
     from shaclex_ray.functions.curate import mixture_report
 
@@ -615,6 +633,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "text_bpe_merges": _q_text_bpe_merges,
         "text_bpe_encode": _q_text_bpe_encode,
         "ann_knn_label": _q_ann_knn_label,
+        "rel_pricing_summary": _q_rel_pricing_summary,
+        "rel_top_orders": _q_rel_top_orders,
+        "rel_regional_volume": _q_rel_regional_volume,
         "curate_mixture": _q_curate_mixture,
         "curate_split": _q_curate_split,
         "curate_decontaminate": _q_curate_decontaminate,
@@ -651,6 +672,7 @@ def oracle_sql() -> dict[str, str]:
     from shaclex_ray.functions import sql_oracles as _sql_oracles
     from shaclex_ray.functions import substr as _substr
     from shaclex_ray.functions import text as _text
+    from shaclex_ray.functions import relational as _rel
     from shaclex_ray.functions.ann import knn_label_sql as _ann_knn_label_sql
     from shaclex_ray.functions.lm import lm_novelty_sql
     from shaclex_ray.functions.pack import pack_sequences_sql
@@ -785,6 +807,9 @@ def oracle_sql() -> dict[str, str]:
         "text_lm_novelty": lm_novelty_sql(),
         "text_bpe_tokens": _text.bpe_token_stats_sql(),
         "ann_knn_label": _ann_knn_label_sql(),
+        "rel_pricing_summary": _rel.pricing_summary_sql(),
+        "rel_top_orders": _rel.top_orders_sql(),
+        "rel_regional_volume": _rel.regional_volume_sql(),
         "curate_mixture": _curate.mixture_report_sql(),
         "curate_split": _curate.split_assign_sql(),
         "curate_decontaminate": _curate.decontaminate_sql(),

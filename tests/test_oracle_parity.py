@@ -103,6 +103,9 @@ NAMES = [
     "text_bpe_tokens",
     "ann_knn_label",
     "curate_mixture",
+    "rel_pricing_summary",
+    "rel_top_orders",
+    "rel_regional_volume",
 ]
 
 
