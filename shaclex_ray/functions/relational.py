@@ -27,6 +27,8 @@ general query engine and should be exercised as one.
 
 from __future__ import annotations
 
+import os as _os
+
 import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
@@ -218,10 +220,45 @@ def top_orders(
         columns=["o_orderkey", "o_custkey", "o_orderdate"],
     ).map_batches(ord_filter, batch_format="pyarrow")
 
-    ncpu = int(ray.cluster_resources().get("CPU", 4))
-    joined = revenue.join(
-        ords, "inner", num_partitions=max(2, ncpu // 4), on=("l_orderkey",)
+    # size-adaptive join (the broadcast-vs-shuffle switch used throughout
+    # this repo): a filtered order set under the threshold broadcasts as
+    # two sorted arrays and the join becomes a batch-local searchsorted
+    # probe; above it, a real hash join — both sides scale with the corpus
+    ords_m = ords.materialize()
+    n_ords = ords_m.count()
+    bcast_limit = int(
+        _os.environ.get("SHACLEX_REL_BCAST_THRESHOLD", "2000000")
     )
+    if n_ords <= bcast_limit:
+        tbl = pa.concat_tables(
+            [t for t in ray.get(ords_m.to_arrow_refs()) if t.num_rows]
+        ).combine_chunks()
+        ok = tbl.column("l_orderkey").to_numpy(zero_copy_only=False).astype(np.int64)
+        order = np.argsort(ok)
+        odate = tbl.column("o_orderdate").take(pa.array(order))
+        lookup_ref = ray.put((ok[order], odate))
+
+        def attach(batch: pa.Table) -> pa.Table:
+            ks, dates = ray.get(lookup_ref)
+            key = (
+                batch.column("l_orderkey")
+                .to_numpy(zero_copy_only=False)
+                .astype(np.int64)
+            )
+            idx = np.searchsorted(ks, key)
+            idx[idx == len(ks)] = 0
+            hit = ks[idx] == key
+            batch = batch.filter(pa.array(hit))
+            return batch.append_column(
+                "o_orderdate", pc.take(dates, pa.array(idx[hit]))
+            )
+
+        joined = revenue.map_batches(attach, batch_format="pyarrow")
+    else:
+        ncpu = int(ray.cluster_resources().get("CPU", 4))
+        joined = revenue.join(
+            ords_m, "inner", num_partitions=max(2, ncpu // 4), on=("l_orderkey",)
+        )
 
     schema = pa.schema(
         [
@@ -402,10 +439,44 @@ def regional_volume(
         columns=["l_orderkey", "l_suppkey", "l_extendedprice", "l_discount"],
     ).map_batches(li_partial, batch_format="pyarrow")
 
-    ncpu = int(ray.cluster_resources().get("CPU", 4))
-    joined = li.join(
-        ords, "inner", num_partitions=max(2, ncpu // 4), on=("l_orderkey",)
+    # same size-adaptive switch as top_orders: the filtered in-window
+    # order→nation map broadcasts when small, hash-joins at scale
+    ords_m = ords.materialize()
+    bcast_limit = int(
+        _os.environ.get("SHACLEX_REL_BCAST_THRESHOLD", "2000000")
     )
+    if ords_m.count() <= bcast_limit:
+        tbl = pa.concat_tables(
+            [t for t in ray.get(ords_m.to_arrow_refs()) if t.num_rows]
+        ).combine_chunks()
+        ok = tbl.column("l_orderkey").to_numpy(zero_copy_only=False).astype(np.int64)
+        order = np.argsort(ok)
+        cn_sorted = (
+            tbl.column("c_nation").to_numpy(zero_copy_only=False).astype(np.int64)[order]
+        )
+        onat_ref = ray.put((ok[order], cn_sorted))
+
+        def attach(batch: pa.Table) -> pa.Table:
+            ks, cns = ray.get(onat_ref)
+            key = (
+                batch.column("l_orderkey")
+                .to_numpy(zero_copy_only=False)
+                .astype(np.int64)
+            )
+            idx = np.searchsorted(ks, key)
+            idx[idx == len(ks)] = 0
+            hit = ks[idx] == key
+            batch = batch.filter(pa.array(hit))
+            return batch.append_column(
+                "c_nation", pa.array(cns[idx[hit]], pa.int64())
+            )
+
+        joined = li.map_batches(attach, batch_format="pyarrow")
+    else:
+        ncpu = int(ray.cluster_resources().get("CPU", 4))
+        joined = li.join(
+            ords_m, "inner", num_partitions=max(2, ncpu // 4), on=("l_orderkey",)
+        )
 
     def per_nation(batch: pa.Table) -> pa.Table:
         empty = pa.schema(
