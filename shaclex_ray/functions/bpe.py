@@ -114,38 +114,61 @@ def _word_freqs(sf_dir: str, max_words: int):
 def _train_merges(words, freqs, n_merges: int, min_freq: int):
     """Incremental BPE trainer on a word-frequency table. Deterministic:
     best pair = (max count, then lexicographically smallest (left, right)).
-    Returns [(left, right, freq)] in merge order."""
+    Returns [(left, right, freq)] in merge order.
+
+    Best-pair selection is a lazy-invalidation max-heap: every count
+    change pushes a fresh (-count, pair) entry; stale entries (count no
+    longer current) pop and drop. Per merge the cost is O(affected words
+    + log-heap), not O(|pairs|) — the classic fast trainer shape, so the
+    driver loop stays cheap even at a 50k-word vocabulary."""
+    import heapq
+
     syms = [tuple(w) + (EOW,) for w in words]
     pair_counts: dict = {}
     pair_words: dict = {}  # pair -> set of word indices containing it
+    heap: list = []
 
-    def add_word(wi, sign):
-        s, f = syms[wi], int(freqs[wi]) * sign
+    def bump(pair, delta):
+        c = pair_counts.get(pair, 0) + delta
+        if c:
+            pair_counts[pair] = c
+            # push on EVERY change (decreases too): a pair whose count
+            # dropped must still own a heap entry at its current count,
+            # else it silently falls out of contention
+            heapq.heappush(heap, (-c, pair))
+        else:
+            del pair_counts[pair]
+
+    def add_word(wi):
+        s, f = syms[wi], int(freqs[wi])
         for a, b in zip(s, s[1:]):
-            pair_counts[(a, b)] = pair_counts.get((a, b), 0) + f
-            if sign > 0:
-                pair_words.setdefault((a, b), set()).add(wi)
+            bump((a, b), f)
+            pair_words.setdefault((a, b), set()).add(wi)
 
     for wi in range(len(syms)):
-        add_word(wi, +1)
+        add_word(wi)
 
     merges = []
     for _ in range(n_merges):
-        best, best_c = None, min_freq - 1
-        for p, c in pair_counts.items():
-            if c > best_c or (c == best_c and best is not None and p < best):
-                best, best_c = p, c
+        best, best_c = None, None
+        while heap:
+            negc, p = heap[0]
+            if pair_counts.get(p) != -negc:
+                heapq.heappop(heap)  # stale entry
+                continue
+            # entries order by (-count, pair), so the first CURRENT entry
+            # is exactly (max count, lexicographically smallest pair)
+            best, best_c = p, -negc
+            break
         if best is None or best_c < min_freq:
             break
         merges.append((best[0], best[1], best_c))
         merged = best[0] + best[1]
         for wi in list(pair_words.get(best, ())):
             # retract the word's old pairs, rewrite, re-add
-            s = syms[wi]
+            s, f = syms[wi], int(freqs[wi])
             for a, b in zip(s, s[1:]):
-                pair_counts[(a, b)] -= int(freqs[wi])
-                if pair_counts[(a, b)] == 0:
-                    del pair_counts[(a, b)]
+                bump((a, b), -f)
                 ws = pair_words.get((a, b))
                 if ws is not None:
                     ws.discard(wi)
@@ -161,7 +184,7 @@ def _train_merges(words, freqs, n_merges: int, min_freq: int):
                     out.append(s[i])
                     i += 1
             syms[wi] = tuple(out)
-            add_word(wi, +1)
+            add_word(wi)
     return merges
 
 
