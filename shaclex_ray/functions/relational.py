@@ -479,31 +479,47 @@ def regional_volume(
         )
 
     def per_nation(batch: pa.Table) -> pa.Table:
+        """corpus-sized stream: everything integer/vectorized — nation
+        NAMES are attached only after the final |nations|-row reduce."""
         empty = pa.schema(
-            [("n_name", pa.string()), ("revenue_e4", pa.int64())]
+            [("s_nation", pa.int64()), ("revenue_e4", pa.int64())]
         ).empty_table()
         if batch.num_rows == 0 or "s_nation" not in batch.column_names:
             return empty
-        _, name_of, _, _, _, _ = ray.get(dims_ref)
         sn = batch.column("s_nation").to_numpy(zero_copy_only=False)
         cn = batch.column("c_nation").to_numpy(zero_copy_only=False)
         rev = batch.column("revenue_e4").to_numpy(zero_copy_only=False)
         same = sn == cn
-        sn, rev = sn[same], rev[same]
         t = pa.table(
             {
-                "n_name": pa.array([name_of[int(x)] for x in sn], pa.string()),
-                "revenue_e4": pa.array(rev, pa.int64()),
+                "s_nation": pa.array(sn[same].astype(np.int64), pa.int64()),
+                "revenue_e4": pa.array(rev[same].astype(np.int64), pa.int64()),
             }
         )
-        return t.group_by("n_name", use_threads=False).aggregate(
+        return t.group_by("s_nation", use_threads=False).aggregate(
             [("revenue_e4", "sum")]
-        ).rename_columns(["n_name", "revenue_e4"])
+        ).rename_columns(["s_nation", "revenue_e4"])
 
     partials = joined.map_batches(per_nation, batch_format="pyarrow")
-    return grouped_aggregate_fast(
-        partials, ["n_name"], [("revenue_e4", "sum")], ["revenue_e4"]
+    agg = grouped_aggregate_fast(
+        partials, ["s_nation"], [("revenue_e4", "sum")], ["revenue_e4"]
     )
+
+    def name_rows(batch: pa.Table) -> pa.Table:
+        # |nations| rows at most — the only place names materialize
+        if batch.num_rows == 0 or "s_nation" not in batch.column_names:
+            return pa.schema(
+                [("n_name", pa.string()), ("revenue_e4", pa.int64())]
+            ).empty_table()
+        sn = batch.column("s_nation").to_numpy(zero_copy_only=False).astype(int)
+        return pa.table(
+            {
+                "n_name": pa.array(list(name_of[sn]), pa.string()),
+                "revenue_e4": batch.column("revenue_e4"),
+            }
+        )
+
+    return agg.map_batches(name_rows, batch_format="pyarrow")
 
 
 def regional_volume_sql(
