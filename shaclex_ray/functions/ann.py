@@ -95,21 +95,22 @@ class BruteForceTopK:
         )
 
 
-def _reduce_topk(k: int):
-    def reduce(group: pa.Table) -> pa.Table:
-        qid = group.column("query_id")[0].as_py()
-        vids = group.column("vec_id").to_numpy(zero_copy_only=False)
-        cos = group.column("cos").to_numpy(zero_copy_only=False)
-        order = np.lexsort((vids, -cos))[:k]
-        return pa.table(
-            {
-                "query_id": pa.array([qid] * len(order), pa.int64()),
-                "vec_id": pa.array(vids[order], pa.int64()),
-                "rank": pa.array(np.arange(1, len(order) + 1), pa.int64()),
-            }
-        )
+def _merge_topk(partials, k: int):
+    """Final top-k merge over the per-(query, batch) partials — the
+    one-move grouped exchange with a vectorized segment-rank kernel
+    (stages/groupagg.grouped_topk), one lexsort per bucket instead of a
+    Python call per query. Exact: partial selection by (-cos, vec_id) is
+    order-monotone, so merging partials equals the global top-k."""
+    from shaclex_ray.stages.groupagg import grouped_topk
 
-    return reduce
+    return grouped_topk(
+        partials,
+        "query_id",
+        [("cos", "descending"), ("vec_id", "ascending")],
+        k,
+        rank_name="rank",
+        keep_cols=["query_id", "vec_id", "rank"],
+    )
 
 
 def _load_queries(sf_dir: str, n_queries: int):
@@ -131,9 +132,7 @@ def topk_cosine(sf_dir: str, n_queries: int = 10, k: int = 5):
         BruteForceTopK((qids, qm), k), batch_format="pyarrow"
     )
     # tiny final merge: ≤ nq × k × nblocks rows
-    return partials.groupby("query_id").map_groups(
-        _reduce_topk(k), batch_format="pyarrow"
-    )
+    return _merge_topk(partials, k)
 
 
 # --------------------------------------------------------------- LSH path
@@ -459,9 +458,7 @@ def ivf_topk(
     else:
         src = _read_emb(sf_dir)
     partials = src.map_batches(score, batch_format="pyarrow")
-    return partials.groupby("query_id").map_groups(
-        _reduce_topk(k), batch_format="pyarrow"
-    )
+    return _merge_topk(partials, k)
 
 
 def lsh_topk(
@@ -503,9 +500,7 @@ def lsh_topk(
     partials = src.map_batches(
         LshBucketTopK((qids, qm), k, nbits, dim), batch_format="pyarrow"
     )
-    return partials.groupby("query_id").map_groups(
-        _reduce_topk(k), batch_format="pyarrow"
-    )
+    return _merge_topk(partials, k)
 
 
 # ------------------------------------------------------- kNN label spread

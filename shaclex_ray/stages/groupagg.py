@@ -180,3 +180,110 @@ def grouped_aggregate_fast(
             for b in range(nbuckets)
         ]
     return rd.from_arrow_refs(out_refs)
+
+
+# ------------------------------------------------------------ grouped topk
+def _topk_kernel(
+    tbl: pa.Table,
+    key: str,
+    sort_keys: list[tuple[str, str]],
+    k: int,
+    rank_name: str | None,
+):
+    """Per-key top-k of ``tbl`` by ``sort_keys`` — one lexsort + one
+    segment-rank pass, no per-key Python. Selection by the full sort spec
+    is order-monotone, so batch partials compose exactly with the final."""
+    if tbl.num_rows == 0:
+        if rank_name and rank_name not in tbl.column_names:
+            tbl = tbl.append_column(rank_name, pa.array([], pa.int64()))
+        return tbl
+    dic = tbl.column(key).combine_chunks().dictionary_encode()
+    kcode = np.asarray(dic.indices.to_numpy(zero_copy_only=False))
+    crit = []
+    for col, direction in reversed(sort_keys):
+        v = tbl.column(col).to_numpy(zero_copy_only=False)
+        crit.append(-v if direction == "descending" else v)
+    order = np.lexsort((*crit, kcode))
+    ks = kcode[order]
+    seg_start = np.zeros(len(ks), np.int64)
+    new = np.ones(len(ks), bool)
+    new[1:] = ks[1:] != ks[:-1]
+    idx = np.arange(len(ks))
+    seg_start = idx[new][np.cumsum(new) - 1]
+    rank = idx - seg_start
+    keep = rank < k
+    out = tbl.take(pa.array(order[keep]))
+    if rank_name:
+        out = out.append_column(
+            rank_name, pa.array(rank[keep] + 1, pa.int64())
+        )
+    return out
+
+
+def _split_topk_impl(nbuckets, key, sort_keys, k, *tbls):
+    real = [t for t in tbls if t.num_rows > 0]
+    if not real:
+        e = _topk_kernel(tbls[0], key, sort_keys, k, None)
+        return e if nbuckets == 1 else tuple(e for _ in range(nbuckets))
+    part = _topk_kernel(pa.concat_tables(real), key, sort_keys, k, None)
+    if nbuckets == 1:
+        return part
+    h = _row_hash(part, [key])
+    b = (h % np.uint64(nbuckets)).astype(np.int64)
+    order = np.argsort(b, kind="stable")
+    part = part.take(pa.array(order))
+    bounds = np.searchsorted(b[order], np.arange(nbuckets + 1))
+    return tuple(
+        part.slice(bounds[i], bounds[i + 1] - bounds[i]) for i in range(nbuckets)
+    )
+
+
+def _bucket_topk_impl(key, sort_keys, k, rank_name, keep_cols, *parts):
+    out = _topk_kernel(
+        pa.concat_tables(list(parts)), key, sort_keys, k, rank_name
+    )
+    return out.select(keep_cols) if keep_cols else out
+
+
+def grouped_topk(
+    ds,
+    key: str,
+    sort_keys: list[tuple[str, str]],
+    k: int,
+    rank_name: str | None = None,
+    keep_cols: list[str] | None = None,
+    nbuckets: int | None = None,
+):
+    """Per-``key`` top-k rows by ``sort_keys`` ([(col, 'ascending' |
+    'descending'), ...]) as the one-move exchange: map-side partial top-k
+    (the combiner — each split ships ≤ k rows per key it saw), hash
+    exchange on the key, vectorized final top-k (+ optional 1-based
+    ``rank_name``) per bucket. Replaces ``groupby(key).map_groups``
+    reduces that pay one Python call per key. Sort columns must be
+    numeric (negate-for-descending)."""
+    mat = ds.materialize()
+    refs = mat.to_arrow_refs()
+    nrows = mat.count()
+    if nbuckets is None:
+        ncpu = int(ray.cluster_resources().get("CPU", 8))
+        nbuckets = max(1, min(ncpu, nrows // 200_000 + 1))
+    split_task = ray.remote(_split_topk_impl)
+    bucket_task = ray.remote(_bucket_topk_impl)
+    target = int(os.environ.get("SHACLEX_SPLIT_ROWS", "2000000"))
+    ngroups = max(1, min(len(refs), max(nbuckets, math.ceil(nrows / target))))
+    groups = [refs[g::ngroups] for g in range(ngroups)]
+    split_refs = [
+        split_task.options(num_returns=nbuckets).remote(
+            nbuckets, key, sort_keys, k, *grp
+        )
+        for grp in groups
+    ]
+    if nbuckets == 1:
+        split_refs = [[r] for r in split_refs]
+    out_refs = [
+        bucket_task.remote(
+            key, sort_keys, k, rank_name, keep_cols, *[g[b] for g in split_refs]
+        )
+        for b in range(nbuckets)
+    ]
+    return rd.from_arrow_refs(out_refs)

@@ -93,3 +93,50 @@ def test_empty_input(ray_session):
         rd.from_arrow(tbl), ["k"], [("v", "min")], ["mn"]
     )
     assert out.count() == 0
+
+
+def test_grouped_topk_matches_scalar_reference(ray_session):
+    """grouped_topk vs a per-key python sort over random tables, across
+    bucket counts (exchange widths)."""
+    import numpy as np
+    import pyarrow as pa
+
+    import ray.data as rd
+
+    from shaclex_ray.stages.groupagg import grouped_topk
+
+    rng = np.random.default_rng(7)
+    n = 5000
+    tbl = pa.table(
+        {
+            "q": pa.array(rng.integers(0, 40, n), pa.int64()),
+            "score": pa.array(rng.integers(0, 15, n).astype(np.float64)),
+            "vid": pa.array(rng.permutation(n).astype(np.int64)),
+        }
+    )
+    k = 4
+    exp = {}
+    rows = list(zip(*[tbl.column(c).to_pylist() for c in ("q", "score", "vid")]))
+    by_q = {}
+    for q, s, v in rows:
+        by_q.setdefault(q, []).append((-s, v))
+    for q, lst in by_q.items():
+        lst.sort()
+        exp[q] = [(v, i + 1) for i, (_, v) in enumerate(lst[:k])]
+
+    for nb in (1, 3, 8):
+        out = grouped_topk(
+            rd.from_arrow(tbl).repartition(6),
+            "q",
+            [("score", "descending"), ("vid", "ascending")],
+            k,
+            rank_name="rank",
+            keep_cols=["q", "vid", "rank"],
+            nbuckets=nb,
+        ).take_all()
+        got = {}
+        for r in out:
+            got.setdefault(r["q"], []).append((r["rank"], r["vid"]))
+        assert set(got) == set(exp)
+        for q in exp:
+            assert sorted(got[q]) == [(rk, v) for v, rk in exp[q]], (nb, q)
