@@ -327,11 +327,19 @@ def _ivf_assign(emb: np.ndarray, cm_norm: np.ndarray) -> np.ndarray:
     return np.argmax(sims, axis=1).astype(np.int64)
 
 
-def ivf_lists(sf_dir: str, nlist: int = 16):
+def _codebook(sf_dir: str, nlist: int, codebook: str) -> np.ndarray:
+    """'sample' = deterministic data-sampled centroids (the SQL-oracled
+    default); 'kmeans' = spherical k-means refinement (pytest-pinned)."""
+    if codebook == "kmeans":
+        return kmeans_codebook(sf_dir, nlist)
+    return ivf_centroids(sf_dir, nlist)[1]
+
+
+def ivf_lists(sf_dir: str, nlist: int = 16, codebook: str = "sample"):
     """(vec_id, list_id) inverted-file assignment: the centroid matrix is
     broadcast once (plasma-resident numpy — zero-copy per task), each
     batch does one matmul."""
-    cent_ref = ray.put(ivf_centroids(sf_dir, nlist)[1])
+    cent_ref = ray.put(_codebook(sf_dir, nlist, codebook))
 
     def assign(batch: pa.Table) -> pa.Table:
         cm = ray.get(cent_ref)
@@ -346,7 +354,7 @@ def ivf_lists(sf_dir: str, nlist: int = 16):
     return _read_emb(sf_dir).map_batches(assign, batch_format="pyarrow")
 
 
-def _ivf_index_dir(sf_dir: str, nlist: int) -> str:
+def _ivf_index_dir(sf_dir: str, nlist: int, codebook: str = "sample") -> str:
     import hashlib
     import os
     import tempfile
@@ -354,22 +362,27 @@ def _ivf_index_dir(sf_dir: str, nlist: int) -> str:
     src = os.path.abspath(f"{sf_dir}/embeddings.parquet")
     st = os.stat(src)
     key = hashlib.md5(
-        f"{src}:{st.st_mtime_ns}:{st.st_size}:ivf:{nlist}:v1".encode()
+        f"{src}:{st.st_mtime_ns}:{st.st_size}:ivf:{nlist}:{codebook}:v1".encode()
     ).hexdigest()[:16]
     return os.path.join(tempfile.gettempdir(), "shaclex_ann_index", key)
 
 
-def build_ivf_index(sf_dir: str, nlist: int = 16, out_dir: str | None = None) -> str:
+def build_ivf_index(
+    sf_dir: str,
+    nlist: int = 16,
+    out_dir: str | None = None,
+    codebook: str = "sample",
+) -> str:
     """Write the embeddings hive-partitioned by ``list_id`` (the inverted
     file). Queries read only the lists they probe — bytes scale with
     nprobe/nlist of the table. Digest-cached like the LSH index."""
     import os
     import shutil
 
-    out_dir = out_dir or _ivf_index_dir(sf_dir, nlist)
+    out_dir = out_dir or _ivf_index_dir(sf_dir, nlist, codebook)
     if os.path.exists(os.path.join(out_dir, "_SUCCESS")):
         return out_dir
-    cent_ref = ray.put(ivf_centroids(sf_dir, nlist)[1])
+    cent_ref = ray.put(_codebook(sf_dir, nlist, codebook))
 
     def add_list(batch: pa.Table) -> pa.Table:
         cm = ray.get(cent_ref)
@@ -396,13 +409,15 @@ def ivf_topk(
     nlist: int = 16,
     nprobe: int = 4,
     use_index: bool = True,
+    codebook: str = "sample",
 ):
     """IVF approximate top-k: each query scores only the vectors of its
     ``nprobe`` nearest inverted lists. Returns (query_id, vec_id, rank).
     With ``use_index`` the scan covers only the probed lists' partitions
     of the hive-partitioned index; the full-scan fallback re-derives list
-    assignment per batch (parity baseline in tests)."""
-    _, cm = ivf_centroids(sf_dir, nlist)
+    assignment per batch (parity baseline in tests). ``codebook='kmeans'``
+    swaps in the k-means-refined centroids — identical shapes throughout."""
+    cm = _codebook(sf_dir, nlist, codebook)
     qids, qm = _load_queries(sf_dir, n_queries)
     qn = np.linalg.norm(qm, axis=1, keepdims=True)
     qmn = qm / np.maximum(qn, 1e-12)
@@ -442,7 +457,7 @@ def ivf_topk(
     if use_index:
         import glob
 
-        index = build_ivf_index(sf_dir, nlist)
+        index = build_ivf_index(sf_dir, nlist, codebook=codebook)
         hit = sorted({int(x) for s in probe_sets for x in s})
         paths = [
             f
@@ -605,3 +620,68 @@ def knn_label_sql(n_seed: int = 100, k: int = 5) -> str:
     SELECT vec_id, CAST(label AS BIGINT) AS pred_label, n_votes
     FROM best WHERE brk = 1
     """
+
+
+# ------------------------------------------------------- k-means codebook
+def kmeans_codebook(
+    sf_dir: str, nlist: int = 16, iters: int = 5
+) -> np.ndarray:
+    """Distributed spherical k-means refinement of the IVF codebook.
+
+    Init = the deterministic sampled centroids (``ivf_centroids``). Each
+    iteration broadcasts the normalized codebook once (``ray.put``); every
+    batch computes assignments with one matmul and emits per-centroid
+    PARTIALS (vector sum + count) — nlist rows per block, so the reduce
+    side is bounded by the codebook × block count, never the corpus. The
+    driver accumulates partials in a content-sorted order (stable float
+    summation independent of task completion order) and renormalizes;
+    empty clusters keep their previous centroid. Deterministic given the
+    input layout. Slots into ``ivf_lists`` / ``build_ivf_index`` /
+    ``ivf_topk`` via ``codebook='kmeans'`` without changing any
+    downstream shape (pytest-pinned against a single-process numpy
+    reference — iterative, so no SQL twin; the SQL-oracled queries keep
+    the sampled codebook)."""
+    _, cm = ivf_centroids(sf_dir, nlist)
+    dim = cm.shape[1]
+
+    for _ in range(iters):
+        cm_ref = ray.put(cm)
+
+        def partial(batch: pa.Table, _cm_ref=cm_ref) -> pa.Table:
+            cmn = ray.get(_cm_ref)
+            _, emb = _to_matrix(batch)
+            en = np.linalg.norm(emb, axis=1, keepdims=True)
+            embn = emb / np.maximum(en, 1e-12)
+            lid = np.argmax(embn @ cmn.T, axis=1)
+            sums = np.zeros((nlist, dim), np.float64)
+            np.add.at(sums, lid, embn)
+            cnt = np.bincount(lid, minlength=nlist).astype(np.int64)
+            nz = cnt > 0
+            return pa.table(
+                {
+                    "cid": pa.array(np.nonzero(nz)[0].astype(np.int64)),
+                    "cnt": pa.array(cnt[nz], pa.int64()),
+                    "vsum": pa.FixedSizeListArray.from_arrays(
+                        pa.array(sums[nz].ravel(), pa.float64()), dim
+                    ),
+                }
+            )
+
+        rows = (
+            _read_emb(sf_dir)
+            .map_batches(partial, batch_format="pyarrow")
+            .take_all()
+        )
+        # stable reduce: accumulate per centroid in content-sorted order
+        rows.sort(key=lambda r: (r["cid"], bytes(np.asarray(r["vsum"]).tobytes())))
+        sums = np.zeros((nlist, dim), np.float64)
+        cnts = np.zeros(nlist, np.int64)
+        for r in rows:
+            sums[r["cid"]] += np.asarray(r["vsum"], np.float64)
+            cnts[r["cid"]] += r["cnt"]
+        new = cm.copy()
+        nz = cnts > 0
+        norms = np.linalg.norm(sums[nz], axis=1, keepdims=True)
+        new[nz] = sums[nz] / np.maximum(norms, 1e-12)
+        cm = new
+    return cm

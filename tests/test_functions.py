@@ -477,3 +477,60 @@ def test_lm_perplexity_matches_python_reference(ray_session):
         )
         exp = math.exp(-s / len(pairs))
         assert abs(gotv - exp) <= 1e-9 * max(1.0, abs(exp))
+
+
+def test_kmeans_codebook_matches_numpy_reference(ray_session):
+    """Distributed spherical k-means vs a single-process numpy run with
+    the same init and update rule (allclose: partial-sum order differs)."""
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    from shaclex_ray.functions.ann import (
+        _ivf_assign,
+        _list_to_matrix,
+        ivf_centroids,
+        kmeans_codebook,
+    )
+
+    nlist, iters = 8, 4
+    got = kmeans_codebook(SF, nlist=nlist, iters=iters)
+
+    _, cm = ivf_centroids(SF, nlist)
+    emb = _list_to_matrix(
+        pq.read_table(f"{SF}/embeddings.parquet", columns=["embedding"]).column(
+            "embedding"
+        )
+    )
+    embn = emb / np.maximum(np.linalg.norm(emb, axis=1, keepdims=True), 1e-12)
+    ref = cm.copy()
+    prev_dist = None
+    for _ in range(iters):
+        lid = np.argmax(embn @ ref.T, axis=1)
+        new = ref.copy()
+        for c in range(nlist):
+            m = lid == c
+            if m.any():
+                s = embn[m].sum(axis=0)
+                new[c] = s / max(np.linalg.norm(s), 1e-12)
+        ref = new
+        dist = float((1.0 - (embn * ref[np.argmax(embn @ ref.T, axis=1)]).sum(axis=1)).mean())
+        assert prev_dist is None or dist <= prev_dist + 1e-9
+        prev_dist = dist
+    assert np.allclose(got, ref, atol=1e-9)
+    # identical assignments under both centroid sets
+    assert (_ivf_assign(emb, got) == _ivf_assign(emb, ref)).all()
+
+
+def test_ivf_topk_kmeans_index_parity(ray_session):
+    """ivf_topk with the k-means codebook: partition-pruned index path
+    equals the full-scan fallback row-for-row."""
+    from shaclex_ray.functions.ann import ivf_topk
+
+    def rows(ds):
+        return sorted(
+            (r["query_id"], r["vec_id"], r["rank"]) for r in ds.take_all()
+        )
+
+    a = rows(ivf_topk(SF, use_index=True, codebook="kmeans"))
+    b = rows(ivf_topk(SF, use_index=False, codebook="kmeans"))
+    assert a == b and len(a) > 0
