@@ -125,6 +125,14 @@ def main(argv=None):
         "shell", help="interactive shell (the reference's --shell REPL)"
     )
 
+    stp = sub.add_parser(
+        "shextest",
+        help="run shexTest manifest entries by name (the reference's "
+        "ShExTestRunner; substring match, all entries when omitted)",
+    )
+    stp.add_argument("--name", help="entry-name substring filter")
+    stp.add_argument("--manifest", help="manifest.ttl path (default: bundled suite)")
+
     args = ap.parse_args(argv)
 
     import ray
@@ -257,6 +265,19 @@ def main(argv=None):
 
         out = run_curation_pipeline(args.sf_dir, args.out, capacity=args.capacity)
         print({"kept": out["kept"], "chunks": out["chunks"]})
+    elif args.cmd == "shextest":
+        from shaclex_ray.conformance import load_shex_manifest, run_shex_case
+
+        cases = load_shex_manifest(args.manifest)
+        if args.name:
+            cases = [c for c in cases if args.name in c["name"]]
+        counts: dict[str, int] = {}
+        for c in cases:
+            st, detail = run_shex_case(c)
+            counts[st] = counts.get(st, 0) + 1
+            if args.name or st in ("fail", "error"):
+                print(f"{c['name']}: {st}" + (f" ({detail})" if detail else ""))
+        print({"entries": len(cases), **counts})
     elif args.cmd == "shell":
         from shaclex_ray.repl import run_repl
 

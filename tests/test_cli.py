@@ -80,3 +80,12 @@ def test_cli_query_subcommand(ray_session, capsys, tmp_path):
         pq.ParquetFile(f).metadata.num_rows for f in glob.glob(f"{out_dir}/*.parquet")
     )
     assert rows == 500
+
+
+def test_cli_shextest_by_name(capsys, ray_session):
+    from shaclex_ray.__main__ import main
+
+    main(["shextest", "--name", "1dot_pass"])
+    out = capsys.readouterr().out
+    assert "1dot_pass-noOthers: pass" in out
+    assert "'pass': 4" in out
