@@ -607,6 +607,50 @@ FROM fd, unnest(generate_series(0, 7)) AS u(j)
     )
 
 
+def _q_media_frames(sf_dir: str, n_frames: int = 4):
+    """Video/image frame sampling (1→N explosion), frames as hex so the
+    sha256-chain fake kernel hash-compares against the SQL twin."""
+    from shaclex_ray.functions.multimodal import media_frame_samples
+    from shaclex_ray.sources.documents import read_documents
+
+    frames = media_frame_samples(read_documents(sf_dir), n_frames=n_frames)
+
+    def to_hex(batch):
+        import pyarrow as pa
+
+        return pa.table(
+            {
+                "media_ref": batch.column("media_ref"),
+                "doc_id": batch.column("doc_id"),
+                "frame_idx": batch.column("frame_idx").cast(pa.int64()),
+                "frame_hex": pa.array(
+                    [f.hex() for f in batch.column("frame").to_pylist()],
+                    pa.string(),
+                ),
+            }
+        )
+
+    return frames.map_batches(to_hex, batch_format="pyarrow")
+
+
+def _media_frames_sql(n_frames: int = 4) -> str:
+    """SQL twin of the fake frame chain: payload hex = sha256(media_ref),
+    frame i = sha256(payload_hex || '-' || i)."""
+    return (
+        "WITH "
+        + _DOCS_CTE
+        + f""",
+fd AS (
+  SELECT did AS doc_id, media_ref, sha256(media_ref) AS ph
+  FROM media_chunks
+)
+SELECT media_ref, doc_id, CAST(u.i AS BIGINT) AS frame_idx,
+       sha256(ph || '-' || CAST(u.i AS VARCHAR)) AS frame_hex
+FROM fd, unnest(generate_series(0, {n_frames - 1})) AS u(i)
+"""
+    )
+
+
 def _q_pack_sequences(sf_dir: str):
     from shaclex_ray.functions.pack import pack_sequences
 
@@ -664,6 +708,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ann_ivf_lists": _q_ann_ivf_lists,
         "ann_ivf_topk": _q_ann_ivf_topk,
         "media_features": _q_media_features,
+        "media_frames": _q_media_frames,
     }
 
 
@@ -853,5 +898,6 @@ def oracle_sql() -> dict[str, str]:
         # media decode+featurize: the fake decode chain is sha256-based
         # precisely so this twin exists (see functions/multimodal.py)
         "media_features": _media_features_sql(),
+        "media_frames": _media_frames_sql(),
         "pack_sequences": pack_sequences_sql(capacity=512),
     }

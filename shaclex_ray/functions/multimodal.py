@@ -232,8 +232,13 @@ class FrameSampler:
             if self.decode_real:
                 sampled = self._real_frames(payload)
             else:
+                # sha256 over (payload hex || '-' || idx) — like the fake
+                # decode chain, chosen so the DuckDB oracle reproduces
+                # every frame byte-for-byte (media_frames query)
                 sampled = [
-                    hashlib.blake2b(payload + bytes([i]), digest_size=32).digest()
+                    hashlib.sha256(
+                        (payload.hex() + f"-{i}").encode()
+                    ).digest()
                     for i in range(self.n_frames)
                 ]
             for i, frame in enumerate(sampled):

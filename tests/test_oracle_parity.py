@@ -106,6 +106,7 @@ NAMES = [
     "rel_pricing_summary",
     "rel_top_orders",
     "rel_regional_volume",
+    "media_frames",
 ]
 
 
