@@ -651,6 +651,56 @@ FROM fd, unnest(generate_series(0, {n_frames - 1})) AS u(i)
     )
 
 
+def _q_media_resize(sf_dir: str, width: int = 64, height: int = 64):
+    """Resize stage exploded to one row per 32-byte output block (hex) so
+    the sha256-chain fake kernel hash-compares against the SQL twin."""
+    from shaclex_ray.functions.multimodal import media_resize
+    from shaclex_ray.sources.documents import read_documents
+
+    resized = media_resize(read_documents(sf_dir), width=width, height=height)
+
+    def blocks(batch):
+        import pyarrow as pa
+
+        refs, dids, bidx, bhex = [], [], [], []
+        for ref, did, payload in zip(
+            batch.column("media_ref").to_pylist(),
+            batch.column("doc_id").to_pylist(),
+            batch.column("payload").to_pylist(),
+        ):
+            for j in range(0, len(payload), 32):
+                refs.append(ref)
+                dids.append(did)
+                bidx.append(j // 32)
+                bhex.append(payload[j : j + 32].hex())
+        return pa.table(
+            {
+                "media_ref": pa.array(refs, pa.string()),
+                "doc_id": pa.array(dids, pa.string()),
+                "block_idx": pa.array(bidx, pa.int64()),
+                "block_hex": pa.array(bhex, pa.string()),
+            }
+        )
+
+    return resized.map_batches(blocks, batch_format="pyarrow")
+
+
+def _media_resize_sql(width: int = 64, height: int = 64) -> str:
+    """SQL twin of the fake resize chain: seed = sha256(sha256(media_ref)
+    || '-WxH'), block j = sha256 applied j+1 more times."""
+    nblocks = width * height // 16 // 32
+    selects = []
+    for j in range(nblocks):
+        expr = f"sha256(sha256(media_ref) || '-{width}x{height}')"
+        for _ in range(j + 1):
+            expr = f"sha256({expr})"
+        selects.append(
+            f"SELECT media_ref, did AS doc_id, CAST({j} AS BIGINT) AS block_idx,"
+            f" {expr} AS block_hex FROM media_chunks"
+        )
+    return "WITH " + _DOCS_CTE + "\n" + "\nUNION ALL\n".join(selects)
+
+
 def _q_pack_sequences(sf_dir: str):
     from shaclex_ray.functions.pack import pack_sequences
 
@@ -709,6 +759,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ann_ivf_topk": _q_ann_ivf_topk,
         "media_features": _q_media_features,
         "media_frames": _q_media_frames,
+        "media_resize": _q_media_resize,
     }
 
 
@@ -899,5 +950,6 @@ def oracle_sql() -> dict[str, str]:
         # precisely so this twin exists (see functions/multimodal.py)
         "media_features": _media_features_sql(),
         "media_frames": _media_frames_sql(),
+        "media_resize": _media_resize_sql(),
         "pack_sequences": pack_sequences_sql(capacity=512),
     }

@@ -146,16 +146,19 @@ class MediaResizer:
         self._image_mod = _load_pillow("image resize") if decode_real else None
 
     def _fake_resize(self, payload: bytes) -> bytes:
-        # deterministic stand-in: real impl = decode → resize → re-encode
-        seed = hashlib.blake2b(
-            payload + f"{self.width}x{self.height}".encode(), digest_size=8
-        ).digest()
+        # deterministic stand-in: real impl = decode → resize → re-encode.
+        # sha256 chain over hex strings (seed = payload hex + 'WxH', block
+        # j = sha256 applied j+1 times) so the DuckDB oracle reproduces
+        # every output byte with nested sha256 calls (media_resize query)
+        seed = hashlib.sha256(
+            (payload.hex() + f"-{self.width}x{self.height}").encode()
+        ).hexdigest()
         n = self.width * self.height // 16
         out = bytearray()
         cur = seed
         while len(out) < n:
-            cur = hashlib.blake2b(cur, digest_size=32).digest()
-            out.extend(cur)
+            cur = hashlib.sha256(cur.encode()).hexdigest()
+            out.extend(bytes.fromhex(cur))
         return bytes(out[:n])
 
     def _real_resize(self, payload: bytes) -> bytes:

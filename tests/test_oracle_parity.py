@@ -107,6 +107,7 @@ NAMES = [
     "rel_top_orders",
     "rel_regional_volume",
     "media_frames",
+    "media_resize",
 ]
 
 
