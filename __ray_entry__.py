@@ -9,8 +9,8 @@ canonicalization in SQL over the ``documents`` view, so the value-hash
 comparison covers the whole pipeline, not just a projection.
 
 Shape-validation semantics are additionally pinned by the vendored W3C
-conformance suites in tests/ (1061 shexTest + 98 SHACL core entries) —
-those are not SQL-expressible and run under pytest.
+conformance suites in tests/ (1088 shexTest entries, zero skips + 98
+SHACL core) — those are not SQL-expressible and run under pytest.
 
 Ray is initialised by the driver BEFORE this module is imported: nothing
 here calls ray.init()/ray.shutdown().
