@@ -122,7 +122,14 @@ def _build_curation_scale_input(sf_dir: str, factor: int) -> str:
     out_dir = f"{base}/graft_curation_input_x{factor}"
     marker = os.path.join(out_dir, "_built.json")
     if os.path.exists(marker):
-        return out_dir
+        try:
+            if json.load(open(marker)).get("layout") == "multifile":
+                return out_dir
+        except (OSError, ValueError):
+            pass
+        import shutil
+
+        shutil.rmtree(out_dir, ignore_errors=True)  # stale layout: rebuild
     os.makedirs(f"{out_dir}/documents.parquet", exist_ok=True)
     src = pq.read_table(f"{sf_dir}/documents.parquet")
     n = src.num_rows
@@ -151,7 +158,15 @@ def _build_curation_scale_input(sf_dir: str, factor: int) -> str:
         )
         pq.write_table(t, f"{out_dir}/documents.parquet/part-{k:05d}.parquet")
     with open(marker, "w") as f:
-        json.dump({"src": sf_dir, "factor": factor, "rows": n * factor}, f)
+        json.dump(
+            {
+                "src": sf_dir,
+                "factor": factor,
+                "rows": n * factor,
+                "layout": "multifile",
+            },
+            f,
+        )
     return out_dir
 
 
