@@ -657,6 +657,9 @@ def _q_media_resize(sf_dir: str, width: int = 64, height: int = 64):
     from shaclex_ray.functions.multimodal import media_resize
     from shaclex_ray.sources.documents import read_documents
 
+    # the SQL twin enumerates FULL 32-byte blocks only; a trailing partial
+    # block would silently break parity (width*height//16 must tile by 32)
+    assert (width * height // 16) % 32 == 0, "resize payload must tile into 32B blocks"
     resized = media_resize(read_documents(sf_dir), width=width, height=height)
 
     def blocks(batch):
@@ -688,6 +691,7 @@ def _q_media_resize(sf_dir: str, width: int = 64, height: int = 64):
 def _media_resize_sql(width: int = 64, height: int = 64) -> str:
     """SQL twin of the fake resize chain: seed = sha256(sha256(media_ref)
     || '-WxH'), block j = sha256 applied j+1 more times."""
+    assert (width * height // 16) % 32 == 0, "resize payload must tile into 32B blocks"
     nblocks = width * height // 16 // 32
     selects = []
     for j in range(nblocks):

@@ -105,14 +105,17 @@ def _build_curation_scale_input(sf_dir: str, factor: int) -> str:
     ONE FILE PER REPLICA.
 
     Two deliberate differences from ``_build_scale_input``: (a) permuted
-    replicas preserve the base corpus's natural duplicate rate — identical
-    docs permuted with the same seed stay identical, cross-replica pairs
-    don't collide — so dedup work scales linearly with the corpus instead
-    of quadratically (verbatim replication makes EVERY doc a 300-way
-    near-dup: billions of candidate pairs, a corpus no curation pipeline
-    is sized for); (b) the many-file layout is the one a 100-TB corpus
-    actually has — a single giant parquet file serializes the read into
-    one task and caps scaling at 1x regardless of CPUs."""
+    replicas preserve the base corpus's natural duplicate rate — the
+    per-token permutation keys are seeded from the DOC'S CONTENT HASH
+    (mixed with k and the within-doc position), so identical texts
+    permute identically inside every replica and stay exact duplicates,
+    while cross-replica pairs don't collide — dedup work scales linearly
+    with the corpus instead of quadratically (verbatim replication makes
+    EVERY doc a 300-way near-dup: billions of candidate pairs, a corpus
+    no curation pipeline is sized for); (b) the many-file layout is the
+    one a 100-TB corpus actually has — a single giant parquet file
+    serializes the read into one task and caps scaling at 1x regardless
+    of CPUs."""
     import numpy as np
     import pyarrow as pa
     import pyarrow.compute as pc
@@ -123,7 +126,7 @@ def _build_curation_scale_input(sf_dir: str, factor: int) -> str:
     marker = os.path.join(out_dir, "_built.json")
     if os.path.exists(marker):
         try:
-            if json.load(open(marker)).get("layout") == "multifile":
+            if json.load(open(marker)).get("layout") == "multifile-cseed":
                 return out_dir
         except (OSError, ValueError):
             pass
@@ -143,12 +146,25 @@ def _build_curation_scale_input(sf_dir: str, factor: int) -> str:
     offs = np.concatenate([[0], np.cumsum(lens)]).astype(np.int32)
     did_idx = src.schema.get_field_index("doc_id")
     txt_idx = src.schema.get_field_index("text")
+    # content-seeded permutation keys: splitmix64 over (doc content hash,
+    # replica k, within-doc position) — identical texts get IDENTICAL
+    # permutations in a given replica, preserving exact duplicates
+    from shaclex_ray.functions.md5batch import md5_u64_batch
+
+    doc_h = md5_u64_batch(text)[par]
+    pos = np.arange(len(par), dtype=np.uint64) - offs[:-1].astype(np.uint64)[par]
     for k in range(factor):
         if k == 0:
             t = src
         else:
-            keys = np.random.default_rng(k).random(len(par))
-            order = np.lexsort((keys, par))
+            kmix = np.uint64((k * 0x9E3779B97F4A7C15) % (1 << 64))
+            x = doc_h + kmix + pos * np.uint64(0xBF58476D1CE4E5B9)
+            x ^= x >> np.uint64(30)
+            x *= np.uint64(0xBF58476D1CE4E5B9)
+            x ^= x >> np.uint64(27)
+            x *= np.uint64(0x94D049BB133111EB)
+            x ^= x >> np.uint64(31)
+            order = np.lexsort((x, par))
             lst = pa.ListArray.from_arrays(
                 pa.array(offs, pa.int32()), flat.take(pa.array(order))
             )
@@ -163,7 +179,7 @@ def _build_curation_scale_input(sf_dir: str, factor: int) -> str:
                 "src": sf_dir,
                 "factor": factor,
                 "rows": n * factor,
-                "layout": "multifile",
+                "layout": "multifile-cseed",
             },
             f,
         )

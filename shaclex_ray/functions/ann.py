@@ -582,9 +582,28 @@ def knn_label(sf_dir: str, n_seed: int = 100, k: int = 5):
     result hash-compares exactly against the SQL twin."""
     import pyarrow.parquet as pq
 
+    path = f"{sf_dir}/embeddings.parquet"
+    # seed set = the n_seed SMALLEST vec_ids, not the first physical rows
+    # (file order is not a contract): distributed per-block partial min-k
+    # over the narrow id column, driver merge of ≤ n_seed×nblocks ids,
+    # then a predicate-pruned read of just the seed rows
+    def _id_part(batch: pa.Table) -> pa.Table:
+        v = np.sort(batch.column("vec_id").to_numpy(zero_copy_only=False))
+        return pa.table({"vec_id": pa.array(v[:n_seed], pa.int64())})
+
+    id_parts = (
+        ray.data.read_parquet(path, columns=["vec_id"])
+        .map_batches(_id_part, batch_format="pyarrow")
+        .take_all()
+    )
+    seed_sel = np.sort(np.array([r["vec_id"] for r in id_parts], np.int64))[:n_seed]
     st = pq.read_table(
-        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding", "label"]
-    ).slice(0, n_seed)
+        path,
+        columns=["vec_id", "embedding", "label"],
+        filters=[("vec_id", "<=", int(seed_sel[-1]) if len(seed_sel) else -1)],
+    )
+    order = np.argsort(st.column("vec_id").to_numpy(zero_copy_only=False))
+    st = st.take(pa.array(order)).slice(0, n_seed)
     seed_ids, sm = _to_matrix(st)
     seed_labels = st.column("label").to_numpy(zero_copy_only=False).astype(np.int64)
     return _read_emb(sf_dir).map_batches(

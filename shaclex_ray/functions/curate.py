@@ -81,19 +81,146 @@ def split_assign_sql(train: int = 90, valid: int = 5) -> str:
 # benchmark decontamination
 
 
+def _decon_h_split(nbuckets: int, *tbls: pa.Table):
+    """Bench-side exchange map task: concat per-batch-distinct gram-hash
+    tables, re-dedup locally (combiner), partition by ``h % nbuckets``."""
+    hs = [
+        t.column("h").to_numpy(zero_copy_only=False) for t in tbls if t.num_rows
+    ]
+    h = np.unique(np.concatenate(hs)) if hs else np.array([], np.uint64)
+    if nbuckets == 1:
+        return pa.table({"h": pa.array(h, pa.uint64())})
+    b = (h % np.uint64(nbuckets)).astype(np.int64)
+    order = np.argsort(b, kind="stable")
+    h, b = h[order], b[order]
+    bounds = np.searchsorted(b, np.arange(nbuckets + 1))
+    return tuple(
+        pa.table({"h": pa.array(h[bounds[i] : bounds[i + 1]], pa.uint64())})
+        for i in range(nbuckets)
+    )
+
+
+def _decon_train_split(nbuckets: int, shingle: int, bench_mod: int, *tbls):
+    """Train-side exchange map task over raw (doc_id, text) blocks:
+    compute gram hashes, combine occurrences per (doc_id, h) map-side,
+    partition the combined rows by ``h % nbuckets``. Returns nbuckets
+    (doc_id, h, cnt) partitions PLUS one trailing per-doc (doc_id,
+    n_grams) table (each doc lives in exactly one split group, so the
+    per-group n_grams rows are globally exact)."""
+    did_l, h_l, cnt_l = [], [], []
+    gid_l, ng_l = [], []
+    for t in tbls:
+        ids = t.column("doc_id").to_numpy(zero_copy_only=False)
+        t = t.filter(pa.array(ids % bench_mod != 0))
+        if t.num_rows == 0:
+            continue
+        ids = t.column("doc_id").to_numpy(zero_copy_only=False)
+        h, starts = _batch_gram_hashes(t.column("text"), shingle)
+        gid_l.append(ids)
+        ng_l.append(np.diff(starts))
+        didx = np.repeat(np.arange(t.num_rows), np.diff(starts))
+        order = np.lexsort((h, didx))
+        hd, dd = h[order], didx[order]
+        new = np.ones(len(hd), bool)
+        new[1:] = (hd[1:] != hd[:-1]) | (dd[1:] != dd[:-1])
+        seg = np.flatnonzero(new)
+        did_l.append(ids[dd[seg]])
+        h_l.append(hd[seg])
+        cnt_l.append(np.diff(np.append(seg, len(hd))))
+    if not did_l:
+        did = np.array([], np.int64)
+        hh = np.array([], np.uint64)
+        cnt = np.array([], np.int64)
+        gid = np.array([], np.int64)
+        ng = np.array([], np.int64)
+    else:
+        did = np.concatenate(did_l)
+        hh = np.concatenate(h_l)
+        cnt = np.concatenate(cnt_l)
+        gid = np.concatenate(gid_l)
+        ng = np.concatenate(ng_l)
+    ngrams_tbl = pa.table(
+        {
+            "doc_id": pa.array(gid, pa.int64()),
+            "n_grams": pa.array(ng, pa.int64()),
+        }
+    )
+    b = (hh % np.uint64(nbuckets)).astype(np.int64)
+    order = np.argsort(b, kind="stable")
+    did, hh, cnt, b = did[order], hh[order], cnt[order], b[order]
+    bounds = np.searchsorted(b, np.arange(nbuckets + 1))
+    parts = tuple(
+        pa.table(
+            {
+                "doc_id": pa.array(did[bounds[i] : bounds[i + 1]], pa.int64()),
+                "h": pa.array(hh[bounds[i] : bounds[i + 1]], pa.uint64()),
+                "cnt": pa.array(cnt[bounds[i] : bounds[i + 1]], pa.int64()),
+            }
+        )
+        for i in range(nbuckets)
+    )
+    return parts + (ngrams_tbl,)
+
+
+def _decon_bucket(nbench: int, *parts: pa.Table):
+    """Per-bucket probe: distinct bench hashes in this bucket vs the
+    bucket's (doc_id, h, cnt) train rows; emits per-doc PARTIAL hit sums
+    (summed across buckets by the caller's grouped aggregate)."""
+    bh = [
+        p.column("h").to_numpy(zero_copy_only=False)
+        for p in parts[:nbench]
+        if p.num_rows
+    ]
+    bench = np.unique(np.concatenate(bh)) if bh else np.array([], np.uint64)
+    train = pa.concat_tables([p for p in parts[nbench:]])
+    empty = pa.table(
+        {
+            "doc_id": pa.array([], pa.int64()),
+            "n_grams": pa.array([], pa.int64()),
+            "n_hits": pa.array([], pa.int64()),
+        }
+    )
+    if train.num_rows == 0 or len(bench) == 0:
+        return empty
+    h = train.column("h").to_numpy(zero_copy_only=False)
+    idx = np.searchsorted(bench, h)
+    idx[idx == len(bench)] = 0
+    hit = bench[idx] == h
+    if not hit.any():
+        return empty
+    sub = train.filter(pa.array(hit))
+    agg = sub.group_by(["doc_id"], use_threads=False).aggregate([("cnt", "sum")])
+    n = agg.num_rows
+    return pa.table(
+        {
+            "doc_id": agg.column("doc_id"),
+            "n_grams": pa.array(np.zeros(n, np.int64), pa.int64()),
+            "n_hits": pc.cast(agg.column("cnt_sum"), pa.int64()),
+        }
+    )
+
+
 def decontaminate(sf_dir: str, shingle: int = 5, bench_mod: int = 20):
     """N-gram decontamination counts: docs with doc_id % bench_mod == 0
     stand in for the held-out benchmark set; for every OTHER document,
     count its token ``shingle``-grams and how many of them (occurrences,
     not distinct) appear anywhere in the benchmark set.
 
-    Scale shape: the benchmark gram set is small by construction
-    (benchmarks are MBs against a 100-TB corpus), so it is collected
-    once, deduplicated, sorted and broadcast via ray.put; every training
-    batch does one vectorized np.searchsorted membership probe — the
-    corpus-sized side never shuffles. For a benchmark too large to
-    broadcast, hash-partition both gram streams instead (the
-    dedup.py one-move exchange)."""
+    Scale shape — size-adaptive like the repo's other small-side joins:
+    the per-batch-distinct benchmark gram dataset is materialized once
+    and counted; under ``SHACLEX_DECON_BCAST_THRESHOLD`` rows (default
+    5M — real benchmarks are MBs against a 100-TB corpus) it is
+    collected, deduplicated and broadcast via ray.put, and every
+    training batch does one vectorized searchsorted probe. Above the
+    threshold the bench side NEVER lands on the driver: both gram
+    streams hash-partition by gram hash (one-move exchange, map-side
+    (doc_id, h)-combine on the train side), each bucket probes locally,
+    and a docs-sized grouped aggregate sums the partial hit counts —
+    the shape that survives a benchmark suite that grows with the
+    corpus."""
+    import math as _math
+    import os as _os
+
     path = f"{sf_dir}/documents.parquet"
 
     def _side(batch: pa.Table, bench_side: bool) -> pa.Table:
@@ -109,7 +236,13 @@ def decontaminate(sf_dir: str, shingle: int = 5, bench_mod: int = 20):
         return pa.table({"h": pa.array(np.unique(h), pa.uint64())})
 
     bench = ray.data.read_parquet(path, columns=["doc_id", "text"])
-    parts = bench.map_batches(bench_grams, batch_format="pyarrow").take_all()
+    bench_h = bench.map_batches(bench_grams, batch_format="pyarrow").materialize()
+    n_bench = bench_h.count()
+    threshold = int(_os.environ.get("SHACLEX_DECON_BCAST_THRESHOLD", "5000000"))
+    if n_bench > threshold:
+        return _decontaminate_join(path, bench_h, n_bench, shingle, bench_mod)
+
+    parts = bench_h.take_all()
     gram_set = np.unique(np.array([r["h"] for r in parts], dtype=np.uint64))
     gram_ref = ray.put(gram_set)
 
@@ -148,6 +281,76 @@ def decontaminate(sf_dir: str, shingle: int = 5, bench_mod: int = 20):
 
     train = ray.data.read_parquet(path, columns=["doc_id", "text"])
     return train.map_batches(probe, batch_format="pyarrow")
+
+
+def _decontaminate_join(path: str, bench_h, n_bench: int, shingle: int, bench_mod: int):
+    """Distributed regime: hash exchange of bench grams and train
+    (doc_id, h, cnt) partials on gram hash, per-bucket probe, docs-sized
+    grouped sum of (n_grams, n_hits). Row-identical to the broadcast
+    regime (hit-ness per gram hash is partition-invariant)."""
+    import math as _math
+    import os as _os
+
+    import ray.data as _rd
+
+    from shaclex_ray.stages.groupagg import grouped_aggregate_fast
+
+    ncpu = int(ray.cluster_resources().get("CPU", 8))
+    nbuckets = max(1, min(ncpu, n_bench // 500_000 + 1))
+
+    bench_refs = bench_h.to_arrow_refs()
+    train_mat = ray.data.read_parquet(path, columns=["doc_id", "text"]).materialize()
+    train_refs = train_mat.to_arrow_refs()
+    ndocs = train_mat.count()
+
+    h_split = ray.remote(_decon_h_split)
+    t_split = ray.remote(_decon_train_split)
+    bucket = ray.remote(_decon_bucket)
+
+    # volume-bound the split groups: gram rows per doc are ~token count,
+    # so target far fewer DOC rows per group than SHACLEX_SPLIT_ROWS
+    target = max(1, int(_os.environ.get("SHACLEX_SPLIT_ROWS", "2000000")) // 64)
+    ngroups_b = max(1, min(len(bench_refs), max(nbuckets, _math.ceil(n_bench / target))))
+    ngroups_t = max(1, min(len(train_refs), max(nbuckets, _math.ceil(ndocs / target))))
+    bgroups = [bench_refs[g::ngroups_b] for g in range(ngroups_b)]
+    tgroups = [train_refs[g::ngroups_t] for g in range(ngroups_t)]
+
+    bsplit = [
+        h_split.options(num_returns=nbuckets).remote(nbuckets, *grp)
+        for grp in bgroups
+    ]
+    tsplit = [
+        t_split.options(num_returns=nbuckets + 1).remote(
+            nbuckets, shingle, bench_mod, *grp
+        )
+        for grp in tgroups
+    ]
+    if nbuckets == 1:
+        bsplit = [[r] for r in bsplit]
+    ngram_refs = [grp[nbuckets] for grp in tsplit]
+    hit_refs = [
+        bucket.remote(
+            len(bsplit),
+            *[g[b] for g in bsplit],
+            *[g[b] for g in tsplit],
+        )
+        for b in range(nbuckets)
+    ]
+
+    def pad_ngrams(batch: pa.Table) -> pa.Table:
+        return batch.append_column(
+            "n_hits", pa.array(np.zeros(batch.num_rows, np.int64), pa.int64())
+        )
+
+    union = _rd.from_arrow_refs(ngram_refs).map_batches(
+        pad_ngrams, batch_format="pyarrow"
+    ).union(_rd.from_arrow_refs(hit_refs))
+    return grouped_aggregate_fast(
+        union,
+        ["doc_id"],
+        [("n_grams", "sum"), ("n_hits", "sum")],
+        ["n_grams", "n_hits"],
+    )
 
 
 def decontaminate_sql(shingle: int = 5, bench_mod: int = 20) -> str:

@@ -43,6 +43,18 @@ def _cents(col) -> np.ndarray:
     return np.floor(x * 100.0 + 0.5).astype(np.int64)
 
 
+def _sorted_probe(ks: np.ndarray, key: np.ndarray):
+    """Vectorized membership probe against a sorted key array, robust to
+    a DEGENERATE empty small side (e.g. a segment matching no customers):
+    returns (idx, hit) with hit all-False when ``ks`` is empty instead of
+    the bare searchsorted pattern's IndexError."""
+    if len(ks) == 0:
+        return np.zeros(len(key), np.int64), np.zeros(len(key), bool)
+    idx = np.searchsorted(ks, key)
+    idx[idx == len(ks)] = 0
+    return idx, ks[idx] == key
+
+
 _CENTS_SQL = "CAST(floor({col} * 100 + 0.5) AS BIGINT)"
 
 
@@ -202,9 +214,8 @@ def top_orders(
         ks = ray.get(keys_ref)
         od = batch.column("o_orderdate").to_numpy(zero_copy_only=False)
         ck = batch.column("o_custkey").to_numpy(zero_copy_only=False)
-        idx = np.searchsorted(ks, ck)
-        idx[idx == len(ks)] = 0
-        hit = (ks[idx] == ck) & (od < d)
+        _, in_seg = _sorted_probe(ks, ck)
+        hit = in_seg & (od < d)
         batch = batch.filter(pa.array(hit))
         return pa.table(
             {
@@ -230,9 +241,17 @@ def top_orders(
         _os.environ.get("SHACLEX_REL_BCAST_THRESHOLD", "2000000")
     )
     if n_ords <= bcast_limit:
-        tbl = pa.concat_tables(
-            [t for t in ray.get(ords_m.to_arrow_refs()) if t.num_rows]
-        ).combine_chunks()
+        blocks = [t for t in ray.get(ords_m.to_arrow_refs()) if t.num_rows]
+        tbl = (
+            pa.concat_tables(blocks).combine_chunks()
+            if blocks
+            else pa.table(
+                {
+                    "l_orderkey": pa.array([], pa.int64()),
+                    "o_orderdate": pa.array([], pa.string()),
+                }
+            )
+        )
         ok = tbl.column("l_orderkey").to_numpy(zero_copy_only=False).astype(np.int64)
         order = np.argsort(ok)
         odate = tbl.column("o_orderdate").take(pa.array(order))
@@ -245,9 +264,7 @@ def top_orders(
                 .to_numpy(zero_copy_only=False)
                 .astype(np.int64)
             )
-            idx = np.searchsorted(ks, key)
-            idx[idx == len(ks)] = 0
-            hit = ks[idx] == key
+            idx, hit = _sorted_probe(ks, key)
             batch = batch.filter(pa.array(hit))
             return batch.append_column(
                 "o_orderdate", pc.take(dates, pa.array(idx[hit]))
@@ -393,10 +410,9 @@ def regional_volume(
         od = batch.column("o_orderdate").to_numpy(zero_copy_only=False)
         batch = batch.filter(pa.array((od >= lo) & (od < hi)))
         ck = batch.column("o_custkey").to_numpy(zero_copy_only=False).astype(np.int64)
-        idx = np.searchsorted(cks, ck)
-        idx[idx == len(cks)] = 0
-        nation = cns[idx]
-        keep = (cks[idx] == ck) & nat_ok[nation]
+        idx, hitc = _sorted_probe(cks, ck)
+        nation = cns[idx] if len(cks) else np.zeros(len(ck), np.int64)
+        keep = hitc & nat_ok[nation]
         batch = batch.filter(pa.array(keep))
         return pa.table(
             {
@@ -410,10 +426,9 @@ def regional_volume(
         in-region suppliers."""
         nat_ok, _, sks, sns, _, _ = ray.get(dims_ref)
         sk = batch.column("l_suppkey").to_numpy(zero_copy_only=False).astype(np.int64)
-        idx = np.searchsorted(sks, sk)
-        idx[idx == len(sks)] = 0
-        nation = sns[idx]
-        keep = (sks[idx] == sk) & nat_ok[nation]
+        idx, hits = _sorted_probe(sks, sk)
+        nation = sns[idx] if len(sks) else np.zeros(len(sk), np.int64)
+        keep = hits & nat_ok[nation]
         batch = batch.filter(pa.array(keep))
         cents = _cents(batch.column("l_extendedprice"))
         disc = _cents(batch.column("l_discount"))
@@ -446,9 +461,17 @@ def regional_volume(
         _os.environ.get("SHACLEX_REL_BCAST_THRESHOLD", "2000000")
     )
     if ords_m.count() <= bcast_limit:
-        tbl = pa.concat_tables(
-            [t for t in ray.get(ords_m.to_arrow_refs()) if t.num_rows]
-        ).combine_chunks()
+        blocks = [t for t in ray.get(ords_m.to_arrow_refs()) if t.num_rows]
+        tbl = (
+            pa.concat_tables(blocks).combine_chunks()
+            if blocks
+            else pa.table(
+                {
+                    "l_orderkey": pa.array([], pa.int64()),
+                    "c_nation": pa.array([], pa.int64()),
+                }
+            )
+        )
         ok = tbl.column("l_orderkey").to_numpy(zero_copy_only=False).astype(np.int64)
         order = np.argsort(ok)
         cn_sorted = (
@@ -463,9 +486,7 @@ def regional_volume(
                 .to_numpy(zero_copy_only=False)
                 .astype(np.int64)
             )
-            idx = np.searchsorted(ks, key)
-            idx[idx == len(ks)] = 0
-            hit = ks[idx] == key
+            idx, hit = _sorted_probe(ks, key)
             batch = batch.filter(pa.array(hit))
             return batch.append_column(
                 "c_nation", pa.array(cns[idx[hit]], pa.int64())

@@ -360,13 +360,35 @@ class LangID:
         )
 
 
-def langid(sf_dir: str, sample_per_lang: int = 50):
-    """Fit bigram profiles on a driver-side sample, predict distributed."""
+def _read_head(path: str, columns: list[str], nrows: int) -> pa.Table:
+    """Read the FIRST ``nrows`` rows of a parquet file or part-file
+    directory without materializing the rest: stream row-group batches
+    via ``pq.ParquetFile.iter_batches`` and stop at the bound. At corpus
+    scale the fit sample must never be a full-table driver read."""
+    import glob
+    import os
+
     import pyarrow.parquet as pq
 
-    sample = pq.read_table(
-        f"{sf_dir}/documents.parquet", columns=["doc_id", "text", "lang"]
-    ).slice(0, 2000)
+    files = sorted(glob.glob(f"{path}/*.parquet")) if os.path.isdir(path) else [path]
+    got, out = 0, []
+    for f in files:
+        pf = pq.ParquetFile(f)
+        for rb in pf.iter_batches(batch_size=min(nrows, 8192), columns=columns):
+            out.append(rb)
+            got += rb.num_rows
+            if got >= nrows:
+                return pa.Table.from_batches(out).slice(0, nrows)
+    if out:
+        return pa.Table.from_batches(out)
+    return pq.read_schema(files[0]).empty_table().select(columns)
+
+
+def langid(sf_dir: str, sample_per_lang: int = 50):
+    """Fit bigram profiles on a driver-side sample, predict distributed."""
+    sample = _read_head(
+        f"{sf_dir}/documents.parquet", ["doc_id", "text", "lang"], 2000
+    )
     profiles: dict[str, dict[str, float]] = {}
     per_lang: dict[str, int] = {}
     for t, lang in zip(sample.column("text").to_pylist(), sample.column("lang").to_pylist()):

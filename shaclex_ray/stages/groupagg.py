@@ -264,6 +264,16 @@ def grouped_topk(
     mat = ds.materialize()
     refs = mat.to_arrow_refs()
     nrows = mat.count()
+    if nrows == 0:
+        # zero block refs would leave the split kernel with no table to
+        # synthesize a schema from — the empty input IS the empty answer
+        schema = mat.schema()
+        tbl = pa.schema(list(zip(schema.names, schema.types))).empty_table()
+        if rank_name and rank_name not in tbl.column_names:
+            tbl = tbl.append_column(rank_name, pa.array([], pa.int64()))
+        if keep_cols:
+            tbl = tbl.select(keep_cols)
+        return rd.from_arrow(tbl)
     if nbuckets is None:
         ncpu = int(ray.cluster_resources().get("CPU", 8))
         nbuckets = max(1, min(ncpu, nrows // 200_000 + 1))

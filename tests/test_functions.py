@@ -2,6 +2,7 @@
 multimodal plumbing (SURVEY.md §2 extensions)."""
 
 import numpy as np
+import pyarrow as pa
 import pytest
 
 SF = "/root/testdata/sf0.001"
@@ -100,6 +101,50 @@ def test_langid_runs(ray_session):
     rows = langid(SF).take_all()
     assert len(rows) == 500
     assert all(r["lang_pred"] in ("en", "fr", "es", "zh", "de") for r in rows)
+
+
+def test_langid_fit_read_is_bounded(tmp_path):
+    """The fit sample must stream only the first 2000 rows: a directory
+    corpus whose LATER part file is unreadable garbage must not be
+    touched (the round-4 audit flagged a full-table driver read here)."""
+    import pyarrow.parquet as pq
+
+    from shaclex_ray.functions.text import _read_head
+
+    d = tmp_path / "documents.parquet"
+    d.mkdir()
+    tbl = pa.table(
+        {
+            "doc_id": pa.array(range(1200), pa.int64()),
+            "text": pa.array(["hello world"] * 1200),
+            "lang": pa.array(["en"] * 1200),
+        }
+    )
+    pq.write_table(tbl, d / "part-a.parquet")
+    pq.write_table(tbl, d / "part-b.parquet")
+    (d / "part-z.parquet").write_bytes(b"NOT A PARQUET FILE")
+    head = _read_head(str(d), ["doc_id", "text", "lang"], 2000)
+    assert head.num_rows == 2000
+    assert head.column_names == ["doc_id", "text", "lang"]
+    # spans both real parts: rows 1200.. come from part-b's ids restarting
+    assert head.column("doc_id").to_pylist()[1200] == 0
+
+
+def test_decontaminate_join_regime_matches_broadcast(ray_session, monkeypatch):
+    """Forcing the distributed hash-join regime (threshold 0) must be
+    row-identical to the broadcast regime — hit-ness per gram hash is
+    partition-invariant."""
+    from shaclex_ray.functions.curate import decontaminate
+
+    base = sorted(
+        (r["doc_id"], r["n_grams"], r["n_hits"]) for r in decontaminate(SF).take_all()
+    )
+    monkeypatch.setenv("SHACLEX_DECON_BCAST_THRESHOLD", "0")
+    joined = sorted(
+        (r["doc_id"], r["n_grams"], r["n_hits"]) for r in decontaminate(SF).take_all()
+    )
+    assert joined == base
+    assert len(base) == 475
 
 
 def test_media_resize_and_frame_samples(ray_session):

@@ -95,6 +95,39 @@ def test_empty_input(ray_session):
     assert out.count() == 0
 
 
+def test_grouped_topk_empty_input(ray_session):
+    """Empty input must short-circuit to an empty, correctly-shaped
+    result (zero block refs previously crashed the split kernel)."""
+    from shaclex_ray.stages.groupagg import grouped_topk
+
+    tbl = pa.table(
+        {
+            "q": pa.array([], pa.int64()),
+            "score": pa.array([], pa.float64()),
+            "vid": pa.array([], pa.int64()),
+        }
+    )
+    out = grouped_topk(
+        rd.from_arrow(tbl),
+        "q",
+        [("score", "descending")],
+        3,
+        rank_name="rank",
+        keep_cols=["q", "vid", "rank"],
+    )
+    assert out.count() == 0
+    assert out.schema().names == ["q", "vid", "rank"]
+
+
+def test_top_orders_degenerate_segment(ray_session):
+    """A market segment matching no customers must return an empty
+    result, not crash the searchsorted probe / empty concat."""
+    from shaclex_ray.functions.relational import top_orders
+
+    out = top_orders("/root/testdata/sf0.001", segment="NO_SUCH_SEGMENT")
+    assert out.num_rows == 0
+
+
 def test_grouped_topk_matches_scalar_reference(ray_session):
     """grouped_topk vs a per-key python sort over random tables, across
     bucket counts (exchange widths)."""
