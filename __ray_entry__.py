@@ -455,6 +455,12 @@ def _q_dedup_substring(sf_dir: str):
     return dedup_substring(sf_dir)
 
 
+def _q_curate_substring_trim(sf_dir: str):
+    from shaclex_ray.functions.substr import trim_substring_spans
+
+    return trim_substring_spans(sf_dir)
+
+
 def _q_text_langid(sf_dir: str):
     from shaclex_ray.functions.text import langid
 
@@ -743,6 +749,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "text_redact": _q_text_redact,
         "text_langid": _q_text_langid,
         "dedup_substring": _q_dedup_substring,
+        "curate_substring_trim": _q_curate_substring_trim,
         "dedup_exact": _q_dedup_exact,
         "dedup_minhash": _q_dedup_minhash,
         "dedup_simhash": _q_dedup_simhash,
@@ -918,6 +925,7 @@ def oracle_sql() -> dict[str, str]:
         "curate_sample": _curate.sample_balanced_sql(n=10),
         "text_redact": _text.redact_sql(),
         "dedup_substring": _substr.dedup_substring_sql(),
+        "curate_substring_trim": _substr.trim_substring_spans_sql(),
         "dedup_minhash": _sql_oracles.minhash_candidates_sql(),
         "dedup_simhash": _sql_oracles.simhash_sql(),
         "dedup_simhash_groups": _sql_oracles.simhash_groups_sql(),

@@ -109,6 +109,13 @@ def main(argv=None):
     cu.add_argument("--sf-dir", required=True)
     cu.add_argument("--out", required=True)
     cu.add_argument("--capacity", type=int, default=512)
+    cu.add_argument(
+        "--substring-dedup",
+        action="store_true",
+        help="cut duplicated k-token spans from the curated train shard "
+        "before packing (functions/substr.trim_substring_spans)",
+    )
+    cu.add_argument("--substring-k", type=int, default=8)
 
     q = sub.add_parser(
         "query",
@@ -263,7 +270,13 @@ def main(argv=None):
     elif args.cmd == "curate":
         from shaclex_ray.pipelines.curation import run_curation_pipeline
 
-        out = run_curation_pipeline(args.sf_dir, args.out, capacity=args.capacity)
+        out = run_curation_pipeline(
+            args.sf_dir,
+            args.out,
+            capacity=args.capacity,
+            substring_dedup=args.substring_dedup,
+            substring_k=args.substring_k,
+        )
         print({"kept": out["kept"], "chunks": out["chunks"]})
     elif args.cmd == "shextest":
         from shaclex_ray.conformance import load_shex_manifest, run_shex_case

@@ -166,16 +166,22 @@ def _span_bucket_impl(k: int, *parts: pa.Table) -> pa.Table:
     )
 
 
-def _exchange(ds_or_refs, split_impl, split_args, bucket_impl, bucket_args):
+def _exchange(
+    ds_or_refs, split_impl, split_args, bucket_impl, bucket_args,
+    nbuckets: int | None = None,
+):
     """One-move hash exchange (the stages/dedup.py shape): volume-bounded
-    split groups -> nbuckets partitions -> one vectorized bucket task."""
+    split groups -> nbuckets partitions -> one vectorized bucket task.
+    ``nbuckets`` pins the partition count (so a second same-keyed dataset
+    can co-partition against the output without another shuffle)."""
     if isinstance(ds_or_refs, list):
         refs, nrows = ds_or_refs
     else:
         mat = ds_or_refs.materialize()
         refs, nrows = mat.to_arrow_refs(), mat.count()
     ncpu = int(ray.cluster_resources().get("CPU", 8))
-    nbuckets = max(1, min(ncpu, nrows // 200_000 + 1))
+    if nbuckets is None:
+        nbuckets = max(1, min(ncpu, nrows // 200_000 + 1))
     target = int(os.environ.get("SHACLEX_SPLIT_ROWS", "2000000"))
     ngroups = max(1, min(len(refs), max(nbuckets, math.ceil(nrows / target))))
     groups = [refs[g::ngroups] for g in range(ngroups)]
@@ -196,14 +202,19 @@ def _exchange(ds_or_refs, split_impl, split_args, bucket_impl, bucket_args):
 
 
 def dedup_substring(
-    sf_dir: str, k: int = K_TOKENS, min_count: int = MIN_COUNT
+    sf_dir: str | None = None,
+    k: int = K_TOKENS,
+    min_count: int = MIN_COUNT,
+    docs_path: str | None = None,
 ):
     """Per-document maximal duplicated-substring spans at k-token
     resolution: (doc_id, span_start, span_end, n_windows) with token
-    offsets 0-based and span_end exclusive."""
-    ds = ray.data.read_parquet(
-        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
-    )
+    offsets 0-based and span_end exclusive. ``docs_path`` overrides the
+    default ``<sf_dir>/documents.parquet`` (the curation pipeline runs
+    this over its curated-train shard)."""
+    if docs_path is None:
+        docs_path = f"{sf_dir}/documents.parquet"
+    ds = ray.data.read_parquet(docs_path, columns=["doc_id", "text"])
     windows = ds.map_batches(
         lambda b: _windows_batch(b, k), batch_format="pyarrow"
     )
@@ -211,6 +222,160 @@ def dedup_substring(
     dup_ds = rd.from_arrow_refs(dup_refs).materialize()
     span_refs = _exchange(dup_ds, _span_split_impl, (), _span_bucket_impl, (k,))
     return rd.from_arrow_refs(span_refs)
+
+
+def _trim_bucket_impl(k: int, spans: pa.Table, *doc_parts: pa.Table) -> pa.Table:
+    """Per-bucket span application: drop every token covered by a
+    duplicated span, rebuild the text. One delta-array cumsum marks
+    covered flat-token positions; no per-row loop. ``spans`` and the doc
+    parts are co-partitioned by ``doc_id % nbuckets`` upstream, so each
+    doc meets all of its spans here."""
+    real = [t for t in doc_parts if t.num_rows > 0]
+    extra = [
+        c
+        for c in (doc_parts[0].column_names if doc_parts else [])
+        if c not in ("doc_id", "text")
+    ]
+    fields = [
+        ("doc_id", pa.int64()),
+        ("text", pa.string()),
+        ("ntok", pa.int64()),
+        ("ntok_cut", pa.int64()),
+    ] + [(c, doc_parts[0].schema.field(c).type) for c in extra]
+    if not real:
+        return pa.schema(fields).empty_table()
+    docs = pa.concat_tables(real)
+    ids = docs.column("doc_id").to_numpy(zero_copy_only=False).astype(np.int64)
+    order = np.argsort(ids, kind="stable")
+    docs = docs.take(pa.array(order))
+    ids = ids[order]
+    toks = pc.split_pattern(docs.column("text").combine_chunks(), " ")
+    if isinstance(toks, pa.ChunkedArray):
+        toks = toks.combine_chunks()
+    flat = pc.list_flatten(toks)
+    if isinstance(flat, pa.ChunkedArray):
+        flat = flat.combine_chunks()
+    lens = pc.list_value_length(toks).to_numpy(zero_copy_only=False).astype(np.int64)
+    offs = np.concatenate([[0], np.cumsum(lens)])
+    total = int(offs[-1])
+    if spans.num_rows > 0 and total > 0:
+        sdoc = spans.column("doc_id").to_numpy(zero_copy_only=False).astype(np.int64)
+        sstart = spans.column("span_start").to_numpy(zero_copy_only=False)
+        send = spans.column("span_end").to_numpy(zero_copy_only=False)
+        row = np.searchsorted(ids, sdoc)
+        ok = (row < len(ids)) & (ids[np.minimum(row, len(ids) - 1)] == sdoc)
+        row, sstart, send = row[ok], sstart[ok], send[ok]
+        delta = np.zeros(total + 1, dtype=np.int64)
+        np.add.at(delta, offs[row] + sstart, 1)
+        np.add.at(delta, offs[row] + send, -1)
+        keep = np.cumsum(delta[:-1]) == 0
+    else:
+        keep = np.ones(total, dtype=bool)
+    csum = np.concatenate([[0], np.cumsum(keep)])
+    new_lens = csum[offs[1:]] - csum[offs[:-1]]
+    kept_flat = flat.filter(pa.array(keep))
+    new_offs = np.concatenate([[0], np.cumsum(new_lens)]).astype(np.int64)
+    lst = pa.LargeListArray.from_arrays(pa.array(new_offs, pa.int64()), kept_flat)
+    text_new = pc.binary_join(lst, pa.scalar(" "))
+    cols = {
+        "doc_id": pa.array(ids, pa.int64()),
+        "text": text_new,
+        "ntok": pa.array(new_lens, pa.int64()),
+        "ntok_cut": pa.array(lens - new_lens, pa.int64()),
+    }
+    for c in extra:
+        cols[c] = docs.column(c).combine_chunks()
+    return pa.table(cols)
+
+
+def trim_substring_spans(
+    sf_dir: str | None = None,
+    k: int = K_TOKENS,
+    min_count: int = MIN_COUNT,
+    docs_path: str | None = None,
+    columns: tuple = ("doc_id", "text"),
+):
+    """Apply the :func:`dedup_substring` cut list to the corpus: every
+    token covered by a duplicated k-window span is dropped (ALL
+    occurrences — the conservative variant of the Lee et al. cut list)
+    and the document text is rebuilt from the surviving tokens. Returns
+    (doc_id, text, ntok, ntok_cut, *extra passthrough columns) for every
+    input document; text is reconstructed as the single-space join of
+    kept tokens, which is lossless under space tokenization.
+
+    Scale shape: the span exchange is pinned to the SAME
+    ``doc_id % nbuckets`` partitioning as a one-move split of the docs,
+    so span application is a co-partitioned bucket task — no extra
+    shuffle and no doc text in the span exchange."""
+    if docs_path is None:
+        docs_path = f"{sf_dir}/documents.parquet"
+    ds = ray.data.read_parquet(docs_path, columns=list(columns))
+    windows = ds.map_batches(
+        lambda b: _windows_batch(b.select(["doc_id", "text"]), k),
+        batch_format="pyarrow",
+    )
+    dup_refs = _exchange(windows, _dup_split_impl, (), _dup_bucket_impl, (min_count,))
+    dup_ds = rd.from_arrow_refs(dup_refs).materialize()
+    mat_docs = ds.materialize()
+    doc_refs, ndocs = mat_docs.to_arrow_refs(), mat_docs.count()
+    ncpu = int(ray.cluster_resources().get("CPU", 8))
+    nbuckets = max(1, min(ncpu, ndocs // 100_000 + 1))
+    span_refs = _exchange(
+        dup_ds, _span_split_impl, (), _span_bucket_impl, (k,), nbuckets=nbuckets
+    )
+    target = int(os.environ.get("SHACLEX_SPLIT_ROWS", "2000000"))
+    ngroups = max(1, min(len(doc_refs), max(nbuckets, math.ceil(ndocs / target))))
+    groups = [doc_refs[g::ngroups] for g in range(ngroups)]
+    split_task = ray.remote(_span_split_impl)  # doc_id-keyed, any schema
+    split_refs = [
+        split_task.options(num_returns=nbuckets).remote(nbuckets, *grp)
+        for grp in groups
+    ]
+    if nbuckets == 1:
+        split_refs = [[r] for r in split_refs]
+    trim_task = ray.remote(_trim_bucket_impl)
+    out = [
+        trim_task.remote(k, span_refs[b], *[grp[b] for grp in split_refs])
+        for b in range(nbuckets)
+    ]
+    return rd.from_arrow_refs(out)
+
+
+def trim_substring_spans_sql(
+    k: int = K_TOKENS, min_count: int = MIN_COUNT
+) -> str:
+    return f"""
+    WITH toks AS (
+      SELECT doc_id, string_split(text, ' ') AS t FROM documents
+    ),
+    wins AS (
+      SELECT doc_id, CAST(u.i - 1 AS BIGINT) AS s,
+             array_to_string(t[u.i : u.i + {k} - 1], ' ') AS w
+      FROM toks, unnest(generate_series(1, len(t) - {k} + 1)) AS u(i)
+    ),
+    dup AS (SELECT w FROM wins GROUP BY w HAVING count(*) >= {min_count}),
+    d AS (SELECT doc_id, s FROM wins JOIN dup USING (w)),
+    tok AS (
+      SELECT doc_id, CAST(u.i - 1 AS BIGINT) AS i, t[u.i] AS tok
+      FROM toks, unnest(generate_series(1, len(t))) AS u(i)
+    ),
+    kept AS (
+      SELECT tk.doc_id, tk.i, tk.tok FROM tok tk
+      WHERE NOT EXISTS (
+        SELECT 1 FROM d
+        WHERE d.doc_id = tk.doc_id AND tk.i >= d.s AND tk.i < d.s + {k}
+      )
+    ),
+    agg AS (
+      SELECT doc_id, string_agg(tok, ' ' ORDER BY i) AS text,
+             CAST(count(*) AS BIGINT) AS ntok
+      FROM kept GROUP BY doc_id
+    )
+    SELECT toks.doc_id, coalesce(agg.text, '') AS text,
+           coalesce(agg.ntok, 0) AS ntok,
+           CAST(len(toks.t) AS BIGINT) - coalesce(agg.ntok, 0) AS ntok_cut
+    FROM toks LEFT JOIN agg USING (doc_id)
+    """
 
 
 def dedup_substring_sql(k: int = K_TOKENS, min_count: int = MIN_COUNT) -> str:

@@ -53,10 +53,18 @@ def run_curation_pipeline(
     max_rep_pct: int = 20,
     train: int = 90,
     valid: int = 5,
+    substring_dedup: bool = False,
+    substring_k: int = 8,
 ):
     """Checkpointed end-to-end curation run. Returns handles:
     ``{"curated": Dataset, "packed": Dataset, "kept": int, "chunks": int,
-    "metrics": {...}}``."""
+    "metrics": {...}}``.
+
+    ``substring_dedup=True`` inserts a span-trim stage between curation
+    and packing: duplicated k-token spans across the curated train shard
+    are cut (functions/substr.trim_substring_spans) and the packed
+    sequences are built from the trimmed text; fully-cut documents are
+    dropped before packing."""
     from shaclex_ray.functions.curate import curate_corpus
     from shaclex_ray.functions.pack import pack_sequences
 
@@ -131,9 +139,69 @@ def run_curation_pipeline(
         lambda p: rd.read_parquet(p),
     )
 
+    pack_src = os.path.join(out_dir, "curated", "split=train")
+    if substring_dedup:
+
+        def produce_trimmed(path):
+            from shaclex_ray.functions.substr import trim_substring_spans
+
+            train_dir = os.path.join(out_dir, "curated", "split=train")
+            if not os.path.isdir(train_dir):
+                import pyarrow.parquet as _pq
+
+                _pq.write_table(
+                    pa.schema(
+                        [
+                            ("doc_id", pa.int64()),
+                            ("text", pa.string()),
+                            ("ntok", pa.int64()),
+                            ("ntok_cut", pa.int64()),
+                        ]
+                    ).empty_table(),
+                    os.path.join(path, "part-0.parquet"),
+                )
+                return 0
+            def drop_empty(batch: pa.Table) -> pa.Table:
+                import pyarrow.compute as _pc
+
+                return batch.filter(_pc.greater(batch.column("ntok"), 0))
+
+            trimmed = trim_substring_spans(
+                docs_path=train_dir, k=substring_k
+            ).map_batches(drop_empty, batch_format="pyarrow")
+            trimmed.write_parquet(path)
+            import glob
+
+            import pyarrow.parquet as _pq
+
+            return sum(
+                _pq.read_metadata(f).num_rows
+                for f in glob.glob(f"{path}/**/*.parquet", recursive=True)
+            )
+
+        runner.run(
+            "trimmed",
+            f"{digest}|ssk={substring_k}",
+            produce_trimmed,
+            lambda p: rd.read_parquet(p),
+        )
+        pack_src = os.path.join(out_dir, "trimmed")
+
     def produce_packed(path):
-        train_dir = os.path.join(out_dir, "curated", "split=train")
-        if not os.path.isdir(train_dir):
+        import glob as _glob
+
+        import pyarrow.parquet as _pq2
+
+        train_dir = pack_src
+        n_in = (
+            sum(
+                _pq2.read_metadata(f).num_rows
+                for f in _glob.glob(f"{train_dir}/**/*.parquet", recursive=True)
+            )
+            if os.path.isdir(train_dir)
+            else 0
+        )
+        if n_in == 0:
             # nothing survived curation into train: an empty packed table
             import pyarrow.parquet as _pq
 
@@ -162,7 +230,7 @@ def run_curation_pipeline(
 
     packed = runner.run(
         "packed",
-        f"{digest}|cap={capacity}",
+        f"{digest}|cap={capacity}|ss={int(substring_dedup)}k{substring_k}",
         produce_packed,
         lambda p: rd.read_parquet(p),
     )

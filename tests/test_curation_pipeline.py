@@ -74,3 +74,67 @@ def test_curation_pipeline_resumes(ray_session):
     out3 = run_curation_pipeline(SF, OUT, capacity=64)
     assert out3["metrics"]["curated"].get("resumed") is True
     assert out3["metrics"]["packed"].get("resumed") is None
+
+
+def test_curation_pipeline_substring_dedup(ray_session):
+    """--substring-dedup inserts the span-trim stage: packed sequences
+    are built from span-trimmed text, and per-doc token mass equals the
+    scalar-reference trim of the curated train shard."""
+    import pandas as pd
+
+    from shaclex_ray.pipelines.curation import run_curation_pipeline
+
+    out_dir = "/tmp/test_curation_substr_out"
+    shutil.rmtree(out_dir, ignore_errors=True)
+    out = run_curation_pipeline(
+        SF, out_dir, capacity=128, substring_dedup=True, substring_k=8
+    )
+    assert os.path.isdir(f"{out_dir}/trimmed")
+    trimmed = pd.concat(
+        [
+            pq.read_table(f).to_pandas()
+            for f in glob.glob(f"{out_dir}/trimmed/**/*.parquet", recursive=True)
+        ]
+    )
+    # scalar reference: recompute duplicated k-window spans over the
+    # curated train shard and cut every covered token
+    k = 8
+    train = pd.concat(
+        [
+            pq.read_table(f).to_pandas()
+            for f in glob.glob(
+                f"{out_dir}/curated/split=train/**/*.parquet", recursive=True
+            )
+        ]
+    )
+    from collections import Counter
+
+    counts: Counter = Counter()
+    toks = {r.doc_id: r.text.split(" ") for r in train.itertuples()}
+    for t in toks.values():
+        for i in range(len(t) - k + 1):
+            counts[" ".join(t[i : i + k])] += 1
+    exp = {}
+    for did, t in toks.items():
+        cut = [False] * len(t)
+        for i in range(len(t) - k + 1):
+            if counts[" ".join(t[i : i + k])] >= 2:
+                for j in range(i, i + k):
+                    cut[j] = True
+        kept = [w for w, c in zip(t, cut) if not c]
+        exp[did] = (" ".join(kept), len(kept), len(t) - len(kept))
+    got = {
+        r.doc_id: (r.text, r.ntok, r.ntok_cut) for r in trimmed.itertuples()
+    }
+    assert got == {d: v for d, v in exp.items() if v[1] > 0}
+
+    # packed token mass equals the trimmed shard's
+    packed = out["packed"].to_pandas()
+    got_tok = packed.groupby("doc_id").ntok_in_chunk.sum().to_dict()
+    exp_tok = {
+        r.doc_id: len(r.text.split(" "))
+        for r in trimmed.itertuples()
+        if r.ntok > 0
+    }
+    assert got_tok == exp_tok
+    shutil.rmtree(out_dir, ignore_errors=True)

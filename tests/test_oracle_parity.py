@@ -97,6 +97,7 @@ NAMES = [
     "curate_sample",
     "text_redact",
     "dedup_substring",
+    "curate_substring_trim",
     "ann_ivf_lists",
     "ann_ivf_topk",
     "text_lm_novelty",

@@ -87,3 +87,55 @@ def test_sample_partial_keeps_n_smallest_per_source():
     out = _sample_partial(tbl, 2)
     got = sorted(zip(out.column("source").to_pylist(), out.column("doc_id").to_pylist()))
     assert got == [("a", 3), ("a", 5), ("b", 1), ("b", 2)]
+
+
+def test_trim_bucket_impl_cuts_and_passthrough():
+    from shaclex_ray.functions.substr import _trim_bucket_impl
+
+    spans = pa.table(
+        {
+            "doc_id": pa.array([1, 1], pa.int64()),
+            "span_start": pa.array([0, 6], pa.int64()),
+            "span_end": pa.array([2, 8], pa.int64()),
+            "n_windows": pa.array([1, 1], pa.int64()),
+        }
+    )
+    docs = pa.table(
+        {
+            "doc_id": pa.array([2, 1], pa.int64()),
+            "text": ["u v w", "a b c d e f g h"],
+            "lang": ["en", "de"],
+        }
+    )
+    out = _trim_bucket_impl(2, spans, docs)
+    by_id = {
+        r["doc_id"]: r for r in out.to_pylist()
+    }
+    assert by_id[1]["text"] == "c d e f"
+    assert by_id[1]["ntok"] == 4 and by_id[1]["ntok_cut"] == 4
+    assert by_id[1]["lang"] == "de"
+    # untouched doc passes through reconstructed
+    assert by_id[2]["text"] == "u v w" and by_id[2]["ntok_cut"] == 0
+
+
+def test_trim_bucket_impl_full_cut_and_empty():
+    from shaclex_ray.functions.substr import _trim_bucket_impl
+
+    spans = pa.table(
+        {
+            "doc_id": pa.array([5], pa.int64()),
+            "span_start": pa.array([0], pa.int64()),
+            "span_end": pa.array([3], pa.int64()),
+            "n_windows": pa.array([1], pa.int64()),
+        }
+    )
+    docs = pa.table(
+        {"doc_id": pa.array([5], pa.int64()), "text": ["x y z"]}
+    )
+    out = _trim_bucket_impl(3, spans, docs)
+    assert out.column("text").to_pylist() == [""]
+    assert out.column("ntok").to_pylist() == [0]
+    # empty bucket returns a typed empty table
+    empty = _trim_bucket_impl(3, spans.slice(0, 0), docs.slice(0, 0))
+    assert empty.num_rows == 0
+    assert set(empty.column_names) >= {"doc_id", "text", "ntok", "ntok_cut"}
