@@ -240,6 +240,43 @@ def test_ivf_topk_indexed_equals_scan(ray_session, tmp_path):
     assert len(approx & exact) / len(exact) >= 0.3
 
 
+def test_ivf_recall_gate_sf01(ray_session):
+    """Recall@k floor for ivf_topk at the default nprobe on the sf0.1
+    embeddings — the quality gate the k-means codebook refinement landed
+    without (VERDICT r4 item 6). Everything is seeded, so these recalls
+    are exact reproducible numbers (0.52 sample / 0.62 kmeans at the
+    time of pinning); the floors sit just below them to catch silent
+    codebook or probe-selection regressions, not numerical jitter."""
+    from shaclex_ray.functions.ann import ivf_topk, topk_cosine
+
+    SF1 = "/root/testdata/sf0.1"
+    NQ, K, NLIST = 20, 10, 16
+    exact = {
+        (r["query_id"], r["vec_id"])
+        for r in topk_cosine(SF1, n_queries=NQ, k=K).take_all()
+    }
+    assert len(exact) == NQ * K
+
+    def recall(codebook, nprobe):
+        appr = {
+            (r["query_id"], r["vec_id"])
+            for r in ivf_topk(
+                SF1, n_queries=NQ, k=K, nlist=NLIST, nprobe=nprobe,
+                codebook=codebook, use_index=False,
+            ).take_all()
+        }
+        return len(appr & exact) / len(exact)
+
+    r_sample = recall("sample", 4)
+    r_kmeans = recall("kmeans", 4)
+    assert r_sample >= 0.45
+    assert r_kmeans >= 0.55
+    # the k-means refinement must not be worse than the raw sample codebook
+    assert r_kmeans >= r_sample
+    # probing every list degenerates to the exact scan
+    assert recall("kmeans", NLIST) == 1.0
+
+
 def test_decode_real_requires_pillow():
     """decode_real=True fails fast at actor construction when Pillow is
     absent (clear extras message), instead of being unreachable."""
