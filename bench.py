@@ -234,6 +234,8 @@ def main():
             "import ray, sys, time, shutil, json\n"
             "sys.path.insert(0, %r)\n"
             "n, sf = int(sys.argv[1]), sys.argv[2]\n"
+            "import os as _os\n"
+            "sub = _os.environ.get('GRAFT_SUBSTRING_DEDUP', '0') == '1'\n"
             "ray.init(address='local', num_cpus=n, include_dashboard=False,"
             " logging_level='ERROR', log_to_driver=False)\n"
             "from shaclex_ray.pipelines.curation import run_curation_pipeline\n"
@@ -241,7 +243,8 @@ def main():
             "out = '/tmp/graft_bench/curation_scale_%%d' %% n\n"
             "shutil.rmtree(out, ignore_errors=True)\n"
             "t0 = time.perf_counter()\n"
-            "res = run_curation_pipeline(sf, out, resume=False)\n"
+            "res = run_curation_pipeline(sf, out, resume=False,"
+            " substring_dedup=sub)\n"
             "wall = time.perf_counter() - t0\n"
             "nd = parquet_num_rows(sf + '/documents.parquet')\n"
             "print(json.dumps({'wall': wall, 'docs': nd,"
@@ -268,6 +271,7 @@ def main():
             "metric": "curation_pipeline_scaling",
             "value": round(sp / (hi / lo), 4),
             "unit": "efficiency",
+            "substring_dedup": os.environ.get("GRAFT_SUBSTRING_DEDUP", "0") == "1",
             "sf": scale_dir,
             "docs": results[hi]["docs"],
             "throughputs": {
