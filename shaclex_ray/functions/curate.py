@@ -218,7 +218,6 @@ def decontaminate(sf_dir: str, shingle: int = 5, bench_mod: int = 20):
     and a docs-sized grouped aggregate sums the partial hit counts —
     the shape that survives a benchmark suite that grows with the
     corpus."""
-    import math as _math
     import os as _os
 
     path = f"{sf_dir}/documents.parquet"

@@ -179,6 +179,8 @@ def _exchange(
     else:
         mat = ds_or_refs.materialize()
         refs, nrows = mat.to_arrow_refs(), mat.count()
+    if not refs or nrows == 0:
+        return []  # zero-block / zero-row input: nothing to exchange
     ncpu = int(ray.cluster_resources().get("CPU", 8))
     if nbuckets is None:
         nbuckets = max(1, min(ncpu, nrows // 200_000 + 1))
@@ -201,6 +203,36 @@ def _exchange(
     ]
 
 
+_SPANS_EMPTY = pa.table(
+    {
+        "doc_id": pa.array([], pa.int64()),
+        "span_start": pa.array([], pa.int64()),
+        "span_end": pa.array([], pa.int64()),
+        "n_windows": pa.array([], pa.int64()),
+    }
+)
+
+
+def _cut_list_refs(docs_ds, k: int, min_count: int, nbuckets: int | None = None):
+    """Shared prefix of :func:`dedup_substring` and
+    :func:`trim_substring_spans`: k-token windows → duplicated-window
+    exchange → per-doc maximal span exchange. Returns the span-table
+    refs ([] when the corpus has no duplicated windows at all), so the
+    cut list reported by dedup_substring and the one applied by trim can
+    never diverge."""
+    windows = docs_ds.map_batches(
+        lambda b: _windows_batch(b.select(["doc_id", "text"]), k),
+        batch_format="pyarrow",
+    )
+    dup_refs = _exchange(windows, _dup_split_impl, (), _dup_bucket_impl, (min_count,))
+    if not dup_refs:
+        return []
+    dup_ds = rd.from_arrow_refs(dup_refs).materialize()
+    return _exchange(
+        dup_ds, _span_split_impl, (), _span_bucket_impl, (k,), nbuckets=nbuckets
+    )
+
+
 def dedup_substring(
     sf_dir: str | None = None,
     k: int = K_TOKENS,
@@ -215,12 +247,9 @@ def dedup_substring(
     if docs_path is None:
         docs_path = f"{sf_dir}/documents.parquet"
     ds = ray.data.read_parquet(docs_path, columns=["doc_id", "text"])
-    windows = ds.map_batches(
-        lambda b: _windows_batch(b, k), batch_format="pyarrow"
-    )
-    dup_refs = _exchange(windows, _dup_split_impl, (), _dup_bucket_impl, (min_count,))
-    dup_ds = rd.from_arrow_refs(dup_refs).materialize()
-    span_refs = _exchange(dup_ds, _span_split_impl, (), _span_bucket_impl, (k,))
+    span_refs = _cut_list_refs(ds, k, min_count)
+    if not span_refs:
+        return rd.from_arrow(_SPANS_EMPTY)
     return rd.from_arrow_refs(span_refs)
 
 
@@ -309,20 +338,37 @@ def trim_substring_spans(
     shuffle and no doc text in the span exchange."""
     if docs_path is None:
         docs_path = f"{sf_dir}/documents.parquet"
-    ds = ray.data.read_parquet(docs_path, columns=list(columns))
-    windows = ds.map_batches(
-        lambda b: _windows_batch(b.select(["doc_id", "text"]), k),
-        batch_format="pyarrow",
-    )
-    dup_refs = _exchange(windows, _dup_split_impl, (), _dup_bucket_impl, (min_count,))
-    dup_ds = rd.from_arrow_refs(dup_refs).materialize()
-    mat_docs = ds.materialize()
+    # ONE scan: materialize the docs first, derive the window stream from
+    # the plasma-resident blocks (the lazy-read variant re-executed the
+    # parquet read for the window pass AND the doc split)
+    mat_docs = ray.data.read_parquet(docs_path, columns=list(columns)).materialize()
     doc_refs, ndocs = mat_docs.to_arrow_refs(), mat_docs.count()
+    if not doc_refs or ndocs == 0:
+        rsch = mat_docs.schema()
+        if rsch is not None:
+            sch = rsch.base_schema
+        else:  # zero-block dataset: take the schema from the files
+            import pyarrow.dataset as pads
+
+            sch = pads.dataset(docs_path).schema
+            sch = pa.schema([sch.field(c) for c in columns])
+        fields = [
+            ("doc_id", pa.int64()),
+            ("text", pa.string()),
+            ("ntok", pa.int64()),
+            ("ntok_cut", pa.int64()),
+        ] + [
+            (c, sch.field(c).type)
+            for c in sch.names
+            if c not in ("doc_id", "text")
+        ]
+        return rd.from_arrow(pa.schema(fields).empty_table())
     ncpu = int(ray.cluster_resources().get("CPU", 8))
     nbuckets = max(1, min(ncpu, ndocs // 100_000 + 1))
-    span_refs = _exchange(
-        dup_ds, _span_split_impl, (), _span_bucket_impl, (k,), nbuckets=nbuckets
-    )
+    span_refs = _cut_list_refs(mat_docs, k, min_count, nbuckets=nbuckets)
+    if not span_refs:
+        # no duplicated window anywhere: every doc passes through untrimmed
+        span_refs = [ray.put(_SPANS_EMPTY) for _ in range(nbuckets)]
     target = int(os.environ.get("SHACLEX_SPLIT_ROWS", "2000000"))
     ngroups = max(1, min(len(doc_refs), max(nbuckets, math.ceil(ndocs / target))))
     groups = [doc_refs[g::ngroups] for g in range(ngroups)]

@@ -139,3 +139,39 @@ def test_trim_bucket_impl_full_cut_and_empty():
     empty = _trim_bucket_impl(3, spans.slice(0, 0), docs.slice(0, 0))
     assert empty.num_rows == 0
     assert set(empty.column_names) >= {"doc_id", "text", "ntok", "ntok_cut"}
+
+
+def test_substr_ops_on_empty_corpus(ray_session, tmp_path):
+    """Zero-row corpora and no-duplicate corpora pass cleanly through
+    dedup_substring / trim_substring_spans (the zero-block exchange used
+    to IndexError in the split kernels)."""
+    import pyarrow.parquet as pq
+
+    from shaclex_ray.functions.substr import dedup_substring, trim_substring_spans
+
+    empty = pa.table(
+        {
+            "doc_id": pa.array([], pa.int64()),
+            "text": pa.array([], pa.string()),
+            "lang": pa.array([], pa.string()),
+        }
+    )
+    p = str(tmp_path / "empty.parquet")
+    pq.write_table(empty, p)
+    assert dedup_substring(docs_path=p).count() == 0
+    out = trim_substring_spans(docs_path=p, columns=("doc_id", "text", "lang"))
+    assert out.count() == 0
+    assert set(out.schema().names) == {"doc_id", "text", "ntok", "ntok_cut", "lang"}
+
+    # all-unique corpus: no duplicated window anywhere -> untrimmed passthrough
+    uniq = pa.table(
+        {
+            "doc_id": pa.array([1, 2], pa.int64()),
+            "text": pa.array(["a b c d", "e f g h"], pa.string()),
+        }
+    )
+    p2 = str(tmp_path / "uniq.parquet")
+    pq.write_table(uniq, p2)
+    rows = {r["doc_id"]: r for r in trim_substring_spans(docs_path=p2, k=2).take_all()}
+    assert rows[1]["text"] == "a b c d" and rows[1]["ntok_cut"] == 0
+    assert rows[2]["text"] == "e f g h" and rows[2]["ntok_cut"] == 0

@@ -25,6 +25,7 @@ from shaclex_ray.validate.shacl_local import ShaclValidator
 
 checked = mismatched = skipped = 0
 for c in load_shex_manifest():
+    err = ""  # reset per case — a stale err must not be attributed to a later mismatch
     if c["traits"] & SKIP_TRAITS or (c["map"] is None and c["focus"] is None):
         skipped += 1
         continue
@@ -76,7 +77,10 @@ for c in load_shex_manifest():
                         if got.get((nk, e["shape"])) != bool(e["result"]):
                             ok = False
             else:
-                ok = all(got.values()) == c["expected"]
+                # empty typing (no focus rows back) is a FAILURE, not a
+                # vacuous pass — all({}) is True and would mask a
+                # validator that returns nothing
+                ok = bool(got) and all(got.values()) == c["expected"]
         else:
             shape = None
             if c["shape"]:
@@ -95,7 +99,7 @@ for c in load_shex_manifest():
     checked += 1
     if not ok:
         mismatched += 1
-        print("  MISMATCH", c["name"], locals().get("err", ""))
+        print("  MISMATCH", c["name"], err)
 print(f"SHEX DIST SWEEP: checked={checked} mismatched={mismatched} skipped={skipped}")
 
 # ------------------------------------------------------------- SHACL
