@@ -100,16 +100,65 @@ def _decon_h_split(nbuckets: int, *tbls: pa.Table):
     )
 
 
-def _decon_train_split(nbuckets: int, shingle: int, bench_mod: int, *tbls):
+_BLOOM_MIX = np.uint64(0x9E3779B97F4A7C15)
+
+
+def _bloom_indices(h: np.ndarray, m_bits: int):
+    """Two probe positions per hash (k=2 Bloom); m_bits is a power of 2."""
+    mask = np.uint64(m_bits - 1)
+    i1 = h & mask
+    i2 = ((h * _BLOOM_MIX) >> np.uint64(17)) & mask
+    return i1, i2
+
+
+def _decon_bloom_part(m_bits: int, *tbls: pa.Table) -> np.ndarray:
+    """Partial Bloom bitmap over this group's bench gram-hash tables."""
+    bloom = np.zeros(m_bits >> 3, np.uint8)
+    for t in tbls:
+        if t.num_rows == 0:
+            continue
+        h = t.column("h").to_numpy(zero_copy_only=False)
+        for idx in _bloom_indices(h, m_bits):
+            np.bitwise_or.at(bloom, (idx >> np.uint64(3)).astype(np.int64),
+                             np.left_shift(np.uint8(1), (idx & np.uint64(7)).astype(np.uint8)))
+    return bloom
+
+
+def _decon_bloom_or(*parts: np.ndarray) -> np.ndarray:
+    out = parts[0].copy()
+    for p in parts[1:]:
+        np.bitwise_or(out, p, out=out)
+    return out
+
+
+def _bloom_test(bloom: np.ndarray, h: np.ndarray, m_bits: int) -> np.ndarray:
+    keep = np.ones(len(h), bool)
+    for idx in _bloom_indices(h, m_bits):
+        bit = (bloom[(idx >> np.uint64(3)).astype(np.int64)]
+               >> (idx & np.uint64(7)).astype(np.uint8)) & 1
+        keep &= bit.astype(bool)
+    return keep
+
+
+def _decon_train_split(nbuckets: int, shingle: int, bench_mod: int,
+                       bloom: np.ndarray | None, m_bits: int, *tbls):
     """Train-side exchange map task over raw (doc_id, text) blocks:
-    compute gram hashes, combine occurrences per (doc_id, h) map-side,
-    partition the combined rows by ``h % nbuckets``. Returns nbuckets
-    (doc_id, h, cnt) partitions PLUS one trailing per-doc (doc_id,
-    n_grams) table (each doc lives in exactly one split group, so the
-    per-group n_grams rows are globally exact)."""
+    compute gram hashes, Bloom-prefilter against the (broadcast) bench
+    bitmap so definite non-hits never enter the exchange, combine
+    occurrences per (doc_id, h) map-side, partition the combined rows by
+    ``h % nbuckets``. Returns nbuckets (doc_id, h, cnt) partitions PLUS
+    one trailing per-doc (doc_id, n_grams) table (each doc lives in
+    exactly one split group, so the per-group n_grams rows are globally
+    exact). The Bloom filter only drops guaranteed non-members — the
+    per-bucket exact probe confirms survivors — so the output is
+    row-identical with or without it."""
     did_l, h_l, cnt_l = [], [], []
     gid_l, ng_l = [], []
     for t in tbls:
+        if isinstance(t, str):  # file-granular input: read it here, once
+            import pyarrow.parquet as _pq
+
+            t = _pq.read_table(t, columns=["doc_id", "text"])
         ids = t.column("doc_id").to_numpy(zero_copy_only=False)
         t = t.filter(pa.array(ids % bench_mod != 0))
         if t.num_rows == 0:
@@ -119,6 +168,11 @@ def _decon_train_split(nbuckets: int, shingle: int, bench_mod: int, *tbls):
         gid_l.append(ids)
         ng_l.append(np.diff(starts))
         didx = np.repeat(np.arange(t.num_rows), np.diff(starts))
+        if bloom is not None and len(h):
+            keep = _bloom_test(bloom, h, m_bits)
+            h, didx = h[keep], didx[keep]
+            if len(h) == 0:
+                continue
         order = np.lexsort((h, didx))
         hd, dd = h[order], didx[order]
         new = np.ones(len(hd), bool)
@@ -298,21 +352,45 @@ def _decontaminate_join(path: str, bench_h, n_bench: int, shingle: int, bench_mo
     nbuckets = max(1, min(ncpu, n_bench // 500_000 + 1))
 
     bench_refs = bench_h.to_arrow_refs()
-    train_mat = ray.data.read_parquet(path, columns=["doc_id", "text"]).materialize()
-    train_refs = train_mat.to_arrow_refs()
-    ndocs = train_mat.count()
+    # file-granular train input: split tasks read the parquet shards
+    # directly (column-pruned) — input bytes move storage→task exactly
+    # once, never staged via plasma (the repo's standard exchange shape)
+    import glob as _glob
+
+    train_files = (
+        sorted(_glob.glob(f"{path}/**/*.parquet", recursive=True))
+        if _os.path.isdir(path)
+        else [path]
+    )
+    from shaclex_ray.sources.documents import parquet_num_rows
+
+    ndocs = parquet_num_rows(path)
 
     h_split = ray.remote(_decon_h_split)
     t_split = ray.remote(_decon_train_split)
     bucket = ray.remote(_decon_bucket)
+    bloom_part = ray.remote(_decon_bloom_part)
+    bloom_or = ray.remote(_decon_bloom_or)
 
     # volume-bound the split groups: gram rows per doc are ~token count,
     # so target far fewer DOC rows per group than SHACLEX_SPLIT_ROWS
     target = max(1, int(_os.environ.get("SHACLEX_SPLIT_ROWS", "2000000")) // 64)
     ngroups_b = max(1, min(len(bench_refs), max(nbuckets, _math.ceil(n_bench / target))))
-    ngroups_t = max(1, min(len(train_refs), max(nbuckets, _math.ceil(ndocs / target))))
+    ngroups_t = max(1, min(len(train_files), max(nbuckets, _math.ceil(ndocs / target))))
     bgroups = [bench_refs[g::ngroups_b] for g in range(ngroups_b)]
-    tgroups = [train_refs[g::ngroups_t] for g in range(ngroups_t)]
+    tgroups = [train_files[g::ngroups_t] for g in range(ngroups_t)]
+
+    # Bloom prefilter for the train exchange: a fixed-size bitmap built
+    # ON WORKERS (partial bitmaps per bench group, tree-ORed), broadcast
+    # once — the driver never holds the gram list, only O(filter) bytes.
+    # ~16 bits/gram with k=2 probes ≈ 1.4% false positives; capped at
+    # 256 MiB (FP rate degrades gracefully for even larger bench sets,
+    # correctness is unaffected — the bucket probe is exact).
+    m_bits = 1 << max(10, min(31, int(_math.ceil(_math.log2(max(1, n_bench) * 16)))))
+    bparts = [bloom_part.remote(m_bits, *grp) for grp in bgroups]
+    while len(bparts) > 8:  # tree-OR in chunks to bound single-task fan-in
+        bparts = [bloom_or.remote(*bparts[i:i + 8]) for i in range(0, len(bparts), 8)]
+    bloom_ref = bloom_or.remote(*bparts) if len(bparts) > 1 else bparts[0]
 
     bsplit = [
         h_split.options(num_returns=nbuckets).remote(nbuckets, *grp)
@@ -320,7 +398,7 @@ def _decontaminate_join(path: str, bench_h, n_bench: int, shingle: int, bench_mo
     ]
     tsplit = [
         t_split.options(num_returns=nbuckets + 1).remote(
-            nbuckets, shingle, bench_mod, *grp
+            nbuckets, shingle, bench_mod, bloom_ref, m_bits, *grp
         )
         for grp in tgroups
     ]
