@@ -616,3 +616,45 @@ def test_ivf_topk_kmeans_index_parity(ray_session):
     a = rows(ivf_topk(SF, use_index=True, codebook="kmeans"))
     b = rows(ivf_topk(SF, use_index=False, codebook="kmeans"))
     assert a == b and len(a) > 0
+
+
+def test_bloom_prefilter_has_no_false_negatives():
+    """The decon join regime's row-identity guarantee rests on the Bloom
+    prefilter never dropping a true member: every train hash that IS in
+    the bench set must survive _bloom_test over a bitmap built from the
+    bench side (false positives are fine — the per-bucket exact probe
+    removes them)."""
+    import numpy as np
+
+    from shaclex_ray.functions.curate import (
+        _bloom_test,
+        _decon_bloom_or,
+        _decon_bloom_part,
+    )
+    import pyarrow as pa
+
+    rng = np.random.default_rng(7)
+    m_bits = 1 << 16
+    for trial in range(5):
+        bench = rng.integers(0, 2**63, size=rng.integers(1, 5000), dtype=np.uint64)
+        train = np.concatenate(
+            [
+                rng.choice(bench, size=min(len(bench), 500)),
+                rng.integers(0, 2**63, size=3000, dtype=np.uint64),
+            ]
+        )
+        # build the bitmap the way the pipeline does: partial bitmaps over
+        # table shards, OR-reduced
+        mid = len(bench) // 2
+        parts = [
+            _decon_bloom_part(m_bits, pa.table({"h": pa.array(chunk, pa.uint64())}))
+            for chunk in (bench[:mid], bench[mid:])
+        ]
+        bloom = _decon_bloom_or(*parts)
+        keep = _bloom_test(bloom, train, m_bits)
+        members = np.isin(train, bench)
+        assert keep[members].all(), "Bloom dropped a true member"
+    # degenerate inputs
+    assert _bloom_test(bloom, np.array([], np.uint64), m_bits).shape == (0,)
+    empty = _decon_bloom_part(m_bits, pa.table({"h": pa.array([], pa.uint64())}))
+    assert not empty.any()
