@@ -45,7 +45,7 @@ import pyarrow.compute as pc
 
 import ray
 
-from shaclex_ray.terms import RDF_TYPE, key_to_term, obj_key, subj_to_key, term_key
+from shaclex_ray.terms import RDF_TYPE, key_to_term, subj_to_key, term_key
 from shaclex_ray.validate.local import Graph, ShExValidator
 from shaclex_ray.validate.nodecheck import compile_pattern
 from shaclex_ray.validate.shacl_local import (
@@ -443,20 +443,24 @@ def _split_block_plain(nbuckets: int, include_inverse: bool, *tbls: pa.Table):
     # including literal objects (a literal focus with an inverse constraint
     # must see its arcs_in; bucketing matches node_key_bucket's 'L' branch)
     rev = base
-    okind = rev.column("obj_kind").to_pylist()
-    olex = rev.column("obj_lex").to_pylist()
-    odt = rev.column("obj_dt").to_pylist()
-    olang = rev.column("obj_lang").to_pylist()
+    okind = rev.column("obj_kind").combine_chunks()
+    olex = rev.column("obj_lex").combine_chunks()
+    odt = rev.column("obj_dt").combine_chunks()
+    olang = rev.column("obj_lang").combine_chunks()
     from shaclex_ray.terms import SEP as _SEP
 
-    ostr = [
-        (
-            "_:" + l
-            if k == "bnode"
-            else (l if k == "iri" else "L" + l + _SEP + d + _SEP + g)
-        )
-        for k, l, d, g in zip(okind, olex, odt, olang)
-    ]
+    # vectorized node-key render (the exchange's per-arc work must be C
+    # kernels, not a Python comprehension): bnode → "_:"+lex, iri → lex,
+    # literal → "L"+lex+SEP+dt+SEP+lang — byte-identical to the scalar
+    # node_key() so bucketing matches node_key_bucket's branches
+    lit = pc.binary_join_element_wise(
+        pc.binary_join_element_wise("L", olex, ""), odt, olang, _SEP
+    )
+    ostr = pc.if_else(
+        pc.equal(okind, "bnode"),
+        pc.binary_join_element_wise("_:", olex, ""),
+        pc.if_else(pc.equal(okind, "iri"), olex, lit),
+    )
     rev = rev.append_column("rev", pa.array(np.ones(rev.num_rows, dtype=bool)))
     rev_parts = partition(rev, stable_bucket_array(ostr, nbuckets))
     if nbuckets == 1:
@@ -1523,22 +1527,20 @@ class BucketWorker:
                 ),
                 True,
             )
-        remote: list[tuple[str, str]] = []
+        remote_parts: list[pa.Table] = []
         for p, sk in spec["objects_of"]:
             sub = t.filter(pc.equal(pred, p))
-            for k, lx, dt, lg in zip(
-                sub.column("obj_kind").to_pylist(),
-                sub.column("obj_lex").to_pylist(),
-                sub.column("obj_dt").to_pylist(),
-                sub.column("obj_lang").to_pylist(),
-            ):
-                remote.append((obj_key(k, lx, dt, lg), sk))
-        return pa.table(
-            {
-                "node": pa.array([r[0] for r in remote], pa.string()),
-                "shape": pa.array([r[1] for r in remote], pa.string()),
-            }
-        )
+            keys = _obj_key_col(sub)
+            remote_parts.append(
+                pa.table(
+                    {"node": keys, "shape": pa.array([sk] * len(keys), pa.string())}
+                )
+            )
+        if not remote_parts:
+            return pa.table(
+                {"node": pa.array([], pa.string()), "shape": pa.array([], pa.string())}
+            )
+        return pa.concat_tables(remote_parts)
 
     def derive_focus(self, assocs: list[dict]) -> pa.Table:
         """In-bucket shapemap pattern resolution (fixShapeMap,
@@ -1554,7 +1556,7 @@ class BucketWorker:
         idx_obj = self.graph._fwd
         t = idx_obj.table
         pred = t.column("pred")
-        remote: list[tuple[str, str]] = []
+        remote: list[pa.Table] = []
         for a in assocs:
             mask = pc.equal(pred, a["pred"])
             if a["kind"] == "focus_subj":
@@ -1585,19 +1587,22 @@ class BucketWorker:
                     keep = pc.equal(keys, skey).to_numpy(zero_copy_only=False)
                     rows = rows[keep]
                 sub = t.take(pa.array(rows))
-                for k, lx, dt, lg in zip(
-                    sub.column("obj_kind").to_pylist(),
-                    sub.column("obj_lex").to_pylist(),
-                    sub.column("obj_dt").to_pylist(),
-                    sub.column("obj_lang").to_pylist(),
-                ):
-                    remote.append((obj_key(k, lx, dt, lg), a["shape"]))
-        return pa.table(
-            {
-                "node": pa.array([r[0] for r in remote], pa.string()),
-                "shape": pa.array([r[1] for r in remote], pa.string()),
-            }
-        )
+                keys = _obj_key_col(sub)
+                remote.append(
+                    pa.table(
+                        {
+                            "node": keys,
+                            "shape": pa.array(
+                                [a["shape"]] * len(keys), pa.string()
+                            ),
+                        }
+                    )
+                )
+        if not remote:
+            return pa.table(
+                {"node": pa.array([], pa.string()), "shape": pa.array([], pa.string())}
+            )
+        return pa.concat_tables(remote)
 
     def submit(self, tasks: pa.Table, is_focus: bool) -> list:
         """Enqueue (node, shape) pairs; idempotent (already-known pairs are
@@ -2662,22 +2667,9 @@ def resolve_shacl_targets(triples_ds, schema: dict):
             )
         for p, sk in spec["objects_of"]:
             sub = batch.filter(pc.equal(pred, p))
-            nodes = [
-                obj_key(k, lx, dt, lg)
-                for k, lx, dt, lg in zip(
-                    sub.column("obj_kind").to_pylist(),
-                    sub.column("obj_lex").to_pylist(),
-                    sub.column("obj_dt").to_pylist(),
-                    sub.column("obj_lang").to_pylist(),
-                )
-            ]
+            keys = _obj_key_col(sub)
             parts.append(
-                pa.table(
-                    {
-                        "node": pa.array(nodes, pa.string()),
-                        "shape": pa.array([sk] * len(nodes), pa.string()),
-                    }
-                )
+                pa.table({"node": keys, "shape": pa.array([sk] * len(keys), pa.string())})
             )
         if not parts:
             return pa.table(
