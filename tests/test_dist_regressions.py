@@ -458,3 +458,72 @@ def test_flat_partial_class_violation_rows(ray_session):
     # both bad mentions produced a Class violation row
     comps = [c for _, _, _, c in nr(r1)]
     assert sum("ClassConstraintComponent" in c for c in comps) == 2
+
+
+def test_vectorized_reverse_key_render_matches_scalar(ray_session):
+    """route_arcs' reversed-copy bucketing renders node keys with Arrow
+    kernels; it must agree with the scalar node_key/stable_bucket dialect
+    on every term shape — bnodes, IRIs, and literals whose lexical forms
+    contain the SEP control char, empty dt/lang, and non-ASCII text."""
+    import numpy as np
+
+    from shaclex_ray.terms import SEP
+    from shaclex_ray.validate.dist import (
+        _split_block_plain,
+        node_key_bucket,
+        stable_bucket,
+    )
+
+    rows = [
+        ("iri", "http://ex.org/a", "", ""),
+        ("iri", "http://ex.org/ünïcode/路径", "", ""),
+        ("bnode", "b0", "", ""),
+        ("bnode", "x" + SEP + "y", "", ""),
+        ("literal", "plain", "", ""),
+        ("literal", "", "", ""),
+        ("literal", "has" + SEP + "sep", "http://www.w3.org/2001/XMLSchema#string", ""),
+        ("literal", "tagged", "", "en-US"),
+        ("literal", "42", "http://www.w3.org/2001/XMLSchema#integer", ""),
+        ("literal", "naïve — em–dash", "", "fr"),
+    ]
+    n = len(rows)
+    tbl = pa.table(
+        {
+            "subj": pa.array([f"http://ex.org/s{i}" for i in range(n)]),
+            "pred": pa.array(["http://ex.org/p"] * n),
+            "obj_kind": pa.array([r[0] for r in rows]),
+            "obj_lex": pa.array([r[1] for r in rows]),
+            "obj_dt": pa.array([r[2] for r in rows]),
+            "obj_lang": pa.array([r[3] for r in rows]),
+        }
+    )
+    nbuckets = 5
+    parts = _split_block_plain(nbuckets, True, tbl)
+
+    # scalar reference: the string the old comprehension produced per arc
+    def scalar_key(kind, lex, dt, lang):
+        if kind == "bnode":
+            return "_:" + lex
+        if kind == "iri":
+            return lex
+        return "L" + lex + SEP + dt + SEP + lang
+
+    want = np.zeros(nbuckets, dtype=int)
+    for kind, lex, dt, lang in rows:
+        want[stable_bucket(scalar_key(kind, lex, dt, lang), nbuckets)] += 1
+    got = np.zeros(nbuckets, dtype=int)
+    for b, part in enumerate(parts):
+        rev = part.filter(part.column("rev"))
+        got[b] = rev.num_rows
+        # every reversed arc must sit in its object node-key's home bucket
+        for kind, lex, dt, lang in zip(
+            rev.column("obj_kind").to_pylist(),
+            rev.column("obj_lex").to_pylist(),
+            rev.column("obj_dt").to_pylist(),
+            rev.column("obj_lang").to_pylist(),
+        ):
+            assert stable_bucket(scalar_key(kind, lex, dt, lang), nbuckets) == b
+    assert got.tolist() == want.tolist()
+    # forward copies still route by subject, and nothing was lost
+    total = sum(p.num_rows for p in parts)
+    assert total == 2 * n
