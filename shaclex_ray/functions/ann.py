@@ -110,6 +110,7 @@ def _merge_topk(partials, k: int):
         k,
         rank_name="rank",
         keep_cols=["query_id", "vec_id", "rank"],
+        empty_schema=_TOPK_SCHEMA,
     )
 
 
@@ -178,7 +179,10 @@ def _emb_dim(sf_dir: str) -> int:
     typ = pf.schema_arrow.field("embedding").type
     if pa.types.is_fixed_size_list(typ):
         return typ.list_size
-    first = next(pf.iter_batches(batch_size=1, columns=["embedding"]))
+    try:
+        first = next(pf.iter_batches(batch_size=1, columns=["embedding"]))
+    except StopIteration:
+        return 0  # empty embeddings table — downstream stages see no rows
     return len(first.column("embedding")[0])
 
 
@@ -269,6 +273,9 @@ def build_lsh_index(
     _read_emb(sf_dir).map_batches(add_sig, batch_format="pyarrow").write_parquet(
         tmp, partition_cols=["bucket_sig"]
     )
+    # an all-empty input writes ZERO files (write_parquet never creates
+    # the directory) — the empty index is a valid, cacheable index
+    os.makedirs(tmp, exist_ok=True)
     shutil.rmtree(out_dir, ignore_errors=True)
     os.replace(tmp, out_dir)
     with open(os.path.join(out_dir, "_SUCCESS"), "w"):
@@ -311,6 +318,8 @@ def ivf_centroids(sf_dir: str, nlist: int = 16) -> tuple[np.ndarray, np.ndarray]
             sub = tbl.filter(pa.array(mask))
             ids_parts.append(sub.column("vec_id").to_numpy(zero_copy_only=False))
             emb_parts.append(_list_to_matrix(sub.column("embedding")))
+    if not ids_parts:  # empty embeddings table → empty codebook
+        return np.empty(0, np.int64), np.empty((0, 0), np.float64)
     cids = np.concatenate(ids_parts) // stride
     cm = np.vstack(emb_parts)
     order = np.argsort(cids)
@@ -395,6 +404,9 @@ def build_ivf_index(
     _read_emb(sf_dir).map_batches(add_list, batch_format="pyarrow").write_parquet(
         tmp, partition_cols=["list_id"]
     )
+    # an all-empty input writes ZERO files (write_parquet never creates
+    # the directory) — the empty index is a valid, cacheable index
+    os.makedirs(tmp, exist_ok=True)
     shutil.rmtree(out_dir, ignore_errors=True)
     os.replace(tmp, out_dir)
     with open(os.path.join(out_dir, "_SUCCESS"), "w"):

@@ -551,6 +551,25 @@ def curate_corpus(
     from shaclex_ray.functions.text import repetition_batch, token_stats_batch
 
     hi = train + valid
+    from shaclex_ray.sources.documents import parquet_num_rows as _pnr
+
+    if _pnr(f"{sf_dir}/documents.parquet") == 0:
+        # empty corpus: the Dataset join below would see schema-less sides
+        import ray.data as _rd
+
+        return _rd.from_arrow(
+            pa.schema(
+                [
+                    ("doc_id", pa.int64()),
+                    ("len_ok", pa.bool_()),
+                    ("stop_ok", pa.bool_()),
+                    ("rep_ok", pa.bool_()),
+                    ("dedup_keep", pa.bool_()),
+                    ("keep", pa.bool_()),
+                    ("split", pa.string()),
+                ]
+            ).empty_table()
+        )
 
     def local_signals(batch: pa.Table) -> pa.Table:
         st = token_stats_batch(batch)
@@ -748,9 +767,11 @@ def sample_balanced(sf_dir: str, n: int | None = None):
         counts = grouped_aggregate_fast(
             ds, ["source"], [("doc_id", "count")], ["cnt"]
         ).take_all()
-        n = min(int(r["cnt"]) for r in counts)
+        n = min((int(r["cnt"]) for r in counts), default=0)
 
     mat = ds.materialize()
+    if mat.count() == 0:  # the balanced sample of nothing is nothing
+        return mat
     refs = mat.to_arrow_refs()
     ncpu = int(ray.cluster_resources().get("CPU", 8))
     nbuckets = max(1, min(ncpu, mat.count() // 200_000 + 1))
@@ -896,15 +917,39 @@ def mixture_report(sf_dir: str):
         ds.map_batches(lang_partial, batch_format="pyarrow"), "lang", "n_langs"
     )
 
-    def _collect(d) -> pa.Table:
+    def _collect(d, schema: pa.Schema) -> pa.Table:
+        # an all-empty corpus can surface zero-column blocks — keep only
+        # blocks carrying the expected fields, else the typed empty table
+        blocks = [ray.get(r) for r in d.materialize().to_arrow_refs()]
+        blocks = [b for b in blocks if set(schema.names) <= set(b.column_names)]
+        if not blocks:
+            return schema.empty_table()
         return pa.concat_tables(
-            [ray.get(r) for r in d.materialize().to_arrow_refs()]
+            [b.select(schema.names) for b in blocks]
         ).combine_chunks()
 
+    s_i64 = pa.int64()
     out = (
-        _collect(sums)
-        .join(_collect(langs), keys=["source"])
-        .join(_collect(uniq), keys=["source"])
+        _collect(
+            sums,
+            pa.schema(
+                [("source", pa.string()), ("n_docs", s_i64),
+                 ("n_tokens", s_i64), ("n_chars", s_i64)]
+            ),
+        )
+        .join(
+            _collect(
+                langs, pa.schema([("source", pa.string()), ("n_langs", s_i64)])
+            ),
+            keys=["source"],
+        )
+        .join(
+            _collect(
+                uniq,
+                pa.schema([("source", pa.string()), ("n_unique_texts", s_i64)]),
+            ),
+            keys=["source"],
+        )
     )
     return out.select(
         ["source", "n_docs", "n_tokens", "n_chars", "n_langs", "n_unique_texts"]

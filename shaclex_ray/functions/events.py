@@ -106,8 +106,19 @@ def events_window_agg(sf_dir: str):
 def _split_by_user_impl(nbuckets: int, *tbls: pa.Table):
     """Event rows → nbuckets sub-tables by user_id (small uniform ints —
     modulo IS the hash)."""
-    real = [t for t in tbls if t.num_rows > 0] or [tbls[0].slice(0, 0)]
+    real = [t for t in tbls if t.num_rows > 0]
+    if not real:
+        # all-empty input: pick an empty table that still CARRIES the
+        # event columns (a fully-empty upstream can surface zero-column
+        # blocks that would break the user_id lookup below)
+        real = [
+            next(
+                (t for t in tbls if "user_id" in t.column_names), tbls[0]
+            ).slice(0, 0)
+        ]
     base = pa.concat_tables(real).combine_chunks()
+    if "user_id" not in base.column_names:
+        return base if nbuckets == 1 else tuple(base for _ in range(nbuckets))
     users = base.column("user_id").to_numpy(zero_copy_only=False)
     buckets = (users % nbuckets).astype(np.int64)
     order = np.argsort(buckets, kind="stable")
@@ -137,6 +148,15 @@ def _user_exchange(rows_ds, bucket_impl, *bucket_args):
     split_task = ray.remote(_split_by_user_impl)
     bucket_task = ray.remote(bucket_impl)
     mat = rows_ds.materialize()
+    if mat.count() == 0:
+        # empty events table: run the bucket kernel ONCE driver-side on a
+        # typed empty table — exact output schema, no tasks (an all-empty
+        # upstream can otherwise surface zero-column blocks to the split)
+        schema = mat.schema()
+        if schema is not None and "user_id" in schema.names:
+            src = pa.schema(list(zip(schema.names, schema.types))).empty_table()
+            return ray.data.from_arrow(bucket_impl(*bucket_args, src))
+        return mat
     nbuckets = max(
         4,
         int(ray.cluster_resources().get("CPU", 8)),

@@ -106,9 +106,12 @@ def _model_tables(sf_dir: str, ref_mod: int):
         partial, batch_format="pyarrow"
     )
     agg = grouped_aggregate_fast(parts, ["g", "kind"], [("c", "sum")], ["c"])
-    model = pa.concat_tables(
-        [ray.get(r) for r in agg.materialize().to_arrow_refs()]
-    ).combine_chunks()
+    blocks = [ray.get(r) for r in agg.materialize().to_arrow_refs()]
+    blocks = [b for b in blocks if "kind" in b.column_names]
+    if not blocks:  # fully-empty reference slice → empty model
+        empty = pa.table({"g": _EMPTY_BG, "c": pa.array([], pa.int64())})
+        return empty, empty, 0
+    model = pa.concat_tables(blocks).combine_chunks()
     kind = model.column("kind")
     bg = model.filter(pc.equal(kind, "b")).select(["g", "c"])
     uni = model.filter(pc.equal(kind, "u")).select(["g", "c"])

@@ -96,6 +96,20 @@ def pack_sequences(
 
         lo_hi = counts.aggregate(Min("doc_id"), Max("doc_id"))
         lo, hi = lo_hi["min(doc_id)"], lo_hi["max(doc_id)"]
+    if lo is None or hi is None:
+        # fully-empty corpus (no row groups, no rows) — the empty packing
+        import ray.data as _rd
+
+        return _rd.from_arrow(
+            pa.schema(
+                [
+                    ("chunk_id", pa.int64()),
+                    ("doc_id", pa.int64()),
+                    ("begin_in_chunk", pa.int64()),
+                    ("ntok_in_chunk", pa.int64()),
+                ]
+            ).empty_table()
+        )
     span = max(1, hi - lo + 1)
     nb = min(nbuckets, span)
 

@@ -381,8 +381,9 @@ def regional_volume(
     )
     nkeys = nat.column("n_nationkey").to_numpy(zero_copy_only=False).astype(np.int64)
     nname = np.asarray(nat.column("n_name").to_pylist(), dtype=object)
-    # dense nationkeys -> direct-indexed lookup tables
-    nmax = int(nkeys.max()) + 1
+    # dense nationkeys -> direct-indexed lookup tables (empty nation table
+    # → 1-slot all-false lookups: every probe misses, the answer is empty)
+    nmax = int(nkeys.max()) + 1 if len(nkeys) else 1
     nat_ok = np.zeros(nmax, bool)
     nat_ok[nkeys] = in_reg
     name_of = np.empty(nmax, object)

@@ -24,8 +24,26 @@ from shaclex_ray.sources.documents import read_documents
 from shaclex_ray.stages.dedup import dedup_triples, dedup_triples_fast
 from shaclex_ray.stages.extract import extract_triples
 from shaclex_ray.stages.link import build_entity_links, canonicalize_triples
-from shaclex_ray.state.checkpoint import StageRunner
+from shaclex_ray.state.checkpoint import StageRunner, ensure_parquet_schema
 from shaclex_ray.validate.dist import distributed_validate
+
+# canonical stage-output schemas — written as an empty part when a stage
+# produces zero rows, so pruned read-backs never hit a file-less directory
+TRIPLES_SCHEMA = pa.schema(
+    [
+        ("subj", pa.string()),
+        ("pred", pa.string()),
+        ("obj_kind", pa.string()),
+        ("obj_lex", pa.string()),
+        ("obj_dt", pa.string()),
+        ("obj_lang", pa.string()),
+        ("doc_id", pa.string()),
+        ("span_idx", pa.int32()),
+    ]
+)
+LINKS_SCHEMA = pa.schema(
+    [("mention", pa.string()), ("canonical_iri", pa.string())]
+)
 
 # SHACL shapes for the constructed KG — parsed with our own Turtle parser.
 # DocumentShape's ex:mentions sh:class ex:Entity forces a cross-bucket
@@ -121,6 +139,7 @@ def run_kg_pipeline(
             document_partitions(sf_dir),
             extract_partition,
             lambda p: rd.read_parquet(p),
+            empty_schema=TRIPLES_SCHEMA,
         )
     else:
 
@@ -136,7 +155,11 @@ def run_kg_pipeline(
             )
 
         raw = runner.run(
-            "triples_raw", digest, produce_raw, lambda p: rd.read_parquet(p)
+            "triples_raw",
+            digest,
+            produce_raw,
+            lambda p: rd.read_parquet(p),
+            empty_schema=TRIPLES_SCHEMA,
         )
 
     def produce_links(path):
@@ -157,7 +180,10 @@ def run_kg_pipeline(
         # SHARDS, written by the workers — never concatenated on the driver
         links = links.materialize()
         links.write_parquet(f"{path}/shards")
-        return links.count()
+        n = links.count()
+        if n == 0:
+            ensure_parquet_schema(f"{path}/shards", LINKS_SCHEMA)
+        return n
 
     def read_links(path):
         """Size-adaptive read-back: small link tables load driver-side for
@@ -207,7 +233,11 @@ def run_kg_pipeline(
         return dd.count()
 
     triples = runner.run(
-        "triples_canonical", digest, produce_canonical, lambda p: rd.read_parquet(p)
+        "triples_canonical",
+        digest,
+        produce_canonical,
+        lambda p: rd.read_parquet(p),
+        empty_schema=TRIPLES_SCHEMA,
     )
 
     out = {"triples": triples, "links": links, "metrics": runner.metrics}

@@ -440,7 +440,7 @@ def _distinct_bucket_impl(cols: list[str], *parts: pa.Table):
     return base.take(pa.array(kept))
 
 
-def distinct_rows_fast(ds, nbuckets: int | None = None):
+def distinct_rows_fast(ds, nbuckets: int | None = None, empty_schema=None):
     """Exact DISTINCT over all columns of a Dataset: blocks → map-side
     combine + single-pass hash partition → per-bucket vectorized distinct.
     One data move, no sort-based shuffle, no per-group Python calls."""
@@ -449,7 +449,15 @@ def distinct_rows_fast(ds, nbuckets: int | None = None):
 
     mat = ds.materialize()
     refs = mat.to_arrow_refs()
-    cols = mat.schema().names
+    schema = mat.schema()
+    if schema is None:
+        # a fully-empty upstream can surface ZERO blocks (no schema at
+        # all); the distinct of nothing is nothing — keep the declared
+        # column set if the caller gave one so downstream maps see fields
+        if empty_schema is not None:
+            return rd.from_arrow(empty_schema.empty_table())
+        return mat
+    cols = schema.names
     if nbuckets is None:
         # size the exchange to the DATA, not the cluster: a tiny distinct
         # must not fan out cpus x cpus near-empty objects (a 32x32 grid of

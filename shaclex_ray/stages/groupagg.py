@@ -139,11 +139,33 @@ def grouped_aggregate_fast(
     mat = ds.materialize()
     refs = mat.to_arrow_refs()
     nrows = mat.count()
+    distinct_mode = any(fn == "count_distinct" for _, fn in aggs)
+    if nrows == 0:
+        # the group-by of nothing is nothing — but a fully-empty upstream
+        # can carry degenerate blocks (zero-column tables, or none at all),
+        # so synthesize the exact output schema by running the SAME final
+        # kernel driver-side on an empty canonical-schema table
+        schema = mat.schema()
+        needed = list(keys) + [c for c, _ in aggs]
+        if schema is not None and set(needed) <= set(schema.names):
+            src = pa.schema(list(zip(schema.names, schema.types))).empty_table()
+            if distinct_mode:
+                out = _bucket_distinct_impl(keys, aggs[0][0], names[0], src)
+            else:
+                out = _bucket_impl(keys, aggs, names, _partial_agg(src, keys, aggs))
+            return rd.from_arrow(out)
+        if schema is None:
+            return mat  # no schema anywhere — empty in, empty out
+        # schema exists but lacks the needed columns (degenerate empty
+        # blocks) — emit the expected column NAMES, null-typed
+        return rd.from_arrow(
+            pa.table({c: pa.array([], pa.null()) for c in list(keys) + list(names)})
+        )
+
     if nbuckets is None:
         ncpu = int(ray.cluster_resources().get("CPU", 8))
         nbuckets = max(1, min(ncpu, nrows // 200_000 + 1))
 
-    distinct_mode = any(fn == "count_distinct" for _, fn in aggs)
     if distinct_mode:
         if len(aggs) != 1:
             raise ValueError("count_distinct must be the sole aggregation")
@@ -253,6 +275,7 @@ def grouped_topk(
     rank_name: str | None = None,
     keep_cols: list[str] | None = None,
     nbuckets: int | None = None,
+    empty_schema: pa.Schema | None = None,
 ):
     """Per-``key`` top-k rows by ``sort_keys`` ([(col, 'ascending' |
     'descending'), ...]) as the one-move exchange: map-side partial top-k
@@ -268,6 +291,13 @@ def grouped_topk(
         # zero block refs would leave the split kernel with no table to
         # synthesize a schema from — the empty input IS the empty answer
         schema = mat.schema()
+        if schema is None:
+            # a fully-empty upstream (e.g. an empty parquet read) can
+            # surface ZERO blocks, so the dataset carries no schema at
+            # all — fall back to the caller-declared output schema
+            if empty_schema is not None:
+                return rd.from_arrow(empty_schema.empty_table())
+            return mat
         tbl = pa.schema(list(zip(schema.names, schema.types))).empty_table()
         if rank_name and rank_name not in tbl.column_names:
             tbl = tbl.append_column(rank_name, pa.array([], pa.int64()))

@@ -89,7 +89,14 @@ def harvest_mentions(triples_ds):
     # mentions. (A groupby().map_groups here costs seconds of sort-shuffle
     # + per-group Python overhead even when the projection is tiny.)
     return distinct_rows_fast(
-        triples_ds.map_batches(project, batch_format="pyarrow")
+        triples_ds.map_batches(project, batch_format="pyarrow"),
+        empty_schema=pa.schema(
+            [
+                ("mention_iri", pa.string()),
+                ("surface", pa.string()),
+                ("block_key", pa.string()),
+            ]
+        ),
     )
 
 

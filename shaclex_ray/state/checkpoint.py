@@ -30,6 +30,23 @@ import time
 import uuid
 
 
+def ensure_parquet_schema(path: str, schema) -> None:
+    """Guarantee ``path`` (a stage-output directory) contains at least one
+    parquet file carrying ``schema``. An all-empty stage writes ZERO part
+    files (both Ray's ``write_parquet`` and the partitioned writer skip
+    row-less outputs), and a later column-pruned ``read_parquet`` of the
+    directory then fails schema inference. Idempotent; never touches a
+    directory that already has data files."""
+    import glob
+
+    import pyarrow.parquet as pq
+
+    if glob.glob(os.path.join(path, "**", "*.parquet"), recursive=True):
+        return
+    os.makedirs(path, exist_ok=True)
+    pq.write_table(schema.empty_table(), os.path.join(path, "part-empty.parquet"))
+
+
 class StageRunner:
     def __init__(self, out_dir: str, resume: bool = True):
         self.out_dir = out_dir
@@ -50,11 +67,16 @@ class StageRunner:
         except (OSError, ValueError):
             return False
 
-    def run(self, stage: str, digest: str, produce, read_back):
+    def run(self, stage: str, digest: str, produce, read_back, empty_schema=None):
         """``produce(path)`` writes the stage output and returns row count;
-        ``read_back(path)`` loads it. Completed stages are skipped."""
+        ``read_back(path)`` loads it. Completed stages are skipped.
+        ``empty_schema``: canonical output schema written as an empty part
+        when the stage produced zero rows (so pruned read-backs never hit
+        a file-less directory)."""
         path = os.path.join(self.out_dir, stage)
         if self.is_done(stage, digest):
+            if empty_schema is not None:
+                ensure_parquet_schema(path, empty_schema)
             self.metrics[stage] = json.load(open(self._manifest_path(stage)))
             self.metrics[stage]["resumed"] = True
             return read_back(path)
@@ -67,6 +89,8 @@ class StageRunner:
         t0 = time.perf_counter()
         rows = produce(path)
         wall = time.perf_counter() - t0
+        if empty_schema is not None:
+            ensure_parquet_schema(path, empty_schema)
         manifest = {"stage": stage, "digest": digest, "rows": rows, "wall_sec": wall}
         with open(self._manifest_path(stage), "w") as f:
             json.dump(manifest, f)
@@ -74,7 +98,13 @@ class StageRunner:
         return read_back(path)
 
     def run_partitioned(
-        self, stage: str, digest: str, parts: list[dict], produce_part, read_back
+        self,
+        stage: str,
+        digest: str,
+        parts: list[dict],
+        produce_part,
+        read_back,
+        empty_schema=None,
     ):
         """Partition-granular resumable scan stage.
 
@@ -92,6 +122,8 @@ class StageRunner:
         """
         path = os.path.join(self.out_dir, stage)
         if self.is_done(stage, digest):
+            if empty_schema is not None:
+                ensure_parquet_schema(path, empty_schema)
             self.metrics[stage] = json.load(open(self._manifest_path(stage)))
             self.metrics[stage]["resumed"] = True
             return read_back(path)
@@ -197,6 +229,8 @@ class StageRunner:
                 .materialize()
             )
         wall = time.perf_counter() - t0
+        if empty_schema is not None:
+            ensure_parquet_schema(path, empty_schema)
         total_rows = 0
         for f in os.listdir(parts_dir):
             if f.endswith(".json"):
