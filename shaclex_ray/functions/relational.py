@@ -413,7 +413,10 @@ def regional_volume(
         ck = batch.column("o_custkey").to_numpy(zero_copy_only=False).astype(np.int64)
         idx, hitc = _sorted_probe(cks, ck)
         nation = cns[idx] if len(cks) else np.zeros(len(ck), np.int64)
-        keep = hitc & nat_ok[nation]
+        # a dangling c_nationkey (no matching nation row) must miss, not
+        # index the lookup out of bounds
+        known = (nation >= 0) & (nation < len(nat_ok))
+        keep = hitc & known & nat_ok[np.clip(nation, 0, len(nat_ok) - 1)]
         batch = batch.filter(pa.array(keep))
         return pa.table(
             {
@@ -429,7 +432,9 @@ def regional_volume(
         sk = batch.column("l_suppkey").to_numpy(zero_copy_only=False).astype(np.int64)
         idx, hits = _sorted_probe(sks, sk)
         nation = sns[idx] if len(sks) else np.zeros(len(sk), np.int64)
-        keep = hits & nat_ok[nation]
+        # dangling s_nationkey guard — see ord_nation
+        known = (nation >= 0) & (nation < len(nat_ok))
+        keep = hits & known & nat_ok[np.clip(nation, 0, len(nat_ok) - 1)]
         batch = batch.filter(pa.array(keep))
         cents = _cents(batch.column("l_extendedprice"))
         disc = _cents(batch.column("l_discount"))
