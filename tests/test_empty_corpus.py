@@ -78,3 +78,63 @@ def test_query_on_one_row_corpus(ray_session, one_row_sf, name):
     # row counts vary per operator; the invariant is graceful execution
     n = res.count() if isinstance(res, ray.data.Dataset) else len(res)
     assert n >= 0
+
+
+@pytest.fixture(scope="module")
+def hot_key_sf(tmp_path_factory):
+    """Every document carries ONE shared text and ONE source — the
+    hottest possible key: one giant dup group, one LSH bucket, one
+    substring window hash. Pins that the degenerate-bucket caps and
+    representative-based verifies keep skewed exchanges alive."""
+    import pyarrow as pa
+
+    out = str(tmp_path_factory.mktemp("sf_dup"))
+    for f in glob.glob(f"{SRC_SF}/*.parquet"):
+        t = pq.read_table(f)
+        name = os.path.basename(f)
+        if name == "documents.parquet" and t.num_rows:
+            txt = t.column("text")[0].as_py()
+            n = t.num_rows
+            t = t.set_column(
+                t.schema.get_field_index("text"),
+                "text",
+                pa.array([txt] * n, pa.string()),
+            )
+            t = t.set_column(
+                t.schema.get_field_index("source"),
+                "source",
+                pa.array(["s0"] * n, pa.string()),
+            )
+        pq.write_table(t, os.path.join(out, name))
+    yield out
+    mangled = out.strip("/").replace("/", "_")
+    for root in ("/tmp/graft_kg", "/tmp/graft_curate"):
+        shutil.rmtree(os.path.join(root, mangled), ignore_errors=True)
+
+
+# the skew-sensitive operators: giant dup groups, single-bucket LSH,
+# identical-window substring exchange, hot-source sampling/mixture
+_HOT_KEY_NAMES = [
+    "dedup_exact",
+    "dedup_minhash",
+    "dedup_simhash_groups",
+    "dedup_ngram_jaccard",
+    "dedup_clusters",
+    "dedup_substring",
+    "curate_corpus",
+    "curate_sample",
+    "curate_mixture",
+    "curate_top_terms",
+    "text_term_stats",
+]
+
+
+@pytest.mark.parametrize("name", _HOT_KEY_NAMES)
+def test_query_on_hot_key_corpus(ray_session, hot_key_sf, name):
+    import ray.data
+
+    import __ray_entry__ as e
+
+    res = e.queries()[name](hot_key_sf)
+    n = res.count() if isinstance(res, ray.data.Dataset) else len(res)
+    assert n >= 0
