@@ -476,7 +476,9 @@ def top_terms(sf_dir: str, k: int = 3):
 
     def rank_batch(batch: pa.Table) -> pa.Table:
             df_terms, df_vals = ray.get(df_ref)
-            toks = pc.split_pattern(batch.column("text").combine_chunks(), " ")
+            toks = pc.split_pattern(
+                pc.fill_null(batch.column("text").combine_chunks(), ""), " "
+            )
             flat = pc.list_flatten(toks)
             parents = pc.list_parent_indices(toks).to_numpy(
                 zero_copy_only=False
@@ -888,7 +890,7 @@ def mixture_report(sf_dir: str):
 
     def fp_partial(batch: pa.Table) -> pa.Table:
         text = batch.column("text").combine_chunks().cast(pa.binary())
-        fps = [_hl.md5(s).hexdigest() for s in text.to_pylist()]
+        fps = [_hl.md5(s or b"").hexdigest() for s in text.to_pylist()]
         t = pa.table(
             {"source": batch.column("source"), "fp": pa.array(fps, pa.string())}
         )

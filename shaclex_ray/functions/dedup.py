@@ -76,7 +76,7 @@ def exact_groups(sf_dir: str):
     """(fingerprint, canonical_doc_id, n_dups): one row per distinct text."""
 
     def fp(batch: pa.Table) -> pa.Table:
-        texts = batch.column("text").to_pylist()
+        texts = pc.fill_null(_cc(batch.column("text")), "").to_pylist()
         hs = [hashlib.md5(t.encode()).hexdigest() for t in texts]
         return pa.table(
             {"fingerprint": pa.array(hs, pa.string()), "doc_id": batch.column("doc_id")}
@@ -167,7 +167,7 @@ def _batch_gram_hashes(texts, shingle: int) -> tuple[np.ndarray, np.ndarray]:
     ``shingle`` tokens yields ONE gram = the whole text (split-on-space /
     join-with-space are exact inverses). Everything here is Arrow/numpy —
     no per-gram Python."""
-    t = _cc(texts)
+    t = pc.fill_null(_cc(texts), "")  # null text tokenizes as empty text
     toks = pc.split_pattern(t, " ")
     flat = _cc(pc.list_flatten(toks))
     n_tok = pc.list_value_length(toks).to_numpy(zero_copy_only=False).astype(np.int64)
@@ -481,7 +481,7 @@ class SimHasher:
         return int(self(tbl).column("simhash")[0].as_py(), 16)
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        text = _cc(batch.column("text"))
+        text = pc.fill_null(_cc(batch.column("text")), "")
         toks = pc.split_pattern(text, " ")
         flat = _cc(pc.list_flatten(toks))
         n_tok = pc.list_value_length(toks).to_numpy(zero_copy_only=False).astype(np.int64)

@@ -62,7 +62,9 @@ def _bigrams(text, par: np.ndarray):
 
 
 def _flat_tokens(batch: pa.Table):
-    toks = pc.split_pattern(batch.column("text").combine_chunks(), " ")
+    toks = pc.split_pattern(
+        pc.fill_null(batch.column("text").combine_chunks(), ""), " "
+    )
     flat = pc.list_flatten(toks)
     if isinstance(flat, pa.ChunkedArray):
         flat = flat.combine_chunks()

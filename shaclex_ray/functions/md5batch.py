@@ -21,12 +21,21 @@ import pyarrow as pa
 
 
 def _as_bytes_list(arr) -> list[bytes]:
+    # engine-wide null policy: a NULL string hashes as the EMPTY string
+    # (real corpora carry null text; digesting None would crash the task)
     if isinstance(arr, (list, tuple)):
-        return [x.encode() if isinstance(x, str) else x for x in arr]
+        return [
+            x.encode() if isinstance(x, str) else (x if x is not None else b"")
+            for x in arr
+        ]
     if isinstance(arr, pa.ChunkedArray):
         arr = arr.combine_chunks()
     if pa.types.is_string(arr.type) or pa.types.is_large_string(arr.type):
         arr = arr.cast(pa.binary())
+    if arr.null_count:
+        import pyarrow.compute as pc
+
+        arr = pc.fill_null(arr, b"")
     return arr.to_pylist()
 
 

@@ -31,7 +31,9 @@ import ray.data as rd
 
 
 def _token_counts(batch: pa.Table) -> pa.Table:
-    toks = pc.split_pattern(batch.column("text").combine_chunks(), " ")
+    toks = pc.split_pattern(
+        pc.fill_null(batch.column("text").combine_chunks(), ""), " "
+    )
     return pa.table(
         {
             "doc_id": batch.column("doc_id"),

@@ -53,7 +53,9 @@ def _windows_batch(batch: pa.Table, k: int) -> pa.Table:
     Vectorized: k shifted takes over the flat token array + one
     element-wise join build every window string at once."""
     doc_ids = batch.column("doc_id").to_numpy(zero_copy_only=False)
-    toks = pc.split_pattern(batch.column("text").combine_chunks(), " ")
+    toks = pc.split_pattern(
+        pc.fill_null(batch.column("text").combine_chunks(), ""), " "
+    )
     flat = pc.list_flatten(toks)
     if isinstance(flat, pa.ChunkedArray):
         flat = flat.combine_chunks()
@@ -278,7 +280,9 @@ def _trim_bucket_impl(k: int, spans: pa.Table, *doc_parts: pa.Table) -> pa.Table
     order = np.argsort(ids, kind="stable")
     docs = docs.take(pa.array(order))
     ids = ids[order]
-    toks = pc.split_pattern(docs.column("text").combine_chunks(), " ")
+    toks = pc.split_pattern(
+        pc.fill_null(docs.column("text").combine_chunks(), ""), " "
+    )
     if isinstance(toks, pa.ChunkedArray):
         toks = toks.combine_chunks()
     flat = pc.list_flatten(toks)

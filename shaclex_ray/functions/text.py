@@ -19,7 +19,7 @@ STOPWORDS = ("the", "a")
 
 
 def token_stats_batch(batch: pa.Table) -> pa.Table:
-    text = batch.column("text").combine_chunks()
+    text = pc.fill_null(batch.column("text").combine_chunks(), "")
     toks = pc.split_pattern(text, " ")
     n_tokens = pc.list_value_length(toks).cast(pa.int64())
     n_chars = pc.utf8_length(text).cast(pa.int64())
@@ -86,7 +86,7 @@ def fingerprint_batch(batch: pa.Table) -> pa.Table:
     trimmed = pc.utf8_trim_whitespace(batch.column("text").combine_chunks())
     fps = [
         _hl.md5(s).hexdigest()
-        for s in trimmed.cast(pa.binary()).to_pylist()
+        for s in pc.fill_null(trimmed.cast(pa.binary()), b"").to_pylist()
     ]
     return pa.table(
         {
@@ -191,7 +191,9 @@ def repetition_batch(batch: pa.Table) -> pa.Table:
     """Per-document bigram repetition profile (a Gopher-style quality
     signal): total bigrams, distinct bigrams, and the count of the most
     frequent bigram. One dictionary-encode + lexsort pass per batch."""
-    toks = pc.split_pattern(batch.column("text").combine_chunks(), " ")
+    toks = pc.split_pattern(
+        pc.fill_null(batch.column("text").combine_chunks(), ""), " "
+    )
     flat = pc.list_flatten(toks)
     parents = pc.list_parent_indices(toks).to_numpy(zero_copy_only=False)
     ndocs = batch.num_rows
@@ -344,7 +346,7 @@ class LangID:
         return v / np.maximum(n, 1e-9)
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        texts = batch.column("text").to_pylist()
+        texts = pc.fill_null(batch.column("text").combine_chunks(), "").to_pylist()
         if texts:
             vecs = self._batch_vectors(texts)
             sims = vecs @ self.mat.T  # (ndocs, nlangs)
@@ -392,6 +394,7 @@ def langid(sf_dir: str, sample_per_lang: int = 50):
     profiles: dict[str, dict[str, float]] = {}
     per_lang: dict[str, int] = {}
     for t, lang in zip(sample.column("text").to_pylist(), sample.column("lang").to_pylist()):
+        t, lang = t or "", lang or ""
         if per_lang.get(lang, 0) >= sample_per_lang:
             continue
         per_lang[lang] = per_lang.get(lang, 0) + 1

@@ -138,3 +138,44 @@ def test_query_on_hot_key_corpus(ray_session, hot_key_sf, name):
     res = e.queries()[name](hot_key_sf)
     n = res.count() if isinstance(res, ray.data.Dataset) else len(res)
     assert n >= 0
+
+
+@pytest.fixture(scope="module")
+def null_sf(tmp_path_factory):
+    """Null text/lang/source sprinkled through the documents table (keys
+    stay non-null) — real ingests carry nulls. Engine policy: a null
+    string tokenizes and hashes as the EMPTY string (pinned here); the
+    SQL oracles never see nulls (the driver's testdata has none), so
+    DuckDB's null-propagation semantics are not at stake."""
+    import pyarrow as pa
+
+    out = str(tmp_path_factory.mktemp("sf_null"))
+    for f in glob.glob(f"{SRC_SF}/*.parquet"):
+        t = pq.read_table(f)
+        name = os.path.basename(f)
+        if name == "documents.parquet" and t.num_rows >= 4:
+            for c in ("text", "lang", "source"):
+                col = t.column(c).to_pylist()
+                for i in range(0, min(len(col), 40), 7):
+                    col[i] = None
+                t = t.set_column(
+                    t.schema.get_field_index(c),
+                    c,
+                    pa.array(col, t.schema.field(c).type),
+                )
+        pq.write_table(t, os.path.join(out, name))
+    yield out
+    mangled = out.strip("/").replace("/", "_")
+    for root in ("/tmp/graft_kg", "/tmp/graft_curate"):
+        shutil.rmtree(os.path.join(root, mangled), ignore_errors=True)
+
+
+@pytest.mark.parametrize("name", _query_names())
+def test_query_on_null_corpus(ray_session, null_sf, name):
+    import ray.data
+
+    import __ray_entry__ as e
+
+    res = e.queries()[name](null_sf)
+    n = res.count() if isinstance(res, ray.data.Dataset) else len(res)
+    assert n >= 0
