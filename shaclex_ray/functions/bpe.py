@@ -38,6 +38,7 @@ functions/pack.py.
 from __future__ import annotations
 
 import logging
+import os
 
 import numpy as np
 import pyarrow as pa
@@ -50,6 +51,21 @@ logger = logging.getLogger(__name__)
 # end-of-word marker, appended before splitting into symbols so merges
 # can distinguish word-final units (the classic BPE formulation)
 EOW = "▁"
+
+# Long-word policy: a whitespace token longer than this many characters is
+# split into fixed-size chunks and each chunk is treated as a BPE word (its
+# own EOW) by BOTH the trainer and the encoder, so token counts stay
+# consistent between the two. Real trainers bound symbol-sequence length the
+# same way (sentencepiece max_sentencepiece_length, HF BpeTrainer
+# max_token_length) because web corpora carry megabyte "words" (base64
+# blobs, minified JS) that make the O(len^2) greedy encode and the
+# per-merge word rewrite pathological. n_words still counts the original
+# whitespace token once.
+MAX_WORD_LEN = int(os.environ.get("SHACLEX_BPE_MAX_WORD_LEN", "256"))
+
+
+def _chunk_word(w: str, max_len: int) -> list:
+    return [w[i : i + max_len] for i in range(0, len(w), max_len)]
 
 
 # ------------------------------------------------------------ word counts
@@ -104,10 +120,19 @@ def _word_freqs(sf_dir: str, max_words: int):
             total,
             100.0 * (total - kept_mass) / max(total, 1),
         )
-    return (
-        kept.column("term").to_pylist(),
-        kept.column("tf").to_numpy(zero_copy_only=False).astype(np.int64),
-    )
+    words = kept.column("term").to_pylist()
+    tfs = kept.column("tf").to_numpy(zero_copy_only=False).astype(np.int64)
+    if any(len(w) > MAX_WORD_LEN for w in words):
+        # long-word policy (MAX_WORD_LEN): chunk overlong terms and
+        # re-aggregate — vocab-sized driver work on the already-capped table
+        agg: dict = {}
+        for w, f in zip(words, tfs):
+            for piece in _chunk_word(w, MAX_WORD_LEN):
+                agg[piece] = agg.get(piece, 0) + int(f)
+        items = sorted(agg.items(), key=lambda kv: (-kv[1], kv[0]))[:max_words]
+        words = [k for k, _ in items]
+        tfs = np.array([v for _, v in items], np.int64)
+    return (words, tfs)
 
 
 # ------------------------------------------------------------ merge loop
@@ -260,7 +285,18 @@ class BpeEncodeStats:
         for i, w in enumerate(uniq):
             n = cache.get(w)
             if n is None:
-                n = _encode_word(w, ranks)
+                if len(w) > MAX_WORD_LEN:
+                    # long-word policy: encode each chunk as its own word
+                    # (mirrors the trainer), memoizing per chunk too
+                    n = 0
+                    for piece in _chunk_word(w, MAX_WORD_LEN):
+                        pn = cache.get(piece)
+                        if pn is None:
+                            pn = _encode_word(piece, ranks)
+                            cache[piece] = pn
+                        n += pn
+                else:
+                    n = _encode_word(w, ranks)
                 cache[w] = n
             lens[i] = n
         per_tok = lens[dic.indices.to_numpy(zero_copy_only=False)]

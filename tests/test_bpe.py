@@ -100,3 +100,69 @@ def test_bpe_train_cap_is_deterministic(trained, ray_session):
         SF, n_merges=n_merges, min_freq=min_freq, max_words=10_000
     )
     assert small_cap.equals(got)
+
+
+def test_bpe_long_word_chunk_policy(ray_session, tmp_path):
+    """A megabyte-scale whitespace token (base64 blob / minified JS) must
+    not poison the trainer or the O(len^2) greedy encode: both sides chunk
+    it into MAX_WORD_LEN pieces (each its own EOW word). Pinned against
+    the naive reference run over the chunked word-frequency table."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq2
+
+    from shaclex_ray.functions.bpe import (
+        EOW,
+        MAX_WORD_LEN,
+        _chunk_word,
+        bpe_encode,
+        bpe_train,
+    )
+
+    huge = "ab" * (MAX_WORD_LEN * 40)  # 80 chunks, 2 distinct
+    docs = [
+        "the cat sat on the mat",
+        "the dog sat on the log",
+        f"payload {huge} trailer",
+    ]
+    out = tmp_path / "corpus"
+    out.mkdir()
+    pq2.write_table(
+        pa.table(
+            {
+                "doc_id": pa.array(range(len(docs)), pa.int64()),
+                "text": pa.array(docs, pa.string()),
+            }
+        ),
+        out / "documents.parquet",
+    )
+    n_merges, min_freq = 40, 2
+    freqs = {}
+    for txt in docs:
+        for w in txt.split(" "):
+            for piece in _chunk_word(w, MAX_WORD_LEN):
+                freqs[piece] = freqs.get(piece, 0) + 1
+    exp_merges, exp_syms = _naive_train(freqs, n_merges, min_freq, EOW)
+    got = bpe_train(str(out), n_merges=n_merges, min_freq=min_freq)
+    got_rows = list(
+        zip(
+            got.column("left").to_pylist(),
+            got.column("right").to_pylist(),
+            got.column("freq").to_pylist(),
+        )
+    )
+    assert got_rows == exp_merges
+    enc = {
+        r["doc_id"]: (r["n_tokens"], r["n_words"])
+        for r in bpe_encode(
+            str(out), n_merges=n_merges, min_freq=min_freq
+        ).take_all()
+    }
+    for did, txt in enumerate(docs):
+        words = txt.split(" ")
+        exp_tokens = sum(
+            len(exp_syms[p])
+            for w in words
+            for p in _chunk_word(w, MAX_WORD_LEN)
+        )
+        # n_words counts the original whitespace token once, chunked or not
+        assert enc[did] == (exp_tokens, len(words)), did
