@@ -30,7 +30,11 @@ _VOCAB_SQL = "('spark','customer','vector','window','stream','hash','merge','joi
 _DOCS_CTE = """
 docs AS (
   SELECT doc_id,
-         'doc-' || lpad(CAST(doc_id AS VARCHAR), 8, '0') AS did,
+         -- pad-only label policy (documents.doc_id_str): DuckDB's lpad
+         -- TRUNCATES >8-char ids, so guard it for dirty (13-digit) ids
+         'doc-' || CASE WHEN length(CAST(doc_id AS VARCHAR)) >= 8
+                        THEN CAST(doc_id AS VARCHAR)
+                        ELSE lpad(CAST(doc_id AS VARCHAR), 8, '0') END AS did,
          text, lang, source,
          string_split(text, ' ') AS toks
   FROM documents
@@ -50,7 +54,9 @@ chunks AS (
 ),
 entity_tokens AS (
   SELECT doc_id, did, chunk, tok_idx, tok,
-         CASE (doc_id + tok_idx) % 3
+         -- sign-safe modulo: SQL % keeps the dividend's sign, numpy's
+         -- doesn't — ((x % 3) + 3) % 3 matches the engine on negative ids
+         CASE ((doc_id + tok_idx) % 3 + 3) % 3
            WHEN 1 THEN upper(tok)
            WHEN 2 THEN upper(substr(tok, 1, 1)) || substr(tok, 2)
            ELSE tok END AS mention
@@ -942,13 +948,18 @@ def oracle_sql() -> dict[str, str]:
         "ann_ivf_lists": _sql_oracles.ivf_lists_sql(),
         "ann_ivf_topk": _sql_oracles.ivf_topk_sql(),
         "ann_topk": """
-        WITH q AS (
-          SELECT vec_id AS query_id, embedding AS qe FROM embeddings
+        -- DOUBLE[] cast: DuckDB computes list_cosine_similarity in the
+        -- list's own float type; f32 over/underflows on extreme vectors
+        -- where the engine's float64 kernel is exact
+        WITH emb AS (
+          SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings
+        ), q AS (
+          SELECT vec_id AS query_id, e AS qe FROM emb
           ORDER BY vec_id LIMIT 10
         ), scored AS (
           SELECT q.query_id, e.vec_id,
-                 list_cosine_similarity(q.qe, e.embedding) AS cos
-          FROM q CROSS JOIN embeddings e
+                 list_cosine_similarity(q.qe, e.e) AS cos
+          FROM q CROSS JOIN emb e
           WHERE e.vec_id != q.query_id
         ), ranked AS (
           SELECT query_id, vec_id,

@@ -50,6 +50,19 @@ def _to_matrix(batch: pa.Table) -> tuple[np.ndarray, np.ndarray]:
     return ids, _list_to_matrix(batch.column("embedding"))
 
 
+def _normalize_rows(m: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """Row-normalize exactly (float64 — no epsilon clamp, which would
+    crush tiny-magnitude vectors to a fake zero direction). Zero-norm
+    rows are left all-zero and flagged in the returned mask; the engine's
+    cosine policy is that any similarity involving a zero-norm vector is
+    **-1** (undefined direction ranks last) — the same value DuckDB's
+    list_cosine_similarity returns, so the SQL twins agree by
+    construction. Callers must apply the mask to their sims matrix."""
+    n = np.linalg.norm(m, axis=1, keepdims=True)
+    zero = n[:, 0] == 0.0
+    return m / np.where(n == 0.0, 1.0, n), zero
+
+
 def _partial_topk(qids, ids, sims, k, out_q, out_v, out_s):
     """Per-query top-k within one batch, selected by (-cos, vec_id) so the
     final merge over partials equals the global top-k exactly."""
@@ -68,15 +81,17 @@ class BruteForceTopK:
     def __init__(self, queries_ref, k: int):
         q = ray.get(queries_ref) if isinstance(queries_ref, ray.ObjectRef) else queries_ref
         self.qids, qm = q
-        qn = np.linalg.norm(qm, axis=1, keepdims=True)
-        self.qm = qm / np.maximum(qn, 1e-12)
+        self.qm, self.qzero = _normalize_rows(np.asarray(qm, np.float64))
         self.k = k
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         ids, emb = _to_matrix(batch)
-        en = np.linalg.norm(emb, axis=1, keepdims=True)
-        emb = emb / np.maximum(en, 1e-12)
+        emb, ezero = _normalize_rows(emb)
         sims = self.qm @ emb.T  # (nq, nb)
+        if self.qzero.any():
+            sims[self.qzero, :] = -1.0
+        if ezero.any():
+            sims[:, ezero] = -1.0
         # exclude self-matches before selection
         for qi, qid in enumerate(self.qids):
             self_mask = ids == qid
@@ -203,15 +218,13 @@ class LshBucketTopK:
         self.qids, qm = q
         self.planes = lsh_planes(dim, nbits, seed)
         self.qsig = _signature(np.asarray(qm, dtype=np.float64), self.planes)
-        qn = np.linalg.norm(qm, axis=1, keepdims=True)
-        self.qm = qm / np.maximum(qn, 1e-12)
+        self.qm, self.qzero = _normalize_rows(np.asarray(qm, np.float64))
         self.k = k
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         ids, emb = _to_matrix(batch)
         sig = _signature(emb, self.planes)
-        en = np.linalg.norm(emb, axis=1, keepdims=True)
-        emb = emb / np.maximum(en, 1e-12)
+        emb, ezero = _normalize_rows(emb)
         out_q: list = []
         out_v: list = []
         out_s: list = []
@@ -221,6 +234,11 @@ class LshBucketTopK:
                 continue
             cand_ids = ids[mask]
             sims = (self.qm[qi] @ emb[mask].T)[None, :]
+            if self.qzero[qi]:
+                sims[:] = -1.0
+            ez = ezero[mask]
+            if ez.any():
+                sims[0, ez] = -1.0
             _partial_topk([qid], cand_ids, sims, self.k, out_q, out_v, out_s)
         return pa.table(
             {
@@ -323,16 +341,21 @@ def ivf_centroids(sf_dir: str, nlist: int = 16) -> tuple[np.ndarray, np.ndarray]
     cids = np.concatenate(ids_parts) // stride
     cm = np.vstack(emb_parts)
     order = np.argsort(cids)
-    cm = cm[order]
-    cn = np.linalg.norm(cm, axis=1, keepdims=True)
-    return cids[order], cm / np.maximum(cn, 1e-12)
+    norm, _ = _normalize_rows(cm[order])
+    return cids[order], norm
 
 
 def _ivf_assign(emb: np.ndarray, cm_norm: np.ndarray) -> np.ndarray:
     """Nearest-centroid list id by cosine; argmax takes the SMALLEST
-    centroid id on ties (matches the SQL twin's ORDER BY cos DESC, cid)."""
-    en = np.linalg.norm(emb, axis=1, keepdims=True)
-    sims = (emb / np.maximum(en, 1e-12)) @ cm_norm.T
+    centroid id on ties (matches the SQL twin's ORDER BY cos DESC, cid).
+    Zero-norm vectors OR centroids score -1 (the engine cosine policy)."""
+    embn, ez = _normalize_rows(emb)
+    sims = embn @ cm_norm.T
+    if ez.any():
+        sims[ez, :] = -1.0
+    cz = ~cm_norm.any(axis=1)
+    if cz.any():
+        sims[:, cz] = -1.0
     return np.argmax(sims, axis=1).astype(np.int64)
 
 
@@ -431,9 +454,13 @@ def ivf_topk(
     swaps in the k-means-refined centroids — identical shapes throughout."""
     cm = _codebook(sf_dir, nlist, codebook)
     qids, qm = _load_queries(sf_dir, n_queries)
-    qn = np.linalg.norm(qm, axis=1, keepdims=True)
-    qmn = qm / np.maximum(qn, 1e-12)
+    qmn, qzero = _normalize_rows(np.asarray(qm, np.float64))
     qsims = qmn @ cm.T  # (nq, nlist)
+    if qzero.any():
+        qsims[qzero, :] = -1.0
+    czero = ~cm.any(axis=1)
+    if czero.any():
+        qsims[:, czero] = -1.0
     # nprobe nearest lists per query, ties to the smaller list id
     probe = np.argsort(-qsims, axis=1, kind="stable")[:, :nprobe]
     probe_sets = [set(int(x) for x in row) for row in probe]
@@ -446,8 +473,7 @@ def ivf_topk(
             lids = batch.column("list_id").to_numpy(zero_copy_only=False).astype(np.int64)
         else:
             lids = _ivf_assign(emb, cm)
-        en = np.linalg.norm(emb, axis=1, keepdims=True)
-        embn = emb / np.maximum(en, 1e-12)
+        embn, ezero = _normalize_rows(emb)
         out_q: list = []
         out_v: list = []
         out_s: list = []
@@ -457,6 +483,11 @@ def ivf_topk(
             if not mask.any():
                 continue
             sims = (s_qm[qi] @ embn[mask].T)[None, :]
+            if qzero[qi]:
+                sims[:] = -1.0
+            ez = ezero[mask]
+            if ez.any():
+                sims[0, ez] = -1.0
             _partial_topk([qid], ids[mask], sims, k, out_q, out_v, out_s)
         return pa.table(
             {
@@ -541,8 +572,7 @@ class KnnLabelVote:
     def __init__(self, seeds, k: int):
         seeds = ray.get(seeds) if isinstance(seeds, ray.ObjectRef) else seeds
         self.seed_ids, sm, self.seed_labels = seeds
-        sn = np.linalg.norm(sm, axis=1, keepdims=True)
-        self.sm = sm / np.maximum(sn, 1e-12)
+        self.sm, self.szero = _normalize_rows(np.asarray(sm, np.float64))
         self.labels_u = np.unique(self.seed_labels)
         self.k = k
 
@@ -558,9 +588,12 @@ class KnnLabelVote:
                     "n_votes": pa.array([], pa.int64()),
                 }
             )
-        en = np.linalg.norm(emb, axis=1, keepdims=True)
-        emb = emb / np.maximum(en, 1e-12)
+        emb, ezero = _normalize_rows(emb)
         sims = emb @ self.sm.T  # (nb, n_seed)
+        if ezero.any():
+            sims[ezero, :] = -1.0
+        if self.szero.any():
+            sims[:, self.szero] = -1.0
         # top-k by (-cos, seed_id): seeds are stored id-ascending, and a
         # stable sort keeps that order among cos ties
         order = np.argsort(-sims, axis=1, kind="stable")[:, : self.k]
@@ -625,17 +658,21 @@ def knn_label(sf_dir: str, n_seed: int = 100, k: int = 5):
 
 def knn_label_sql(n_seed: int = 100, k: int = 5) -> str:
     return f"""
-    WITH seeds AS (
-      SELECT vec_id AS sid, embedding AS se, label
-      FROM embeddings ORDER BY vec_id LIMIT {n_seed}
+    WITH emb AS (
+      -- DOUBLE[] cast: DuckDB computes cosine in the list's own float
+      -- type; f32 over/underflows where the engine's float64 is exact
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e, label FROM embeddings
+    ), seeds AS (
+      SELECT vec_id AS sid, e AS se, label
+      FROM emb ORDER BY vec_id LIMIT {n_seed}
     ), rest AS (
-      SELECT vec_id, embedding FROM embeddings
+      SELECT vec_id, e FROM emb
       WHERE vec_id NOT IN (SELECT sid FROM seeds)
     ), ranked AS (
       SELECT r.vec_id, s.label,
              row_number() OVER (
                PARTITION BY r.vec_id
-               ORDER BY list_cosine_similarity(r.embedding, s.se) DESC, s.sid
+               ORDER BY list_cosine_similarity(r.e, s.se) DESC, s.sid
              ) AS rk
       FROM rest r CROSS JOIN seeds s
     ), votes AS (
@@ -681,8 +718,7 @@ def kmeans_codebook(
         def partial(batch: pa.Table, _cm_ref=cm_ref) -> pa.Table:
             cmn = ray.get(_cm_ref)
             _, emb = _to_matrix(batch)
-            en = np.linalg.norm(emb, axis=1, keepdims=True)
-            embn = emb / np.maximum(en, 1e-12)
+            embn, _ = _normalize_rows(emb)
             lid = np.argmax(embn @ cmn.T, axis=1)
             sums = np.zeros((nlist, dim), np.float64)
             np.add.at(sums, lid, embn)

@@ -59,7 +59,12 @@ SPAN_STRUCT = pa.struct(
 
 
 def doc_id_str(doc_id: int) -> str:
-    return f"doc-{doc_id:08d}"
+    # label policy: pad-only rjust to width 8, never truncate, sign treated
+    # as a plain character — the semantics Arrow's utf8_lpad (the vectorized
+    # kernel in build_spans_batch) applies, so scalar and vectorized paths
+    # agree on dirty ids (negative, >8-digit). The SQL twins mirror it with
+    # a CASE around DuckDB's (truncating) lpad.
+    return "doc-" + str(doc_id).rjust(8, "0")
 
 
 def mention_variant(token: str, doc_id: int, tok_idx: int) -> str:
