@@ -130,12 +130,32 @@ def _merge_topk(partials, k: int):
 
 
 def _load_queries(sf_dir: str, n_queries: int):
+    """Query set = the ``n_queries`` SMALLEST vec_ids — the SQL twins'
+    ``ORDER BY vec_id LIMIT n`` — not the first physical rows (file order
+    is not a contract). Same shape as knn_label's seed selection:
+    distributed per-block partial min-k over the narrow id column, then a
+    predicate-pruned read of just the query rows."""
     import pyarrow.parquet as pq
 
+    path = f"{sf_dir}/embeddings.parquet"
+
+    def _id_part(batch: pa.Table) -> pa.Table:
+        v = np.sort(batch.column("vec_id").to_numpy(zero_copy_only=False))
+        return pa.table({"vec_id": pa.array(v[:n_queries], pa.int64())})
+
+    id_parts = (
+        ray.data.read_parquet(path, columns=["vec_id"])
+        .map_batches(_id_part, batch_format="pyarrow")
+        .take_all()
+    )
+    sel = np.sort(np.array([r["vec_id"] for r in id_parts], np.int64))[:n_queries]
     qt = pq.read_table(
-        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
-    ).slice(0, n_queries)
-    return _to_matrix(qt)
+        path,
+        columns=["vec_id", "embedding"],
+        filters=[("vec_id", "<=", int(sel[-1]) if len(sel) else -1)],
+    )
+    order = np.argsort(qt.column("vec_id").to_numpy(zero_copy_only=False))
+    return _to_matrix(qt.take(pa.array(order)).slice(0, n_queries))
 
 
 def topk_cosine(sf_dir: str, n_queries: int = 10, k: int = 5):
