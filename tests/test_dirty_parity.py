@@ -1,0 +1,90 @@
+"""Adversarial-corpus parity: every oracle-twinned queries() entry must
+still match DuckDB row-for-row on a DIRTY variant of sf0.001 — negative
+and 13-digit doc ids, unicode/emoji/CJK text, a 2MB single token,
+whitespace-only and control-character docs, duplicated text across
+distinct ids, and zero-norm / 1e30 / -1e-30 embeddings. This pins the
+engine-wide edge policies (pad-only doc labels, sign-safe modulo,
+null/empty text handling, the zero-norm cosine = -1 rule, float64
+cosine vs DuckDB's storage-type kernel) against real adversarial data
+rather than only the clean synthetic tables."""
+
+import glob
+import os
+
+import duckdb
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+from tests.test_oracle_parity import TABLES, _normalize, _to_pandas
+
+BASE = "/root/testdata/sf0.001"
+
+
+def _names():
+    import __ray_entry__ as e
+
+    return sorted(e.oracle_sql())
+
+
+@pytest.fixture(scope="session")
+def dirty_sf(tmp_path_factory):
+    out = str(tmp_path_factory.mktemp("dirty") / "sf")
+    os.makedirs(out, exist_ok=True)
+    for f in glob.glob(f"{BASE}/*.parquet"):
+        t = pq.read_table(f)
+        name = os.path.basename(f)
+        if name == "documents.parquet" and t.num_rows >= 10:
+            ids = t.column("doc_id").to_pylist()
+            txt = t.column("text").to_pylist()
+            ids[0] = -5
+            ids[1] = 10**12
+            ids[2] = -999999
+            txt[3] = "héllo wörld 👋 你好 世界 🌍 " * 50 + "é شكرا"
+            txt[4] = ("lorem ipsum dolor sit amet " * 40) + ("x" * 2_000_000)
+            txt[5] = "   "
+            txt[6] = "line1\nline2\ttab  double  space"
+            txt[7] = txt[8]  # duplicate content across weird ids
+            t = t.set_column(
+                t.schema.get_field_index("doc_id"), "doc_id", pa.array(ids, pa.int64())
+            )
+            t = t.set_column(
+                t.schema.get_field_index("text"), "text", pa.array(txt, pa.string())
+            )
+        if name == "embeddings.parquet" and t.num_rows >= 10:
+            emb = t.column("embedding").to_pylist()
+            dim = len(emb[0])
+            emb[0] = [0.0] * dim  # zero-norm vector
+            emb[1] = [1e30] * dim  # huge magnitude (overflows f32 cosine)
+            emb[2] = [-1e-30] * dim  # tiny magnitude (underflows f32 cosine)
+            t = t.set_column(
+                t.schema.get_field_index("embedding"),
+                "embedding",
+                pa.array(emb, pa.list_(pa.float32())),
+            )
+        pq.write_table(t, f"{out}/{name}")
+    return out
+
+
+@pytest.fixture(scope="module")
+def qo(ray_session):
+    import __ray_entry__ as e
+
+    return e.queries(), e.oracle_sql()
+
+
+@pytest.mark.parametrize("name", _names())
+def test_dirty_query_matches_oracle(qo, dirty_sf, name):
+    queries, oracles = qo
+    got = _normalize(_to_pandas(queries[name](dirty_sf)))
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{dirty_sf}/{t}.parquet')"
+        )
+    exp = _normalize(con.execute(oracles[name]).fetchdf())
+    assert list(got.columns) == list(exp.columns), (got.columns, exp.columns)
+    assert len(got) == len(exp), f"rows: got {len(got)} exp {len(exp)}"
+    pd.testing.assert_frame_equal(got, exp, check_dtype=False)
