@@ -36,7 +36,9 @@ docs AS (
                         THEN CAST(doc_id AS VARCHAR)
                         ELSE lpad(CAST(doc_id AS VARCHAR), 8, '0') END AS did,
          text, lang, source,
-         string_split(text, ' ') AS toks
+         -- engine span builder: null/empty text -> NO tokens/chunks
+         CASE WHEN coalesce(text, '') = '' THEN CAST([] AS VARCHAR[])
+              ELSE string_split(text, ' ') END AS toks
   FROM documents
 ),
 tokens AS (
@@ -836,21 +838,21 @@ def oracle_sql() -> dict[str, str]:
         """,
         "text_token_stats": """
         SELECT doc_id,
-               CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
-               CAST(length(text) AS BIGINT) AS n_chars,
-               CAST((SELECT count(*) FROM unnest(string_split(text, ' ')) AS u(t)
+               CAST(len(string_split(coalesce(text, ''), ' ')) AS BIGINT) AS n_tokens,
+               CAST(length(coalesce(text, '')) AS BIGINT) AS n_chars,
+               CAST((SELECT count(*) FROM unnest(string_split(coalesce(text, ''), ' ')) AS u(t)
                      WHERE u.t IN ('the', 'a')) AS BIGINT) AS n_stopwords
         FROM documents
         """,
         "text_fingerprints": """
-        SELECT doc_id, md5(array_to_string(string_split(trim(text), ' '), ' ')) AS fingerprint
+        SELECT doc_id, md5(array_to_string(string_split(trim(coalesce(text, '')), ' '), ' ')) AS fingerprint
         FROM documents
         """,
         "dedup_exact": """
-        SELECT md5(text) AS fingerprint,
+        SELECT md5(coalesce(text, '')) AS fingerprint,
                CAST(min(doc_id) AS BIGINT) AS canonical_doc_id,
                CAST(count(*) AS BIGINT) AS n_dups
-        FROM documents GROUP BY md5(text)
+        FROM documents GROUP BY md5(coalesce(text, ''))
         """,
         "kg_shex_doc_conformance": "WITH "
         + _DOCS_CTE
@@ -895,7 +897,7 @@ def oracle_sql() -> dict[str, str]:
         "text_term_stats": """
         WITH tokens AS (
           SELECT doc_id, u.t AS term
-          FROM documents, unnest(string_split(text, ' ')) AS u(t)
+          FROM documents, unnest(string_split(coalesce(text, ''), ' ')) AS u(t)
         )
         SELECT term, CAST(count(*) AS BIGINT) AS tf,
                CAST(count(DISTINCT doc_id) AS BIGINT) AS df
@@ -903,7 +905,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "text_repetition": """
         WITH toks AS (
-          SELECT doc_id, string_split(text, ' ') AS t FROM documents
+          SELECT doc_id, string_split(coalesce(text, ''), ' ') AS t FROM documents
         ), bigrams AS (
           SELECT doc_id, t[u.i] || ' ' || t[u.i + 1] AS bg
           FROM toks, unnest(generate_series(1, len(t) - 1)) AS u(i)

@@ -181,18 +181,23 @@ def _decon_train_split(nbuckets: int, shingle: int, bench_mod: int,
         did_l.append(ids[dd[seg]])
         h_l.append(hd[seg])
         cnt_l.append(np.diff(np.append(seg, len(hd))))
-    if not did_l:
-        did = np.array([], np.int64)
-        hh = np.array([], np.uint64)
-        cnt = np.array([], np.int64)
-        gid = np.array([], np.int64)
-        ng = np.array([], np.int64)
-    else:
+    # did_l (gram occurrences) and gid_l (per-doc totals) fill at different
+    # rates: a doc whose every gram is Bloom-filtered out still owns an
+    # n_grams row, so the two families concatenate independently
+    if did_l:
         did = np.concatenate(did_l)
         hh = np.concatenate(h_l)
         cnt = np.concatenate(cnt_l)
+    else:
+        did = np.array([], np.int64)
+        hh = np.array([], np.uint64)
+        cnt = np.array([], np.int64)
+    if gid_l:
         gid = np.concatenate(gid_l)
         ng = np.concatenate(ng_l)
+    else:
+        gid = np.array([], np.int64)
+        ng = np.array([], np.int64)
     ngrams_tbl = pa.table(
         {
             "doc_id": pa.array(gid, pa.int64()),
@@ -669,13 +674,13 @@ def curate_corpus_sql(
     WITH clusters AS ({cluster_sql}),
     st AS (
       SELECT doc_id,
-             CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
-             CAST((SELECT count(*) FROM unnest(string_split(text, ' ')) AS u(tok)
+             CAST(len(string_split(coalesce(text, ''), ' ')) AS BIGINT) AS n_tokens,
+             CAST((SELECT count(*) FROM unnest(string_split(coalesce(text, ''), ' ')) AS u(tok)
                    WHERE u.tok IN ('the', 'a')) AS BIGINT) AS n_stopwords
       FROM documents
     ),
     toksr AS (
-      SELECT doc_id, string_split(text, ' ') AS t FROM documents
+      SELECT doc_id, string_split(coalesce(text, ''), ' ') AS t FROM documents
     ), bigrams AS (
       SELECT doc_id, t[u.i] || ' ' || t[u.i + 1] AS bg
       FROM toksr, unnest(generate_series(1, len(t) - 1)) AS u(i)
@@ -820,7 +825,7 @@ def top_terms_sql(k: int = 3) -> str:
     return f"""
     WITH tokens AS (
       SELECT doc_id, u.t AS term
-      FROM documents, unnest(string_split(text, ' ')) AS u(t)
+      FROM documents, unnest(string_split(coalesce(text, ''), ' ')) AS u(t)
     ), tf AS (
       SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
       FROM tokens GROUP BY doc_id, term
@@ -859,7 +864,7 @@ def mixture_report(sf_dir: str):
     )
 
     def sum_partials(batch: pa.Table) -> pa.Table:
-        text = batch.column("text").combine_chunks()
+        text = pc.fill_null(batch.column("text").combine_chunks(), "")
         t = pa.table(
             {
                 "source": batch.column("source"),
@@ -962,9 +967,9 @@ def mixture_report_sql() -> str:
     return """
     SELECT source,
            CAST(count(*) AS BIGINT) AS n_docs,
-           CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS n_tokens,
-           CAST(sum(length(text)) AS BIGINT) AS n_chars,
+           CAST(sum(len(string_split(coalesce(text, ''), ' '))) AS BIGINT) AS n_tokens,
+           CAST(sum(length(coalesce(text, ''))) AS BIGINT) AS n_chars,
            CAST(count(DISTINCT lang) AS BIGINT) AS n_langs,
-           CAST(count(DISTINCT md5(text)) AS BIGINT) AS n_unique_texts
+           CAST(count(DISTINCT md5(coalesce(text, ''))) AS BIGINT) AS n_unique_texts
     FROM documents GROUP BY source
     """

@@ -179,7 +179,7 @@ def lm_novelty(sf_dir: str, ref_mod: int = 10):
 def lm_novelty_sql(ref_mod: int = 10) -> str:
     return f"""
     WITH toks AS (
-      SELECT doc_id, string_split(text, ' ') AS l FROM documents
+      SELECT doc_id, string_split(coalesce(text, ''), ' ') AS l FROM documents
     ),
     big AS (
       SELECT doc_id,

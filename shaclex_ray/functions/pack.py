@@ -181,7 +181,7 @@ def pack_sequences_sql(capacity: int = 512) -> str:
     the chunk span — identical BIGINT arithmetic to the Ray side."""
     return f"""
 WITH counts AS (
-  SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS ntok
+  SELECT doc_id, CAST(len(string_split(coalesce(text, ''), ' ')) AS BIGINT) AS ntok
   FROM documents
 ),
 offs AS (

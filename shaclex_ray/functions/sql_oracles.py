@@ -35,7 +35,7 @@ def _mulmod64(x: str, c: int) -> str:
 def _grams_cte(shingle: int) -> str:
     return f"""
 toks AS (
-  SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+  SELECT doc_id, string_split(coalesce(text, ''), ' ') AS toks FROM documents
 ),
 grams AS (
   SELECT doc_id,
@@ -169,7 +169,7 @@ FROM reach GROUP BY node"""
 def simhash_sql() -> str:
     return """
 WITH t AS (
-  SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents
+  SELECT doc_id, unnest(string_split(coalesce(text, ''), ' ')) AS tok FROM documents
 ),
 th AS (SELECT doc_id, md5_number_lower(tok) AS h FROM t),
 bits AS (
@@ -207,9 +207,9 @@ def quality_sql() -> str:
     return """
 WITH t AS (
   SELECT doc_id,
-         CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
-         CAST(length(text) AS BIGINT) AS n_chars,
-         CAST((SELECT count(*) FROM unnest(string_split(text, ' ')) AS u(tok)
+         CAST(len(string_split(coalesce(text, ''), ' ')) AS BIGINT) AS n_tokens,
+         CAST(length(coalesce(text, '')) AS BIGINT) AS n_chars,
+         CAST((SELECT count(*) FROM unnest(string_split(coalesce(text, ''), ' ')) AS u(tok)
                WHERE u.tok IN ('the', 'a')) AS BIGINT) AS n_stopwords
   FROM documents
 )

@@ -396,7 +396,7 @@ def trim_substring_spans_sql(
 ) -> str:
     return f"""
     WITH toks AS (
-      SELECT doc_id, string_split(text, ' ') AS t FROM documents
+      SELECT doc_id, string_split(coalesce(text, ''), ' ') AS t FROM documents
     ),
     wins AS (
       SELECT doc_id, CAST(u.i - 1 AS BIGINT) AS s,
@@ -431,7 +431,7 @@ def trim_substring_spans_sql(
 def dedup_substring_sql(k: int = K_TOKENS, min_count: int = MIN_COUNT) -> str:
     return f"""
     WITH toks AS (
-      SELECT doc_id, string_split(text, ' ') AS t FROM documents
+      SELECT doc_id, string_split(coalesce(text, ''), ' ') AS t FROM documents
     ),
     wins AS (
       SELECT doc_id, CAST(u.i - 1 AS BIGINT) AS s,

@@ -112,7 +112,7 @@ def bpe_token_stats_batch(batch: pa.Table) -> pa.Table:
     """Per-doc token counts under the BPE-ish pre-tokenizer vs whitespace:
     the LLM-cost estimate (sequence length ≈ n_bpe_tokens) next to the
     cheap splitter. One compiled-regex C pass per batch."""
-    text = batch.column("text").combine_chunks()
+    text = pc.fill_null(batch.column("text").combine_chunks(), "")
     return pa.table(
         {
             "doc_id": batch.column("doc_id"),
@@ -139,9 +139,9 @@ def bpe_token_stats_sql() -> str:
     pat = BPE_PATTERN.replace("'", "''")
     return f"""
     SELECT doc_id,
-           CAST(len(regexp_extract_all(text, '{pat}')) AS BIGINT) AS n_bpe_tokens,
-           CAST(len(string_split(text, ' ')) AS BIGINT) AS n_ws_tokens,
-           CAST(length(text) AS BIGINT) AS n_chars
+           CAST(len(regexp_extract_all(coalesce(text, ''), '{pat}')) AS BIGINT) AS n_bpe_tokens,
+           CAST(len(string_split(coalesce(text, ''), ' ')) AS BIGINT) AS n_ws_tokens,
+           CAST(length(coalesce(text, '')) AS BIGINT) AS n_chars
     FROM documents
     """
 
@@ -152,7 +152,9 @@ def _term_partials_batch(batch: pa.Table) -> pa.Table:
     per token. Each document row lives wholly in one batch, so the per-batch
     distinct-doc count is an exact df partial. One Arrow group_by per batch —
     no per-token Python."""
-    toks = pc.split_pattern(batch.column("text").combine_chunks(), " ")
+    toks = pc.split_pattern(
+        pc.fill_null(batch.column("text").combine_chunks(), ""), " "
+    )
     pairs = pa.table(
         {
             "term": pc.list_flatten(toks),
@@ -383,7 +385,15 @@ def _read_head(path: str, columns: list[str], nrows: int) -> pa.Table:
                 return pa.Table.from_batches(out).slice(0, nrows)
     if out:
         return pa.Table.from_batches(out)
-    return pq.read_schema(files[0]).empty_table().select(columns)
+    if files:
+        return pq.read_schema(files[0]).empty_table().select(columns)
+    # file-less directory (a row-less upstream write): typed empty sample
+    return pa.table(
+        {
+            c: pa.array([], pa.int64() if c.endswith("_id") else pa.string())
+            for c in columns
+        }
+    )
 
 
 def langid(sf_dir: str, sample_per_lang: int = 50):

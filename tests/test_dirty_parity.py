@@ -47,6 +47,7 @@ def dirty_sf(tmp_path_factory):
             txt[5] = "   "
             txt[6] = "line1\nline2\ttab  double  space"
             txt[7] = txt[8]  # duplicate content across weird ids
+            txt[9] = None  # null text: engine policy tokenizes/hashes as ''
             t = t.set_column(
                 t.schema.get_field_index("doc_id"), "doc_id", pa.array(ids, pa.int64())
             )

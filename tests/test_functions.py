@@ -130,6 +130,19 @@ def test_langid_fit_read_is_bounded(tmp_path):
     assert head.column("doc_id").to_pylist()[1200] == 0
 
 
+def test_langid_fit_head_of_fileless_directory(tmp_path):
+    """A part-file directory with ZERO parquet files (what write_parquet
+    leaves for a row-less dataset) must yield a typed empty sample, not
+    an IndexError on files[0]."""
+    from shaclex_ray.functions.text import _read_head
+
+    d = tmp_path / "documents.parquet"
+    d.mkdir()
+    head = _read_head(str(d), ["doc_id", "text", "lang"], 2000)
+    assert head.num_rows == 0
+    assert head.column_names == ["doc_id", "text", "lang"]
+
+
 def test_decontaminate_join_regime_matches_broadcast(ray_session, monkeypatch):
     """Forcing the distributed hash-join regime (threshold 0) must be
     row-identical to the broadcast regime — hit-ness per gram hash is
@@ -145,6 +158,41 @@ def test_decontaminate_join_regime_matches_broadcast(ray_session, monkeypatch):
     )
     assert joined == base
     assert len(base) == 475
+
+
+def test_decontaminate_join_regime_disjoint_vocab(
+    ray_session, monkeypatch, tmp_path
+):
+    """Join regime over a corpus where NO train gram survives the Bloom
+    prefilter: every train doc must still emit its (doc_id, n_grams, 0)
+    row. Regression: the split task used to zero the per-doc n_grams
+    rows whenever a whole group's occurrence list came back empty."""
+    import pyarrow.parquet as pq
+
+    from shaclex_ray.functions.curate import decontaminate
+
+    bench_text = "alpha beta gamma delta epsilon zeta eta theta"
+    train_text = "one two three four five six seven eight nine"
+    tbl = pa.table(
+        {
+            # doc_id 0 and 20 are bench (bench_mod=20); 1..5 are train
+            "doc_id": pa.array([0, 20, 1, 2, 3, 4, 5], pa.int64()),
+            "text": pa.array([bench_text, bench_text] + [train_text] * 5),
+        }
+    )
+    pq.write_table(tbl, tmp_path / "documents.parquet")
+    base = sorted(
+        (r["doc_id"], r["n_grams"], r["n_hits"])
+        for r in decontaminate(str(tmp_path)).take_all()
+    )
+    # 9 tokens, shingle 5 -> 5 grams per train doc, zero hits
+    assert base == [(i, 5, 0) for i in range(1, 6)]
+    monkeypatch.setenv("SHACLEX_DECON_BCAST_THRESHOLD", "0")
+    joined = sorted(
+        (r["doc_id"], r["n_grams"], r["n_hits"])
+        for r in decontaminate(str(tmp_path)).take_all()
+    )
+    assert joined == base
 
 
 def test_media_resize_and_frame_samples(ray_session):
