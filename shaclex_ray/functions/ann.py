@@ -129,33 +129,40 @@ def _merge_topk(partials, k: int):
     )
 
 
-def _load_queries(sf_dir: str, n_queries: int):
-    """Query set = the ``n_queries`` SMALLEST vec_ids — the SQL twins'
+def _min_id_rows(sf_dir: str, n: int, columns: list[str]) -> pa.Table:
+    """The ``n`` embedding rows with the SMALLEST vec_ids — the SQL twins'
     ``ORDER BY vec_id LIMIT n`` — not the first physical rows (file order
-    is not a contract). Same shape as knn_label's seed selection:
-    distributed per-block partial min-k over the narrow id column, then a
-    predicate-pruned read of just the query rows."""
+    is not a contract): distributed per-block partial min-k over the
+    narrow id column, driver merge of ≤ n×nblocks ids, then a
+    predicate-pruned read of just those rows, returned id-ascending.
+    Shared by the ANN query-set and knn_label seed-set loaders so the
+    'smallest vec_ids' contract has exactly one implementation."""
     import pyarrow.parquet as pq
 
     path = f"{sf_dir}/embeddings.parquet"
 
     def _id_part(batch: pa.Table) -> pa.Table:
         v = np.sort(batch.column("vec_id").to_numpy(zero_copy_only=False))
-        return pa.table({"vec_id": pa.array(v[:n_queries], pa.int64())})
+        return pa.table({"vec_id": pa.array(v[:n], pa.int64())})
 
     id_parts = (
         ray.data.read_parquet(path, columns=["vec_id"])
         .map_batches(_id_part, batch_format="pyarrow")
         .take_all()
     )
-    sel = np.sort(np.array([r["vec_id"] for r in id_parts], np.int64))[:n_queries]
-    qt = pq.read_table(
+    sel = np.sort(np.array([r["vec_id"] for r in id_parts], np.int64))[:n]
+    t = pq.read_table(
         path,
-        columns=["vec_id", "embedding"],
+        columns=columns,
         filters=[("vec_id", "<=", int(sel[-1]) if len(sel) else -1)],
     )
-    order = np.argsort(qt.column("vec_id").to_numpy(zero_copy_only=False))
-    return _to_matrix(qt.take(pa.array(order)).slice(0, n_queries))
+    order = np.argsort(t.column("vec_id").to_numpy(zero_copy_only=False))
+    return t.take(pa.array(order)).slice(0, n)
+
+
+def _load_queries(sf_dir: str, n_queries: int):
+    """Query set = the ``n_queries`` smallest-vec_id rows as (ids, matrix)."""
+    return _to_matrix(_min_id_rows(sf_dir, n_queries, ["vec_id", "embedding"]))
 
 
 def topk_cosine(sf_dir: str, n_queries: int = 10, k: int = 5):
@@ -645,30 +652,8 @@ def knn_label(sf_dir: str, n_seed: int = 100, k: int = 5):
     votes, then smaller label; neighbor ties: higher cos, then smaller
     seed id). Returns (vec_id, pred_label, n_votes) — all integers, so the
     result hash-compares exactly against the SQL twin."""
-    import pyarrow.parquet as pq
-
-    path = f"{sf_dir}/embeddings.parquet"
-    # seed set = the n_seed SMALLEST vec_ids, not the first physical rows
-    # (file order is not a contract): distributed per-block partial min-k
-    # over the narrow id column, driver merge of ≤ n_seed×nblocks ids,
-    # then a predicate-pruned read of just the seed rows
-    def _id_part(batch: pa.Table) -> pa.Table:
-        v = np.sort(batch.column("vec_id").to_numpy(zero_copy_only=False))
-        return pa.table({"vec_id": pa.array(v[:n_seed], pa.int64())})
-
-    id_parts = (
-        ray.data.read_parquet(path, columns=["vec_id"])
-        .map_batches(_id_part, batch_format="pyarrow")
-        .take_all()
-    )
-    seed_sel = np.sort(np.array([r["vec_id"] for r in id_parts], np.int64))[:n_seed]
-    st = pq.read_table(
-        path,
-        columns=["vec_id", "embedding", "label"],
-        filters=[("vec_id", "<=", int(seed_sel[-1]) if len(seed_sel) else -1)],
-    )
-    order = np.argsort(st.column("vec_id").to_numpy(zero_copy_only=False))
-    st = st.take(pa.array(order)).slice(0, n_seed)
+    # seed set = the n_seed SMALLEST vec_ids via the shared min-id loader
+    st = _min_id_rows(sf_dir, n_seed, ["vec_id", "embedding", "label"])
     seed_ids, sm = _to_matrix(st)
     seed_labels = st.column("label").to_numpy(zero_copy_only=False).astype(np.int64)
     return _read_emb(sf_dir).map_batches(

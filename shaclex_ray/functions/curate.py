@@ -241,10 +241,10 @@ def _decon_bucket(nbench: int, *parts: pa.Table):
     )
     if train.num_rows == 0 or len(bench) == 0:
         return empty
+    from shaclex_ray.functions.relational import _sorted_probe
+
     h = train.column("h").to_numpy(zero_copy_only=False)
-    idx = np.searchsorted(bench, h)
-    idx[idx == len(bench)] = 0
-    hit = bench[idx] == h
+    _, hit = _sorted_probe(bench, h)
     if not hit.any():
         return empty
     sub = train.filter(pa.array(hit))
@@ -319,13 +319,10 @@ def decontaminate(sf_dir: str, shingle: int = 5, bench_mod: int = 20):
         )
         if batch.num_rows == 0:
             return empty
+        from shaclex_ray.functions.relational import _sorted_probe
+
         h, starts = _batch_gram_hashes(batch.column("text"), shingle)
-        if len(grams):
-            idx = np.searchsorted(grams, h)
-            idx[idx == len(grams)] = 0
-            hit = grams[idx] == h
-        else:
-            hit = np.zeros(len(h), bool)
+        _, hit = _sorted_probe(grams, h)
         # every doc has >=1 gram (short docs hash the whole text), so
         # segments are never empty and reduceat is exact
         n_hits = np.add.reduceat(hit.astype(np.int64), starts[:-1])

@@ -193,14 +193,14 @@ def run_curation_pipeline(
         import pyarrow.parquet as _pq2
 
         train_dir = pack_src
-        n_in = (
-            sum(
-                _pq2.read_metadata(f).num_rows
-                for f in _glob.glob(f"{train_dir}/**/*.parquet", recursive=True)
-            )
-            if os.path.isdir(train_dir)
-            else 0
-        )
+        # n_in only gates the all-empty short-circuit, so stop at the
+        # first non-empty footer instead of summing every part file
+        n_in = 0
+        if os.path.isdir(train_dir):
+            for f in _glob.glob(f"{train_dir}/**/*.parquet", recursive=True):
+                n_in = _pq2.read_metadata(f).num_rows
+                if n_in:
+                    break
         if n_in == 0:
             # nothing survived curation into train: an empty packed table
             import pyarrow.parquet as _pq
