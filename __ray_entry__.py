@@ -35,7 +35,7 @@ docs AS (
          'doc-' || CASE WHEN length(CAST(doc_id AS VARCHAR)) >= 8
                         THEN CAST(doc_id AS VARCHAR)
                         ELSE lpad(CAST(doc_id AS VARCHAR), 8, '0') END AS did,
-         text, lang, source,
+         text, coalesce(lang, '') AS lang, coalesce(source, '') AS source,
          -- engine span builder: null/empty text -> NO tokens/chunks
          CASE WHEN coalesce(text, '') = '' THEN CAST([] AS VARCHAR[])
               ELSE string_split(text, ' ') END AS toks
@@ -954,13 +954,17 @@ def oracle_sql() -> dict[str, str]:
         -- list's own float type; f32 over/underflows on extreme vectors
         -- where the engine's float64 kernel is exact
         WITH emb AS (
-          SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings
+          -- null embedding reads as the zero vector (cos -1, ranks last)
+          SELECT vec_id, CASE WHEN embedding IS NULL THEN [0.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0]
+                 ELSE list_transform(CAST(embedding AS DOUBLE[]),
+                                     x -> coalesce(x, 0.0)) END AS e
+          FROM embeddings
         ), q AS (
           SELECT vec_id AS query_id, e AS qe FROM emb
           ORDER BY vec_id LIMIT 10
         ), scored AS (
           SELECT q.query_id, e.vec_id,
-                 list_cosine_similarity(q.qe, e.e) AS cos
+                 coalesce(list_cosine_similarity(q.qe, e.e), -1.0) AS cos
           FROM q CROSS JOIN emb e
           WHERE e.vec_id != q.query_id
         ), ranked AS (

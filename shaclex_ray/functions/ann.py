@@ -29,25 +29,44 @@ def _read_emb(sf_dir: str):
     )
 
 
-def _list_to_matrix(col) -> np.ndarray:
+def _list_to_matrix(col, dim: int | None = None) -> np.ndarray:
     """list<float>/fixed_size_list column -> (n, dim) float64 matrix via
     the flat values buffer (one zero-copy flatten + reshape — never a
-    per-row to_pylist)."""
+    per-row to_pylist). Pass ``dim`` from caller state (planes/centroid/
+    query width) so an ALL-null block still yields correctly-shaped zero
+    rows."""
     col = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
     n = len(col)
     if n == 0:
-        return np.empty((0, 0), np.float64)
-    lens = pc.list_value_length(col).to_numpy(zero_copy_only=False)
-    dim = int(lens[0])
-    if not (lens == dim).all():
+        return np.empty((0, dim or 0), np.float64)
+    lens = pc.fill_null(pc.list_value_length(col), 0).to_numpy(
+        zero_copy_only=False
+    )
+    present = lens > 0
+    if not present.any():
+        return np.zeros((n, dim or 0), np.float64)
+    dim = int(lens[present][0])
+    if not (lens[present] == dim).all():
         raise ValueError("ragged embedding column")
-    flat = pc.list_flatten(col).to_numpy(zero_copy_only=False)
-    return flat.reshape(n, dim).astype(np.float64, copy=False)
+    # null ELEMENTS read as 0.0 (same fill the SQL twins apply)
+    flat = pc.fill_null(pc.list_flatten(col), 0.0).to_numpy(
+        zero_copy_only=False
+    )
+    if present.all():
+        return flat.reshape(n, dim).astype(np.float64, copy=False)
+    # null/empty embeddings read as the ZERO vector: norm 0 -> cos -1
+    # under the undefined-direction rule, so they rank last everywhere;
+    # the SQL twins mirror this by coalescing NULL cosines to -1.0
+    m = np.zeros((n, dim), np.float64)
+    m[present] = flat.reshape(-1, dim).astype(np.float64, copy=False)
+    return m
 
 
-def _to_matrix(batch: pa.Table) -> tuple[np.ndarray, np.ndarray]:
+def _to_matrix(
+    batch: pa.Table, dim: int | None = None
+) -> tuple[np.ndarray, np.ndarray]:
     ids = batch.column("vec_id").to_numpy(zero_copy_only=False)
-    return ids, _list_to_matrix(batch.column("embedding"))
+    return ids, _list_to_matrix(batch.column("embedding"), dim)
 
 
 def _normalize_rows(m: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
@@ -85,7 +104,7 @@ class BruteForceTopK:
         self.k = k
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        ids, emb = _to_matrix(batch)
+        ids, emb = _to_matrix(batch, self.qm.shape[1])
         emb, ezero = _normalize_rows(emb)
         sims = self.qm @ emb.T  # (nq, nb)
         if self.qzero.any():
@@ -202,7 +221,7 @@ class LshBucketer:
         return _signature(emb, self.planes)
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        ids, emb = _to_matrix(batch)
+        ids, emb = _to_matrix(batch, self.planes.shape[1])
         sig = self.signature(emb)
         return pa.table(
             {
@@ -249,7 +268,7 @@ class LshBucketTopK:
         self.k = k
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        ids, emb = _to_matrix(batch)
+        ids, emb = _to_matrix(batch, self.planes.shape[1])
         sig = _signature(emb, self.planes)
         emb, ezero = _normalize_rows(emb)
         out_q: list = []
@@ -309,7 +328,7 @@ def build_lsh_index(
     bucketer = LshBucketer(dim, nbits, seed)
 
     def add_sig(batch: pa.Table) -> pa.Table:
-        _, emb = _to_matrix(batch)
+        _, emb = _to_matrix(batch, dim)
         sig = bucketer.signature(emb).astype(np.int64)
         return batch.append_column("bucket_sig", pa.array(sig, pa.int64()))
 
@@ -402,7 +421,7 @@ def ivf_lists(sf_dir: str, nlist: int = 16, codebook: str = "sample"):
 
     def assign(batch: pa.Table) -> pa.Table:
         cm = ray.get(cent_ref)
-        ids, emb = _to_matrix(batch)
+        ids, emb = _to_matrix(batch, cm.shape[1])
         return pa.table(
             {
                 "vec_id": pa.array(ids, pa.int64()),
@@ -445,7 +464,7 @@ def build_ivf_index(
 
     def add_list(batch: pa.Table) -> pa.Table:
         cm = ray.get(cent_ref)
-        _, emb = _to_matrix(batch)
+        _, emb = _to_matrix(batch, cm.shape[1])
         lid = _ivf_assign(emb, cm)
         return batch.append_column("list_id", pa.array(lid, pa.int64()))
 
@@ -495,7 +514,7 @@ def ivf_topk(
     state = (qids, qmn, probe_sets)
 
     def score(batch: pa.Table) -> pa.Table:
-        ids, emb = _to_matrix(batch)
+        ids, emb = _to_matrix(batch, qmn.shape[1])
         if "list_id" in batch.column_names:
             lids = batch.column("list_id").to_numpy(zero_copy_only=False).astype(np.int64)
         else:
@@ -655,18 +674,25 @@ def knn_label(sf_dir: str, n_seed: int = 100, k: int = 5):
     # seed set = the n_seed SMALLEST vec_ids via the shared min-id loader
     st = _min_id_rows(sf_dir, n_seed, ["vec_id", "embedding", "label"])
     seed_ids, sm = _to_matrix(st)
-    seed_labels = st.column("label").to_numpy(zero_copy_only=False).astype(np.int64)
+    seed_labels = (
+        pc.fill_null(st.column("label"), -1)
+        .to_numpy(zero_copy_only=False)
+        .astype(np.int64)
+    )
     return _read_emb(sf_dir).map_batches(
         KnnLabelVote((seed_ids, sm, seed_labels), k), batch_format="pyarrow"
     )
 
 
-def knn_label_sql(n_seed: int = 100, k: int = 5) -> str:
+def knn_label_sql(n_seed: int = 100, k: int = 5, dim: int = 64) -> str:
+    from shaclex_ray.functions.sql_oracles import _emb_cast
+
     return f"""
     WITH emb AS (
       -- DOUBLE[] cast: DuckDB computes cosine in the list's own float
       -- type; f32 over/underflows where the engine's float64 is exact
-      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e, label FROM embeddings
+      SELECT vec_id, {_emb_cast(dim)} AS e,
+             coalesce(label, -1) AS label FROM embeddings
     ), seeds AS (
       SELECT vec_id AS sid, e AS se, label
       FROM emb ORDER BY vec_id LIMIT {n_seed}
@@ -677,7 +703,7 @@ def knn_label_sql(n_seed: int = 100, k: int = 5) -> str:
       SELECT r.vec_id, s.label,
              row_number() OVER (
                PARTITION BY r.vec_id
-               ORDER BY list_cosine_similarity(r.e, s.se) DESC, s.sid
+               ORDER BY coalesce(list_cosine_similarity(r.e, s.se), -1.0) DESC, s.sid
              ) AS rk
       FROM rest r CROSS JOIN seeds s
     ), votes AS (
@@ -722,7 +748,7 @@ def kmeans_codebook(
 
         def partial(batch: pa.Table, _cm_ref=cm_ref) -> pa.Table:
             cmn = ray.get(_cm_ref)
-            _, emb = _to_matrix(batch)
+            _, emb = _to_matrix(batch, cmn.shape[1])
             embn, _ = _normalize_rows(emb)
             lid = np.argmax(embn @ cmn.T, axis=1)
             sums = np.zeros((nlist, dim), np.float64)

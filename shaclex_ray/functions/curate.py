@@ -716,7 +716,9 @@ def _sample_partial(tbl: pa.Table, n: int) -> pa.Table:
     global per-source minimum-n is a subset of every split's local
     minimum-n, so the exchange moves at most n×|sources| rows per split)."""
     doc = tbl.column("doc_id").to_numpy(zero_copy_only=False)
-    src = tbl.column("source").combine_chunks().dictionary_encode()
+    src = pc.fill_null(
+        tbl.column("source").combine_chunks(), ""
+    ).dictionary_encode()
     codes = src.indices.to_numpy(zero_copy_only=False)
     order = np.lexsort((doc, codes))
     codes_s = codes[order]
@@ -767,6 +769,15 @@ def sample_balanced(sf_dir: str, n: int | None = None):
     ds = ray.data.read_parquet(
         f"{sf_dir}/documents.parquet", columns=["doc_id", "source"]
     )
+
+    def _fill_source(batch: pa.Table) -> pa.Table:
+        return batch.set_column(
+            batch.column_names.index("source"),
+            "source",
+            pc.fill_null(batch.column("source").combine_chunks(), ""),
+        )
+
+    ds = ds.map_batches(_fill_source, batch_format="pyarrow")
     if n is None:
         counts = grouped_aggregate_fast(
             ds, ["source"], [("doc_id", "count")], ["cnt"]
@@ -804,14 +815,16 @@ def sample_balanced(sf_dir: str, n: int | None = None):
 
 def sample_balanced_sql(n: int | None = None) -> str:
     n_expr = (
-        "(SELECT min(cnt) FROM (SELECT count(*) AS cnt FROM documents GROUP BY source))"
+        "(SELECT min(cnt) FROM (SELECT count(*) AS cnt FROM documents"
+        " GROUP BY coalesce(source, '')))"
         if n is None
         else str(n)
     )
     return f"""
     WITH r AS (
-      SELECT doc_id, source,
-             row_number() OVER (PARTITION BY source ORDER BY doc_id) AS rn
+      SELECT doc_id, coalesce(source, '') AS source,
+             row_number() OVER (PARTITION BY coalesce(source, '')
+                                ORDER BY doc_id) AS rn
       FROM documents
     )
     SELECT doc_id, source FROM r WHERE rn <= {n_expr}
@@ -864,7 +877,9 @@ def mixture_report(sf_dir: str):
         text = pc.fill_null(batch.column("text").combine_chunks(), "")
         t = pa.table(
             {
-                "source": batch.column("source"),
+                "source": pc.fill_null(
+                    batch.column("source").combine_chunks(), ""
+                ),
                 "n_tokens": pc.list_value_length(
                     pc.split_pattern(text, " ")
                 ).cast(pa.int64()),
@@ -894,13 +909,23 @@ def mixture_report(sf_dir: str):
         text = batch.column("text").combine_chunks().cast(pa.binary())
         fps = [_hl.md5(s or b"").hexdigest() for s in text.to_pylist()]
         t = pa.table(
-            {"source": batch.column("source"), "fp": pa.array(fps, pa.string())}
+            {
+                "source": pc.fill_null(
+                    batch.column("source").combine_chunks(), ""
+                ),
+                "fp": pa.array(fps, pa.string()),
+            }
         )
         return t.group_by(["source", "fp"], use_threads=False).aggregate([])
 
     def lang_partial(batch: pa.Table) -> pa.Table:
         t = pa.table(
-            {"source": batch.column("source"), "lang": batch.column("lang")}
+            {
+                "source": pc.fill_null(
+                    batch.column("source").combine_chunks(), ""
+                ),
+                "lang": pc.fill_null(batch.column("lang").combine_chunks(), ""),
+            }
         )
         return t.group_by(["source", "lang"], use_threads=False).aggregate([])
 
@@ -962,11 +987,11 @@ def mixture_report(sf_dir: str):
 
 def mixture_report_sql() -> str:
     return """
-    SELECT source,
+    SELECT coalesce(source, '') AS source,
            CAST(count(*) AS BIGINT) AS n_docs,
            CAST(sum(len(string_split(coalesce(text, ''), ' '))) AS BIGINT) AS n_tokens,
            CAST(sum(length(coalesce(text, ''))) AS BIGINT) AS n_chars,
-           CAST(count(DISTINCT lang) AS BIGINT) AS n_langs,
+           CAST(count(DISTINCT coalesce(lang, '')) AS BIGINT) AS n_langs,
            CAST(count(DISTINCT md5(coalesce(text, ''))) AS BIGINT) AS n_unique_texts
-    FROM documents GROUP BY source
+    FROM documents GROUP BY coalesce(source, '')
     """

@@ -1178,7 +1178,7 @@ def embedding_near_dups(
     vmask = np.uint64((1 << r) - 1)
 
     def band_rows_fn(batch: pa.Table) -> pa.Table:
-        ids, emb = _to_matrix(batch)
+        ids, emb = _to_matrix(batch, dim)
         sig = _signature(emb, planes).astype(np.uint64)
         vals = np.empty((len(ids), bands), np.uint64)
         for b in range(bands):
@@ -1214,7 +1214,7 @@ def embedding_near_dups(
         # straight from the flat values buffer, no per-row Python.
         from shaclex_ray.functions.ann import _list_to_matrix
 
-        mat = _list_to_matrix(batch.column("embedding"))
+        mat = _list_to_matrix(batch.column("embedding"), dim)
         n, d = mat.shape
         offsets = np.arange(0, (n + 1) * d * 8, d * 8, dtype=np.int32)
         return pa.Array.from_buffers(
@@ -1252,7 +1252,7 @@ def embedding_near_dups(
             ids_sorted = (
                 picked.column("vec_id").take(order).to_numpy(zero_copy_only=False)
             )
-            mat_sorted = _to_matrix(picked.take(order))[1]
+            mat_sorted = _to_matrix(picked.take(order), dim)[1]
             lookup_ref = ray.put((ids_sorted, mat_sorted))
 
             def verify_bcast(batch: pa.Table) -> pa.Table:
@@ -1349,7 +1349,7 @@ def embedding_near_dups(
         # (the 1e-300 denominator guard) — self_ok encodes exactly that
         from shaclex_ray.functions.ann import _list_to_matrix
 
-        mat = _list_to_matrix(batch.column("embedding"))
+        mat = _list_to_matrix(batch.column("embedding"), dim)
         fp_hi, fp_lo = md5_u128_batch(_pack_bytes(batch))
         ok = (np.linalg.norm(mat, axis=1) > 0) & (1.0 >= threshold)
         return pa.table(

@@ -327,15 +327,24 @@ def events_json_stats(sf_dir: str):
             [("k", "sum"), ("n_k", "sum"), ("one", "sum")]
         )
 
+    from shaclex_ray.stages.groupagg import grouped_aggregate_fast
+
     partials = _read_events(sf_dir, ["event_type", "props"]).map_batches(
         partial, batch_format="pyarrow"
     )
-    agg = partials.groupby("event_type").sum(["k_sum", "n_k_sum", "one_sum"])
+    # Arrow-based one-move exchange (not Dataset.groupby): null-safe on
+    # the group key and moves |event_type| partial rows per block
+    agg = grouped_aggregate_fast(
+        partials,
+        ["event_type"],
+        [("k_sum", "sum"), ("n_k_sum", "sum"), ("one_sum", "sum")],
+        ["k_sum", "n_k_sum", "one_sum"],
+    )
 
     def finalize(batch: pa.Table) -> pa.Table:
-        ksum = batch.column("sum(k_sum)").to_numpy(zero_copy_only=False)
-        nk = batch.column("sum(n_k_sum)").to_numpy(zero_copy_only=False)
-        n = batch.column("sum(one_sum)").to_numpy(zero_copy_only=False)
+        ksum = batch.column("k_sum").to_numpy(zero_copy_only=False)
+        nk = batch.column("n_k_sum").to_numpy(zero_copy_only=False)
+        n = batch.column("one_sum").to_numpy(zero_copy_only=False)
         return pa.table(
             {
                 "event_type": batch.column("event_type"),

@@ -222,6 +222,24 @@ FROM t
 """
 
 
+
+def _emb_cast(dim: int, col: str = "embedding") -> str:
+    """SQL read of an embedding under the engine's null policy: a NULL
+    (or absent) vector reads as the ZERO vector, so the zero-norm
+    cosine = -1 rule applies on both sides. DuckDB's list kernels are
+    inconsistent on NULL list inputs (NULL result on some plans, a hard
+    'can not contain NULL values' error on others — a plain coalesce()
+    still trips it because the kernel inspects the child validity mask),
+    so the rewrite must happen at the INPUT via CASE + list_transform,
+    which needs the corpus dim for the zeros literal (64 across the test
+    tables, like the inlined LSH planes). Null ELEMENTS read as 0.0, the
+    engine's fill on the flat values buffer."""
+    zeros = "[" + ", ".join(["0.0"] * dim) + "]"
+    return (
+        f"CASE WHEN {col} IS NULL THEN {zeros} "
+        f"ELSE list_transform(CAST({col} AS DOUBLE[]), x -> coalesce(x, 0.0)) END"
+    )
+
 def _sig_expr(dim: int, nbits: int, col: str = "embedding") -> str:
     """SQL expression for the LSH bucket signature with inlined planes."""
     from shaclex_ray.functions.ann import lsh_planes
@@ -231,7 +249,7 @@ def _sig_expr(dim: int, nbits: int, col: str = "embedding") -> str:
     for b in range(nbits):
         coeffs = ", ".join(repr(float(x)) for x in planes[b])
         terms.append(
-            f"(CASE WHEN list_inner_product(CAST({col} AS DOUBLE[]), [{coeffs}]) > 0"
+            f"(CASE WHEN list_inner_product({_emb_cast(dim, col)}, [{coeffs}]) > 0"
             f" THEN {1 << b} ELSE 0 END)"
         )
     return "CAST(" + " + ".join(terms) + " AS BIGINT)"
@@ -246,7 +264,7 @@ s AS (
   SELECT greatest(1, (SELECT count(*) FROM embeddings) // {nlist}) AS st
 ),
 emb AS (
-  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings
+  SELECT vec_id, {emb} AS e FROM embeddings
 ),
 cent AS (
   SELECT CAST(vec_id // s.st AS BIGINT) AS cid, e AS ce
@@ -256,26 +274,27 @@ vassign AS (
   SELECT vec_id, e, cid FROM (
     SELECT v.vec_id, v.e, c.cid,
            row_number() OVER (PARTITION BY v.vec_id
-             ORDER BY list_cosine_similarity(v.e, c.ce) DESC, c.cid) AS rn
+             ORDER BY coalesce(list_cosine_similarity(v.e, c.ce), -1.0) DESC, c.cid) AS rn
     FROM emb v CROSS JOIN cent c
   ) WHERE rn = 1
 )"""
 
 
-def ivf_lists_sql(nlist: int = 16) -> str:
+def ivf_lists_sql(nlist: int = 16, dim: int = 64) -> str:
     return (
         "WITH "
-        + _IVF_COMMON.format(nlist=nlist)
+        + _IVF_COMMON.format(nlist=nlist, emb=_emb_cast(dim))
         + "\nSELECT vec_id, CAST(cid AS BIGINT) AS list_id FROM vassign"
     )
 
 
 def ivf_topk_sql(
-    n_queries: int = 10, k: int = 5, nlist: int = 16, nprobe: int = 4
+    n_queries: int = 10, k: int = 5, nlist: int = 16, nprobe: int = 4,
+    dim: int = 64,
 ) -> str:
     return (
         "WITH "
-        + _IVF_COMMON.format(nlist=nlist)
+        + _IVF_COMMON.format(nlist=nlist, emb=_emb_cast(dim))
         + f""",
 q AS (
   SELECT vec_id AS query_id, e AS qe FROM emb ORDER BY vec_id LIMIT {n_queries}
@@ -284,12 +303,12 @@ qprobe AS (
   SELECT query_id, qe, cid FROM (
     SELECT q.query_id, q.qe, c.cid,
            row_number() OVER (PARTITION BY q.query_id
-             ORDER BY list_cosine_similarity(q.qe, c.ce) DESC, c.cid) AS rn
+             ORDER BY coalesce(list_cosine_similarity(q.qe, c.ce), -1.0) DESC, c.cid) AS rn
     FROM q CROSS JOIN cent c
   ) WHERE rn <= {nprobe}
 ),
 scored AS (
-  SELECT p.query_id, v.vec_id, list_cosine_similarity(p.qe, v.e) AS cos
+  SELECT p.query_id, v.vec_id, coalesce(list_cosine_similarity(p.qe, v.e), -1.0) AS cos
   FROM qprobe p JOIN vassign v ON v.cid = p.cid AND v.vec_id != p.query_id
 ),
 ranked AS (
@@ -307,7 +326,7 @@ def lsh_topk_sql(dim: int, n_queries: int = 10, k: int = 5, nbits: int = 8) -> s
     return f"""
 WITH sigs AS (
   SELECT vec_id, {_sig_expr(dim, nbits)} AS bucket_sig,
-         CAST(embedding AS DOUBLE[]) AS e
+         {_emb_cast(dim)} AS e
   FROM embeddings
 ),
 q AS (
@@ -315,7 +334,7 @@ q AS (
   ORDER BY vec_id LIMIT {n_queries}
 ),
 scored AS (
-  SELECT q.query_id, s.vec_id, list_cosine_similarity(q.qe, s.e) AS cos
+  SELECT q.query_id, s.vec_id, coalesce(list_cosine_similarity(q.qe, s.e), -1.0) AS cos
   FROM q JOIN sigs s
     ON s.bucket_sig = q.bucket_sig AND s.vec_id != q.query_id
 ),
@@ -341,7 +360,7 @@ def embedding_dups_sql(
     sig = _sig_expr(dim, nbits)
     return f"""
 WITH sigs AS (
-  SELECT vec_id, {sig} AS sig, CAST(embedding AS DOUBLE[]) AS e
+  SELECT vec_id, {sig} AS sig, {_emb_cast(dim)} AS e
   FROM embeddings
 ),
 bandrows AS (
@@ -357,7 +376,7 @@ SELECT c.vec_id_a, c.vec_id_b
 FROM cand c
 JOIN sigs sa ON sa.vec_id = c.vec_id_a
 JOIN sigs sb ON sb.vec_id = c.vec_id_b
-WHERE list_cosine_similarity(sa.e, sb.e) >= {threshold}
+WHERE coalesce(list_cosine_similarity(sa.e, sb.e), -1.0) >= {threshold}
 """
 
 

@@ -31,6 +31,7 @@ import hashlib
 import os
 
 import pyarrow as pa
+import pyarrow.compute as pc
 
 import ray.data
 
@@ -138,8 +139,8 @@ def build_spans_batch(batch: pa.Table) -> pa.Table:
         {
             "doc_id": pa.array(out_ids, pa.string()),
             "spans": spans,
-            "lang": batch.column("lang"),
-            "source": batch.column("source"),
+            "lang": pc.fill_null(batch.column("lang").combine_chunks(), ""),
+            "source": pc.fill_null(batch.column("source").combine_chunks(), ""),
         }
     )
 
@@ -298,8 +299,8 @@ def build_spans_batch_vec(batch: pa.Table) -> pa.Table:
             if isinstance(out_ids, pa.ChunkedArray)
             else out_ids,
             "spans": spans,
-            "lang": batch.column("lang"),
-            "source": batch.column("source"),
+            "lang": pc.fill_null(batch.column("lang").combine_chunks(), ""),
+            "source": pc.fill_null(batch.column("source").combine_chunks(), ""),
         }
     )
 

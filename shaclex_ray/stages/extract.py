@@ -74,7 +74,7 @@ def extract_triples_batch(batch: pa.Table) -> pa.Table:
             doc_iris,
             P_LANG,
             "literal",
-            batch.column("lang").combine_chunks(),
+            pc.fill_null(batch.column("lang").combine_chunks(), ""),
             XSD_STRING,
             "",
             doc_ids,
@@ -86,7 +86,7 @@ def extract_triples_batch(batch: pa.Table) -> pa.Table:
             doc_iris,
             P_SOURCE,
             "literal",
-            batch.column("source").combine_chunks(),
+            pc.fill_null(batch.column("source").combine_chunks(), ""),
             XSD_STRING,
             "",
             doc_ids,
@@ -105,7 +105,9 @@ def extract_triples_batch(batch: pa.Table) -> pa.Table:
         offset = flat.field("offset")
         span_doc_ids = pc.take(doc_ids, parents)
         span_doc_iris = pc.take(doc_iris, parents)
-        span_langs = pc.take(batch.column("lang").combine_chunks(), parents)
+        span_langs = pc.take(
+            pc.fill_null(batch.column("lang").combine_chunks(), ""), parents
+        )
 
         tmask = pc.equal(kind, "text")
         if pc.any(tmask).as_py():

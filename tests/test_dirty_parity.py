@@ -48,11 +48,22 @@ def dirty_sf(tmp_path_factory):
             txt[6] = "line1\nline2\ttab  double  space"
             txt[7] = txt[8]  # duplicate content across weird ids
             txt[9] = None  # null text: engine policy tokenizes/hashes as ''
+            # null lang/source: same policy — read as '' everywhere
+            lng = t.column("lang").to_pylist()
+            src = t.column("source").to_pylist()
+            lng[10] = None
+            src[11] = None
             t = t.set_column(
                 t.schema.get_field_index("doc_id"), "doc_id", pa.array(ids, pa.int64())
             )
             t = t.set_column(
                 t.schema.get_field_index("text"), "text", pa.array(txt, pa.string())
+            )
+            t = t.set_column(
+                t.schema.get_field_index("lang"), "lang", pa.array(lng, pa.string())
+            )
+            t = t.set_column(
+                t.schema.get_field_index("source"), "source", pa.array(src, pa.string())
             )
         if name == "embeddings.parquet" and t.num_rows >= 10:
             emb = t.column("embedding").to_pylist()
@@ -60,11 +71,30 @@ def dirty_sf(tmp_path_factory):
             emb[0] = [0.0] * dim  # zero-norm vector
             emb[1] = [1e30] * dim  # huge magnitude (overflows f32 cosine)
             emb[2] = [-1e-30] * dim  # tiny magnitude (underflows f32 cosine)
+            emb[3] = None  # null embedding: policy reads it as the zero vector
+            emb[4] = [None] + emb[4][1:]  # null ELEMENT: reads as 0.0
+            lab = t.column("label").to_pylist()
+            lab[5] = None  # null label: policy reads it as -1 (unknown class)
             t = t.set_column(
                 t.schema.get_field_index("embedding"),
                 "embedding",
                 pa.array(emb, pa.list_(pa.float32())),
             )
+            t = t.set_column(
+                t.schema.get_field_index("label"),
+                "label",
+                pa.array(lab, t.schema.field("label").type),
+            )
+        if name == "events.parquet" and t.num_rows >= 10:
+            # null event strings: null props/user_id/event_type must not
+            # crash the groupbys or the JSON extraction
+            for col in t.column_names:
+                if t.schema.field(col).type == pa.string():
+                    v = t.column(col).to_pylist()
+                    v[2] = None
+                    t = t.set_column(
+                        t.schema.get_field_index(col), col, pa.array(v, pa.string())
+                    )
         pq.write_table(t, f"{out}/{name}")
     return out
 
