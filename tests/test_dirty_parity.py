@@ -85,6 +85,27 @@ def dirty_sf(tmp_path_factory):
                 "label",
                 pa.array(lab, t.schema.field("label").type),
             )
+        star_nulls = {
+            "orders.parquet": ["o_custkey", "o_totalprice", "o_orderdate"],
+            "lineitem.parquet": [
+                "l_orderkey", "l_quantity", "l_extendedprice", "l_discount",
+                "l_returnflag", "l_linestatus", "l_shipdate", "l_suppkey",
+            ],
+            "customer.parquet": ["c_nationkey", "c_mktsegment"],
+            "supplier.parquet": ["s_nationkey"],
+            "nation.parquet": ["n_regionkey", "n_name"],
+        }
+        for col in star_nulls.get(name, []):
+            # null join keys / measures / flags in the star schema: must
+            # drop out identically on both sides, never crash or corrupt
+            if col in t.column_names and t.num_rows >= 6:
+                v = t.column(col).to_pylist()
+                v[4] = None
+                t = t.set_column(
+                    t.schema.get_field_index(col),
+                    col,
+                    pa.array(v, t.schema.field(col).type),
+                )
         if name == "events.parquet" and t.num_rows >= 10:
             # null event strings: null props/user_id/event_type must not
             # crash the groupbys or the JSON extraction
