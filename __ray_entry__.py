@@ -949,15 +949,13 @@ def oracle_sql() -> dict[str, str]:
         "ann_lsh_topk": _sql_oracles.lsh_topk_sql(dim=64),
         "ann_ivf_lists": _sql_oracles.ivf_lists_sql(),
         "ann_ivf_topk": _sql_oracles.ivf_topk_sql(),
-        "ann_topk": """
+        "ann_topk": f"""
         -- DOUBLE[] cast: DuckDB computes list_cosine_similarity in the
         -- list's own float type; f32 over/underflows on extreme vectors
         -- where the engine's float64 kernel is exact
         WITH emb AS (
           -- null embedding reads as the zero vector (cos -1, ranks last)
-          SELECT vec_id, CASE WHEN embedding IS NULL THEN [0.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0]
-                 ELSE list_transform(CAST(embedding AS DOUBLE[]),
-                                     x -> coalesce(x, 0.0)) END AS e
+          SELECT vec_id, {_sql_oracles._emb_cast(64)} AS e
           FROM embeddings
         ), q AS (
           SELECT vec_id AS query_id, e AS qe FROM emb

@@ -240,11 +240,17 @@ def _emb_dim(sf_dir: str) -> int:
     typ = pf.schema_arrow.field("embedding").type
     if pa.types.is_fixed_size_list(typ):
         return typ.list_size
-    try:
-        first = next(pf.iter_batches(batch_size=1, columns=["embedding"]))
-    except StopIteration:
-        return 0  # empty embeddings table — downstream stages see no rows
-    return len(first.column("embedding")[0])
+    # the first physical row can be NULL (policy: reads as the zero
+    # vector) — scan forward for the first row that carries a width
+    for rb in pf.iter_batches(batch_size=1024, columns=["embedding"]):
+        lens = pc.fill_null(
+            pc.list_value_length(pa.Table.from_batches([rb]).column("embedding")),
+            0,
+        ).to_numpy(zero_copy_only=False)
+        nz = lens[lens > 0]
+        if len(nz):
+            return int(nz[0])
+    return 0  # empty or all-null embeddings table
 
 
 def lsh_buckets(sf_dir: str, nbits: int = 8):
@@ -372,6 +378,7 @@ def ivf_centroids(sf_dir: str, nlist: int = 16) -> tuple[np.ndarray, np.ndarray]
     import pyarrow.parquet as pq
 
     stride = _ivf_stride(sf_dir, nlist)
+    dim = _emb_dim(sf_dir)
     pf = pq.ParquetFile(f"{sf_dir}/embeddings.parquet")
     ids_parts, emb_parts = [], []
     for rb in pf.iter_batches(columns=["vec_id", "embedding"]):
@@ -381,7 +388,7 @@ def ivf_centroids(sf_dir: str, nlist: int = 16) -> tuple[np.ndarray, np.ndarray]
         if mask.any():
             sub = tbl.filter(pa.array(mask))
             ids_parts.append(sub.column("vec_id").to_numpy(zero_copy_only=False))
-            emb_parts.append(_list_to_matrix(sub.column("embedding")))
+            emb_parts.append(_list_to_matrix(sub.column("embedding"), dim))
     if not ids_parts:  # empty embeddings table → empty codebook
         return np.empty(0, np.int64), np.empty((0, 0), np.float64)
     cids = np.concatenate(ids_parts) // stride
@@ -623,7 +630,7 @@ class KnnLabelVote:
         self.k = k
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        ids, emb = _to_matrix(batch)
+        ids, emb = _to_matrix(batch, self.sm.shape[1])
         keep = ~np.isin(ids, self.seed_ids)
         ids, emb = ids[keep], emb[keep]
         if len(ids) == 0:

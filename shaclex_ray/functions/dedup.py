@@ -1197,10 +1197,14 @@ def embedding_near_dups(
     ).materialize()
 
     def _pair_cos(A: np.ndarray, B: np.ndarray) -> np.ndarray:
-        # dot/(|a||b|) — the list_cosine_similarity formula, in float64
+        # dot/(|a||b|) — the list_cosine_similarity formula, in float64;
+        # a zero-norm side (incl. null-filled vectors) reads -1, the
+        # engine-wide undefined-direction rule the SQL twin coalesces to
         num = np.einsum("ij,ij->i", A, B)
         den = np.linalg.norm(A, axis=1) * np.linalg.norm(B, axis=1)
-        return num / np.maximum(den, 1e-300)
+        cos = num / np.maximum(den, 1e-300)
+        cos[den == 0.0] = -1.0
+        return cos
 
     import os as _os
 

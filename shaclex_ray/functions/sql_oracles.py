@@ -236,7 +236,7 @@ def _emb_cast(dim: int, col: str = "embedding") -> str:
     engine's fill on the flat values buffer."""
     zeros = "[" + ", ".join(["0.0"] * dim) + "]"
     return (
-        f"CASE WHEN {col} IS NULL THEN {zeros} "
+        f"CASE WHEN {col} IS NULL OR len({col}) = 0 THEN {zeros} "
         f"ELSE list_transform(CAST({col} AS DOUBLE[]), x -> coalesce(x, 0.0)) END"
     )
 

@@ -36,7 +36,7 @@ def dirty_sf(tmp_path_factory):
     for f in glob.glob(f"{BASE}/*.parquet"):
         t = pq.read_table(f)
         name = os.path.basename(f)
-        if name == "documents.parquet" and t.num_rows >= 10:
+        if name == "documents.parquet" and t.num_rows >= 12:
             ids = t.column("doc_id").to_pylist()
             txt = t.column("text").to_pylist()
             ids[0] = -5
@@ -73,8 +73,9 @@ def dirty_sf(tmp_path_factory):
             emb[2] = [-1e-30] * dim  # tiny magnitude (underflows f32 cosine)
             emb[3] = None  # null embedding: policy reads it as the zero vector
             emb[4] = [None] + emb[4][1:]  # null ELEMENT: reads as 0.0
+            emb[5] = []  # empty list: reads as the zero vector too
             lab = t.column("label").to_pylist()
-            lab[5] = None  # null label: policy reads it as -1 (unknown class)
+            lab[6] = None  # null label: policy reads it as -1 (unknown class)
             t = t.set_column(
                 t.schema.get_field_index("embedding"),
                 "embedding",

@@ -706,3 +706,36 @@ def test_bloom_prefilter_has_no_false_negatives():
     assert _bloom_test(bloom, np.array([], np.uint64), m_bits).shape == (0,)
     empty = _decon_bloom_part(m_bits, pa.table({"h": pa.array([], pa.uint64())}))
     assert not empty.any()
+
+
+def test_embedding_null_policy_kernels():
+    """Kernel edges of the null-embedding policy: an ALL-null block with a
+    caller dim yields zero rows of that width; null elements read 0.0;
+    empty lists read as the zero vector; _emb_dim skips null first rows."""
+    import pyarrow.parquet as pq
+
+    from shaclex_ray.functions.ann import _emb_dim, _list_to_matrix
+
+    allnull = pa.array([None, None], pa.list_(pa.float32()))
+    m = _list_to_matrix(allnull, 4)
+    assert m.shape == (2, 4) and (m == 0).all()
+    mixed = pa.array([[1.0, None, 3.0], None, []], pa.list_(pa.float32()))
+    m = _list_to_matrix(mixed, 3)
+    assert m.shape == (3, 3)
+    assert m[0].tolist() == [1.0, 0.0, 3.0]
+    assert (m[1] == 0).all() and (m[2] == 0).all()
+
+
+def test_emb_dim_skips_null_first_rows(tmp_path):
+    import pyarrow.parquet as pq
+
+    from shaclex_ray.functions.ann import _emb_dim
+
+    t = pa.table(
+        {
+            "vec_id": pa.array([0, 1, 2], pa.int64()),
+            "embedding": pa.array([None, None, [1.0, 2.0, 3.0]], pa.list_(pa.float32())),
+        }
+    )
+    pq.write_table(t, tmp_path / "embeddings.parquet")
+    assert _emb_dim(str(tmp_path)) == 3
