@@ -41,11 +41,33 @@ GAP_US_DEFAULT = 30 * 60 * 1_000_000  # 30-minute session gap
 
 
 def _read_events(sf_dir: str, columns):
-    return ray.data.read_parquet(f"{sf_dir}/events.parquet", columns=list(columns))
+    """Pruned events read under the engine's event policy: a row with a
+    NULL timestamp cannot be placed in time and a NULL user_id cannot be
+    keyed — both are DROPPED when the operator needs that column (the
+    twins carry the matching IS NOT NULL predicates)."""
+    ds = ray.data.read_parquet(f"{sf_dir}/events.parquet", columns=list(columns))
+    need = [c for c in ("ts", "user_id") if c in columns]
+    if not need:
+        return ds
+
+    def drop_unplaceable(batch: pa.Table) -> pa.Table:
+        mask = None
+        for c in need:
+            valid = pc.is_valid(batch.column(c).combine_chunks())
+            mask = valid if mask is None else pc.and_(mask, valid)
+        return batch.filter(mask)
+
+    return ds.map_batches(drop_unplaceable, batch_format="pyarrow")
 
 
 def _cents(value_col: pa.ChunkedArray) -> np.ndarray:
-    v = value_col.to_numpy(zero_copy_only=False)
+    # null value reads as 0.0 (the twins coalesce(value, 0.0))
+    v = pc.fill_null(
+        value_col.combine_chunks()
+        if isinstance(value_col, pa.ChunkedArray)
+        else value_col,
+        0.0,
+    ).to_numpy(zero_copy_only=False)
     return np.rint(v * 100.0).astype(np.int64)
 
 

@@ -390,8 +390,8 @@ def events_window_agg_sql() -> str:
     return """
 WITH t AS (
   SELECT date_trunc('hour', ts) AS window_start, event_type,
-         CAST(round(value * 100) AS BIGINT) AS cents
-  FROM events
+         CAST(round(coalesce(value, 0.0) * 100) AS BIGINT) AS cents
+  FROM events WHERE ts IS NOT NULL
 )
 SELECT window_start, event_type,
        CAST(count(*) AS BIGINT) AS n_events,
@@ -407,11 +407,11 @@ def events_sessions_sql(gap_minutes: int = 30) -> str:
     (ts, event_id) on both sides."""
     return f"""
 WITH o AS (
-  SELECT user_id, ts, event_id, CAST(round(value * 100) AS BIGINT) AS cents,
+  SELECT user_id, ts, event_id, CAST(round(coalesce(value, 0.0) * 100) AS BIGINT) AS cents,
          CASE WHEN lag(ts) OVER w IS NULL
                    OR ts - lag(ts) OVER w > INTERVAL {gap_minutes} MINUTE
               THEN 1 ELSE 0 END AS new_sess
-  FROM events
+  FROM events WHERE ts IS NOT NULL AND user_id IS NOT NULL
   WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
 ),
 s AS (
@@ -433,8 +433,9 @@ def events_asof_sql() -> str:
     latest same-user 'view' with ts <= the click's ts, ties broken by
     max view event_id."""
     return """
-WITH v AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'view'),
-     c AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'click')
+WITH e0 AS (SELECT * FROM events WHERE ts IS NOT NULL AND user_id IS NOT NULL),
+     v AS (SELECT event_id, user_id, ts FROM e0 WHERE event_type = 'view'),
+     c AS (SELECT event_id, user_id, ts FROM e0 WHERE event_type = 'click')
 SELECT c.event_id AS click_id, c.user_id, c.ts AS click_ts,
        l.view_id, l.view_ts,
        CAST(date_diff('microsecond', l.view_ts, c.ts) AS DOUBLE)

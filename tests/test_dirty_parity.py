@@ -108,8 +108,8 @@ def dirty_sf(tmp_path_factory):
                     pa.array(v, t.schema.field(col).type),
                 )
         if name == "events.parquet" and t.num_rows >= 10:
-            # null event strings: null props/user_id/event_type must not
-            # crash the groupbys or the JSON extraction
+            # null event strings: null props/event_type must not crash
+            # the groupbys or the JSON extraction
             for col in t.column_names:
                 if t.schema.field(col).type == pa.string():
                     v = t.column(col).to_pylist()
@@ -117,6 +117,16 @@ def dirty_sf(tmp_path_factory):
                     t = t.set_column(
                         t.schema.get_field_index(col), col, pa.array(v, pa.string())
                     )
+            # events policy: a NULL ts or user_id row is DROPPED by the
+            # time/user-keyed operators; NULL value reads as 0.0
+            for col, row in (("ts", 3), ("user_id", 4), ("value", 5)):
+                v = t.column(col).to_pylist()
+                v[row] = None
+                t = t.set_column(
+                    t.schema.get_field_index(col),
+                    col,
+                    pa.array(v, t.schema.field(col).type),
+                )
         pq.write_table(t, f"{out}/{name}")
     return out
 
