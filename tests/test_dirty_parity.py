@@ -95,6 +95,7 @@ def dirty_sf(tmp_path_factory):
             "customer.parquet": ["c_nationkey", "c_mktsegment"],
             "supplier.parquet": ["s_nationkey"],
             "nation.parquet": ["n_regionkey", "n_name"],
+            "region.parquet": ["r_regionkey", "r_name"],
         }
         for col in star_nulls.get(name, []):
             # null join keys / measures / flags in the star schema: must
