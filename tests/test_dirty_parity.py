@@ -2,11 +2,19 @@
 still match DuckDB row-for-row on a DIRTY variant of sf0.001 — negative
 and 13-digit doc ids, unicode/emoji/CJK text, a 2MB single token,
 whitespace-only and control-character docs, duplicated text across
-distinct ids, and zero-norm / 1e30 / -1e-30 embeddings. This pins the
-engine-wide edge policies (pad-only doc labels, sign-safe modulo,
-null/empty text handling, the zero-norm cosine = -1 rule, float64
-cosine vs DuckDB's storage-type kernel) against real adversarial data
-rather than only the clean synthetic tables."""
+distinct ids, zero-norm / 1e30 / -1e-30 embeddings, AND a NULL in every
+poisonable column: text/lang/source (read as ''), embeddings incl.
+empty lists and null elements (read as the zero vector -> cosine -1),
+knn labels (read as -1), event strings, event ts/user_id (rows dropped
+by the time/user-keyed operators) and value (reads 0.0), and the star
+schema's join keys / measures / flags / dates (drop out identically on
+both sides). This pins the engine-wide edge policies (pad-only doc
+labels, sign-safe modulo, the null-string policy, the zero-norm
+cosine = -1 rule, float64 cosine vs DuckDB's storage-type kernel)
+against real adversarial data rather than only the clean synthetic
+tables. Probed and deliberately NOT pinned: duplicate primary keys —
+contract-violating input on which per-doc operators legitimately
+differ from SQL row semantics (see BASELINE.md)."""
 
 import glob
 import os
