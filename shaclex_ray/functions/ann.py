@@ -180,8 +180,12 @@ def _min_id_rows(sf_dir: str, n: int, columns: list[str]) -> pa.Table:
 
 
 def _load_queries(sf_dir: str, n_queries: int):
-    """Query set = the ``n_queries`` smallest-vec_id rows as (ids, matrix)."""
-    return _to_matrix(_min_id_rows(sf_dir, n_queries, ["vec_id", "embedding"]))
+    """Query set = the ``n_queries`` smallest-vec_id rows as (ids, matrix);
+    dim from the corpus so an all-null query slice still shapes right."""
+    return _to_matrix(
+        _min_id_rows(sf_dir, n_queries, ["vec_id", "embedding"]),
+        _emb_dim(sf_dir),
+    )
 
 
 def topk_cosine(sf_dir: str, n_queries: int = 10, k: int = 5):
@@ -241,7 +245,10 @@ def _emb_dim(sf_dir: str) -> int:
     if pa.types.is_fixed_size_list(typ):
         return typ.list_size
     # the first physical row can be NULL (policy: reads as the zero
-    # vector) — scan forward for the first row that carries a width
+    # vector) — scan forward for the first row that carries a width,
+    # BOUNDED so a pathological all-null prefix never becomes a driver
+    # full-column scan (fixed_size_list tables never reach this loop)
+    seen = 0
     for rb in pf.iter_batches(batch_size=1024, columns=["embedding"]):
         lens = pc.fill_null(
             pc.list_value_length(pa.Table.from_batches([rb]).column("embedding")),
@@ -250,7 +257,14 @@ def _emb_dim(sf_dir: str) -> int:
         nz = lens[lens > 0]
         if len(nz):
             return int(nz[0])
-    return 0  # empty or all-null embeddings table
+        seen += len(lens)
+        if seen >= 1_048_576:
+            raise ValueError(
+                "could not infer embedding dim: first 1M rows all null/empty"
+            )
+    if seen:
+        raise ValueError("could not infer embedding dim: all rows null/empty")
+    return 0  # empty embeddings table
 
 
 def lsh_buckets(sf_dir: str, nbits: int = 8):
@@ -678,9 +692,10 @@ def knn_label(sf_dir: str, n_seed: int = 100, k: int = 5):
     votes, then smaller label; neighbor ties: higher cos, then smaller
     seed id). Returns (vec_id, pred_label, n_votes) — all integers, so the
     result hash-compares exactly against the SQL twin."""
-    # seed set = the n_seed SMALLEST vec_ids via the shared min-id loader
+    # seed set = the n_seed SMALLEST vec_ids via the shared min-id loader;
+    # corpus dim so an all-null seed slice still shapes right
     st = _min_id_rows(sf_dir, n_seed, ["vec_id", "embedding", "label"])
-    seed_ids, sm = _to_matrix(st)
+    seed_ids, sm = _to_matrix(st, _emb_dim(sf_dir))
     seed_labels = (
         pc.fill_null(st.column("label"), -1)
         .to_numpy(zero_copy_only=False)

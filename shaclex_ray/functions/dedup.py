@@ -1349,13 +1349,16 @@ def embedding_near_dups(
         return verify_direct(cand, n_cand)
 
     def fp_fn(batch: pa.Table) -> pa.Table:
-        # cosine(v, v) = 1 for any nonzero vector, 0 for a zero vector
-        # (the 1e-300 denominator guard) — self_ok encodes exactly that
+        # self-cosine: 1 for any nonzero vector, -1 for a zero-norm one
+        # (the engine-wide undefined-direction rule _pair_cos applies) —
+        # self_ok must encode the same rule or the rep-expand path would
+        # diverge from the direct-verify path at threshold <= -1
         from shaclex_ray.functions.ann import _list_to_matrix
 
         mat = _list_to_matrix(batch.column("embedding"), dim)
         fp_hi, fp_lo = md5_u128_batch(_pack_bytes(batch))
-        ok = (np.linalg.norm(mat, axis=1) > 0) & (1.0 >= threshold)
+        self_cos = np.where(np.linalg.norm(mat, axis=1) > 0, 1.0, -1.0)
+        ok = self_cos >= threshold
         return pa.table(
             {
                 "doc_id": batch.column("vec_id"),

@@ -102,31 +102,13 @@ def test_cli_pipelines_on_dirty_corpus(tmp_path, ray_session):
     import pyarrow as pa
     import pyarrow.parquet as pq
 
+    from tests.test_dirty_parity import poison_documents
+
     sf = tmp_path / "sf"
     sf.mkdir()
     for f in glob.glob("/root/testdata/sf0.001/*.parquet"):
         shutil.copy(f, sf)
-    t = pq.read_table(sf / "documents.parquet")
-    ids = t.column("doc_id").to_pylist()
-    txt = t.column("text").to_pylist()
-    lng = t.column("lang").to_pylist()
-    src = t.column("source").to_pylist()
-    ids[0] = -5
-    ids[1] = 10**12
-    ids[2] = -999999
-    txt[3] = "héllo wörld 👋 你好 世界 🌍 " * 50
-    txt[4] = ("lorem ipsum " * 40) + ("x" * 2_000_000)
-    txt[5] = "   "
-    txt[9] = None
-    lng[10] = None
-    src[11] = None
-    for col, v, typ in (
-        ("doc_id", ids, pa.int64()),
-        ("text", txt, pa.string()),
-        ("lang", lng, pa.string()),
-        ("source", src, pa.string()),
-    ):
-        t = t.set_column(t.schema.get_field_index(col), col, pa.array(v, typ))
+    t = poison_documents(pq.read_table(sf / "documents.parquet"))
     pq.write_table(t, sf / "documents.parquet")
 
     from shaclex_ray.pipelines.curation import run_curation_pipeline
@@ -137,10 +119,10 @@ def test_cli_pipelines_on_dirty_corpus(tmp_path, ray_session):
 
     kg_out = str(tmp_path / "kg")
     # empty-text docs legitimately violate minCount — the validator's job
-    assert kg_counts(run_kg_pipeline(str(sf), kg_out)) == (9390, 24, 5)
+    assert kg_counts(run_kg_pipeline(str(sf), kg_out)) == (9381, 24, 6)
     # resume from checkpoints reproduces the same counts
-    assert kg_counts(run_kg_pipeline(str(sf), kg_out)) == (9390, 24, 5)
+    assert kg_counts(run_kg_pipeline(str(sf), kg_out)) == (9381, 24, 6)
 
     cur_out = str(tmp_path / "curate")
     r3 = run_curation_pipeline(str(sf), cur_out)
-    assert (r3["kept"], r3["chunks"]) == (399, 393)
+    assert (r3["kept"], r3["chunks"]) == (397, 390)

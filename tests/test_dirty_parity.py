@@ -37,6 +37,37 @@ def _names():
     return sorted(e.oracle_sql())
 
 
+
+
+def poison_documents(t: pa.Table) -> pa.Table:
+    """Apply the canonical dirty-documents mutations (shared with the CLI
+    pipeline pin in test_cli.py so the two corpora cannot drift)."""
+    ids = t.column("doc_id").to_pylist()
+    txt = t.column("text").to_pylist()
+    lng = t.column("lang").to_pylist()
+    src = t.column("source").to_pylist()
+    ids[0] = -5
+    ids[1] = 10**12
+    ids[2] = -999999
+    txt[3] = "héllo wörld 👋 你好 世界 🌍 " * 50 + "é شكرا"
+    txt[4] = ("lorem ipsum dolor sit amet " * 40) + ("x" * 2_000_000)
+    txt[5] = "   "
+    txt[6] = "line1\nline2\ttab  double  space"
+    txt[7] = txt[8]  # duplicate content across weird ids
+    txt[9] = None  # null text: engine policy tokenizes/hashes as ''
+    # null lang/source: same policy — read as '' everywhere
+    lng[10] = None
+    src[11] = None
+    for col, v, typ in (
+        ("doc_id", ids, pa.int64()),
+        ("text", txt, pa.string()),
+        ("lang", lng, pa.string()),
+        ("source", src, pa.string()),
+    ):
+        t = t.set_column(t.schema.get_field_index(col), col, pa.array(v, typ))
+    return t
+
+
 @pytest.fixture(scope="session")
 def dirty_sf(tmp_path_factory):
     out = str(tmp_path_factory.mktemp("dirty") / "sf")
@@ -45,34 +76,7 @@ def dirty_sf(tmp_path_factory):
         t = pq.read_table(f)
         name = os.path.basename(f)
         if name == "documents.parquet" and t.num_rows >= 12:
-            ids = t.column("doc_id").to_pylist()
-            txt = t.column("text").to_pylist()
-            ids[0] = -5
-            ids[1] = 10**12
-            ids[2] = -999999
-            txt[3] = "héllo wörld 👋 你好 世界 🌍 " * 50 + "é شكرا"
-            txt[4] = ("lorem ipsum dolor sit amet " * 40) + ("x" * 2_000_000)
-            txt[5] = "   "
-            txt[6] = "line1\nline2\ttab  double  space"
-            txt[7] = txt[8]  # duplicate content across weird ids
-            txt[9] = None  # null text: engine policy tokenizes/hashes as ''
-            # null lang/source: same policy — read as '' everywhere
-            lng = t.column("lang").to_pylist()
-            src = t.column("source").to_pylist()
-            lng[10] = None
-            src[11] = None
-            t = t.set_column(
-                t.schema.get_field_index("doc_id"), "doc_id", pa.array(ids, pa.int64())
-            )
-            t = t.set_column(
-                t.schema.get_field_index("text"), "text", pa.array(txt, pa.string())
-            )
-            t = t.set_column(
-                t.schema.get_field_index("lang"), "lang", pa.array(lng, pa.string())
-            )
-            t = t.set_column(
-                t.schema.get_field_index("source"), "source", pa.array(src, pa.string())
-            )
+            t = poison_documents(t)
         if name == "embeddings.parquet" and t.num_rows >= 10:
             emb = t.column("embedding").to_pylist()
             dim = len(emb[0])
@@ -108,7 +112,7 @@ def dirty_sf(tmp_path_factory):
         for col in star_nulls.get(name, []):
             # null join keys / measures / flags in the star schema: must
             # drop out identically on both sides, never crash or corrupt
-            if col in t.column_names and t.num_rows >= 6:
+            if col in t.column_names and t.num_rows >= 5:
                 v = t.column(col).to_pylist()
                 v[4] = None
                 t = t.set_column(

@@ -712,9 +712,7 @@ def test_embedding_null_policy_kernels():
     """Kernel edges of the null-embedding policy: an ALL-null block with a
     caller dim yields zero rows of that width; null elements read 0.0;
     empty lists read as the zero vector; _emb_dim skips null first rows."""
-    import pyarrow.parquet as pq
-
-    from shaclex_ray.functions.ann import _emb_dim, _list_to_matrix
+    from shaclex_ray.functions.ann import _list_to_matrix
 
     allnull = pa.array([None, None], pa.list_(pa.float32()))
     m = _list_to_matrix(allnull, 4)
