@@ -63,34 +63,38 @@ def _bucket_array(tbl: pa.Table, nbuckets: int) -> np.ndarray:
     return (_row_hash(tbl) % np.uint64(nbuckets)).astype(np.int64)
 
 
-def _dedup_id_filter(s: pa.Table) -> pa.Table:
-    """Drop rows whose identity equals the previous row's (``s`` must be
-    sorted with identity columns grouped adjacently; the first row of each
-    run — the least witness — survives)."""
-    n = s.num_rows
-    if n <= 1:
-        return s
-    s = s.combine_chunks()
-    neq = None
-    for c in TRIPLE_ID_COLS:
-        arr = s.column(c).chunk(0)
-        d = pc.not_equal(arr.slice(1), arr.slice(0, n - 1))
-        neq = d if neq is None else pc.or_(neq, d)
-    keep = pa.concat_arrays([pa.array([True], pa.bool_()), neq])
-    return s.filter(keep)
-
-
 def _adjacent_identity_neq(tbl: pa.Table, id_cols: list[str]) -> np.ndarray:
-    """bool[n-1]: row i+1's identity differs from row i's (vectorized)."""
+    """bool[n-1]: row i+1's identity differs from row i's (vectorized).
+
+    Null-aware with SQL-DISTINCT semantics (matching the row hash, which
+    gives all nulls one fixed hash): null == null, null != value. Without
+    the null handling, ``pc.not_equal`` yields null for any null operand
+    and the numpy conversion degrades to an object array that crashes the
+    ``|=`` — so a duplicate pair carrying a null identity column killed
+    the whole task."""
     t = tbl.combine_chunks()
     m = t.num_rows
     neq = np.zeros(max(m - 1, 0), dtype=bool)
     for c in id_cols:
         arr = t.column(c).chunk(0)
-        neq |= pc.not_equal(arr.slice(1), arr.slice(0, m - 1)).to_numpy(
-            zero_copy_only=False
-        )
+        a, b = arr.slice(1), arr.slice(0, m - 1)
+        d = pc.not_equal(a, b)
+        if d.null_count:
+            d = pc.or_(
+                pc.fill_null(d, False), pc.xor(pc.is_null(a), pc.is_null(b))
+            )
+        neq |= d.to_numpy(zero_copy_only=False)
     return neq
+
+
+def _partition_slices(tbl: pa.Table, sorted_b: np.ndarray, nbuckets: int):
+    """Slice a bucket-sorted table into ``nbuckets`` zero-copy views.
+    ``sorted_b`` is the (nondecreasing) bucket id per row of ``tbl``."""
+    bounds = np.searchsorted(sorted_b, np.arange(nbuckets + 1))
+    return tuple(
+        tbl.slice(bounds[i], bounds[i + 1] - bounds[i])
+        for i in range(nbuckets)
+    )
 
 
 def _keep_rows(
@@ -246,12 +250,7 @@ def _dedup_split_impl(nbuckets: int, link_tbl, *tbls: pa.Table):
     out = base.take(pa.array(kept))
     if nbuckets == 1:
         return out  # num_returns=1: the single return IS the table
-    sorted_b = b[kept]
-    bounds = np.searchsorted(sorted_b, np.arange(nbuckets + 1))
-    return tuple(
-        out.slice(bounds[i], bounds[i + 1] - bounds[i])
-        for i in range(nbuckets)
-    )
+    return _partition_slices(out, b[kept], nbuckets)
 
 
 def _dedup_bucket_impl(*parts: pa.Table) -> pa.Table:
@@ -404,14 +403,14 @@ def dedup_triples_fast(
 # sort-based shuffle + one-Python-call-per-group costs seconds of fixed
 # overhead even on tiny intermediates.
 
-def _distinct_split_impl(nbuckets: int, cols: list[str], *tbls: pa.Table):
+def _distinct_split_impl(
+    nbuckets: int, cols: list[str], schema: pa.Schema, *tbls: pa.Table
+):
     real = [t for t in tbls if t.num_rows > 0]
     if not real:
-        schema = pa.schema([(c, pa.string()) for c in cols])
-        for t in tbls:
-            if t.num_columns:
-                schema = t.schema
-                break
+        # a strided split group can be ALL degenerate zero-column empty
+        # blocks; the driver-supplied dataset schema is the authority, so
+        # the empty partial always concats cleanly with real partials
         empty = schema.empty_table()
         return empty if nbuckets == 1 else tuple(empty for _ in range(nbuckets))
     base = pa.concat_tables(real)
@@ -422,12 +421,7 @@ def _distinct_split_impl(nbuckets: int, cols: list[str], *tbls: pa.Table):
     out = base.take(pa.array(kept))
     if nbuckets == 1:
         return out
-    sorted_b = b[kept]
-    bounds = np.searchsorted(sorted_b, np.arange(nbuckets + 1))
-    return tuple(
-        out.slice(bounds[i], bounds[i + 1] - bounds[i])
-        for i in range(nbuckets)
-    )
+    return _partition_slices(out, b[kept], nbuckets)
 
 
 def _distinct_bucket_impl(cols: list[str], *parts: pa.Table):
@@ -475,8 +469,11 @@ def distinct_rows_fast(ds, nbuckets: int | None = None, empty_schema=None):
         min(len(refs), max(nbuckets, _math.ceil(mat.count() / target))),
     )
     groups = [refs[g::ngroups] for g in range(ngroups)]
+    pa_schema = pa.schema(list(zip(schema.names, schema.types)))
     split_refs = [
-        split_task.options(num_returns=nbuckets).remote(nbuckets, cols, *grp)
+        split_task.options(num_returns=nbuckets).remote(
+            nbuckets, cols, pa_schema, *grp
+        )
         for grp in groups
     ]
     if nbuckets == 1:

@@ -36,11 +36,12 @@ import os
 
 import numpy as np
 import pyarrow as pa
+import pyarrow.compute as pc
 
 import ray
 import ray.data as rd
 
-from shaclex_ray.stages.dedup import _keep_rows, _row_hash
+from shaclex_ray.stages.dedup import _keep_rows, _partition_slices, _row_hash
 
 _FINAL = {"min": "min", "max": "max", "sum": "sum", "count": "sum"}
 
@@ -52,11 +53,18 @@ def _partial_agg(tbl: pa.Table, keys: list[str], aggs: list[tuple[str, str]]) ->
 
 
 def _split_impl(
-    nbuckets: int, keys: list[str], aggs: list[tuple[str, str]], *tbls: pa.Table
+    nbuckets: int,
+    keys: list[str],
+    aggs: list[tuple[str, str]],
+    schema: pa.Schema,
+    *tbls: pa.Table,
 ):
     real = [t for t in tbls if t.num_rows > 0]
     if not real:
-        empty = _partial_agg(tbls[0], keys, aggs)
+        # a strided split group can be ALL degenerate zero-column empty
+        # blocks (upstream map_groups emits them) — the driver-supplied
+        # dataset schema is the authority for a correctly-typed partial
+        empty = _partial_agg(schema.empty_table(), keys, aggs)
         return empty if nbuckets == 1 else tuple(empty for _ in range(nbuckets))
     part = _partial_agg(pa.concat_tables(real), keys, aggs)
     if nbuckets == 1:
@@ -64,11 +72,7 @@ def _split_impl(
     h = _row_hash(part, keys)
     b = (h % np.uint64(nbuckets)).astype(np.int64)
     order = np.argsort(b, kind="stable")
-    part = part.take(pa.array(order))
-    bounds = np.searchsorted(b[order], np.arange(nbuckets + 1))
-    return tuple(
-        part.slice(bounds[i], bounds[i + 1] - bounds[i]) for i in range(nbuckets)
-    )
+    return _partition_slices(part.take(pa.array(order)), b[order], nbuckets)
 
 
 def _bucket_impl(
@@ -89,30 +93,32 @@ def _bucket_impl(
     return pa.table(dict(zip(list(keys) + list(names), arrays)))
 
 
-def _split_distinct_impl(nbuckets: int, keys: list[str], dcol: str, *tbls: pa.Table):
+def _split_distinct_impl(
+    nbuckets: int, keys: list[str], dcol: str, schema: pa.Schema, *tbls: pa.Table
+):
     """count_distinct map side: batch-local distinct over keys+dcol
-    (combiner — shrinks the exchange), then partition by KEY hash only
-    so all of a key's rows land in one bucket."""
+    (combiner — shrinks the exchange), partitioned by KEY hash only so
+    all of a key's rows land in one bucket. ONE lexsort by (key-bucket,
+    row-hash) gives both the dedup adjacency and the partition bounds:
+    equal row hashes imply equal keys imply equal key-buckets, so hash
+    runs never straddle a bucket boundary (same argument as
+    dedup._dedup_split_impl)."""
+    cols = list(keys) + [dcol]
     real = [t for t in tbls if t.num_rows > 0]
     if not real:
-        empty = tbls[0].select(list(keys) + [dcol])
+        empty = schema.empty_table().select(cols)
         return empty if nbuckets == 1 else tuple(empty for _ in range(nbuckets))
-    base = pa.concat_tables(real).select(list(keys) + [dcol])
-    cols = list(keys) + [dcol]
+    base = pa.concat_tables(real).select(cols)
     h = _row_hash(base, cols)
-    order = np.argsort(h, kind="stable")
-    kept = _keep_rows(base, order, h, id_cols=cols, witness_cols=None)
-    base = base.take(pa.array(kept))
     if nbuckets == 1:
-        return base
+        order = np.argsort(h, kind="stable")
+        kept = _keep_rows(base, order, h, id_cols=cols, witness_cols=None)
+        return base.take(pa.array(kept))
     hk = _row_hash(base, list(keys))
     b = (hk % np.uint64(nbuckets)).astype(np.int64)
-    o = np.argsort(b, kind="stable")
-    base = base.take(pa.array(o))
-    bounds = np.searchsorted(b[o], np.arange(nbuckets + 1))
-    return tuple(
-        base.slice(bounds[i], bounds[i + 1] - bounds[i]) for i in range(nbuckets)
-    )
+    order = np.lexsort((h, b))
+    kept = _keep_rows(base, order, h, id_cols=cols, witness_cols=None)
+    return _partition_slices(base.take(pa.array(kept)), b[kept], nbuckets)
 
 
 def _bucket_distinct_impl(keys: list[str], col: str, name: str, *parts: pa.Table):
@@ -136,10 +142,14 @@ def grouped_aggregate_fast(
     counts non-null values of its col (use a key col for row counts —
     keys are never null here).
     """
+    distinct_mode = any(fn == "count_distinct" for _, fn in aggs)
+    if distinct_mode and len(aggs) != 1:
+        # validate BEFORE the empty early-path so the schema contract
+        # doesn't depend on whether the input happens to be empty
+        raise ValueError("count_distinct must be the sole aggregation")
     mat = ds.materialize()
     refs = mat.to_arrow_refs()
     nrows = mat.count()
-    distinct_mode = any(fn == "count_distinct" for _, fn in aggs)
     if nrows == 0:
         # the group-by of nothing is nothing — but a fully-empty upstream
         # can carry degenerate blocks (zero-column tables, or none at all),
@@ -167,8 +177,6 @@ def grouped_aggregate_fast(
         nbuckets = max(1, min(ncpu, nrows // 200_000 + 1))
 
     if distinct_mode:
-        if len(aggs) != 1:
-            raise ValueError("count_distinct must be the sole aggregation")
         dcol, dname = aggs[0][0], names[0]
         split_task = ray.remote(_split_distinct_impl)
         bucket_task = ray.remote(_bucket_distinct_impl)
@@ -179,14 +187,20 @@ def grouped_aggregate_fast(
     target = int(os.environ.get("SHACLEX_SPLIT_ROWS", "2000000"))
     ngroups = max(1, min(len(refs), max(nbuckets, math.ceil(nrows / target))))
     groups = [refs[g::ngroups] for g in range(ngroups)]
+    schema = mat.schema()
+    pa_schema = pa.schema(list(zip(schema.names, schema.types)))
     if distinct_mode:
         split_refs = [
-            split_task.options(num_returns=nbuckets).remote(nbuckets, keys, dcol, *grp)
+            split_task.options(num_returns=nbuckets).remote(
+                nbuckets, keys, dcol, pa_schema, *grp
+            )
             for grp in groups
         ]
     else:
         split_refs = [
-            split_task.options(num_returns=nbuckets).remote(nbuckets, keys, aggs, *grp)
+            split_task.options(num_returns=nbuckets).remote(
+                nbuckets, keys, aggs, pa_schema, *grp
+            )
             for grp in groups
         ]
     if nbuckets == 1:
@@ -220,11 +234,23 @@ def _topk_kernel(
             tbl = tbl.append_column(rank_name, pa.array([], pa.int64()))
         return tbl
     dic = tbl.column(key).combine_chunks().dictionary_encode()
-    kcode = np.asarray(dic.indices.to_numpy(zero_copy_only=False))
+    idx = dic.indices
+    if idx.null_count:
+        # null keys form ONE group (SQL GROUP BY semantics; also how the
+        # exchange's key hash partitions them) — without the fill the
+        # indices degrade to float64 with NaN and NaN != NaN makes every
+        # null-key row its own segment, returning them ALL with rank 1
+        idx = pc.fill_null(idx, len(dic.dictionary))
+    kcode = np.asarray(idx.to_numpy(zero_copy_only=False))
     crit = []
     for col, direction in reversed(sort_keys):
         v = tbl.column(col).to_numpy(zero_copy_only=False)
-        crit.append(-v if direction == "descending" else v)
+        if direction == "descending":
+            # bitwise NOT is the overflow-free order-reversing bijection
+            # for integers (plain negation maps uint 0 to the TOP and
+            # wraps INT64_MIN onto itself); floats negate exactly
+            v = np.invert(v) if v.dtype.kind in "iu" else -v
+        crit.append(v)
     order = np.lexsort((*crit, kcode))
     ks = kcode[order]
     seg_start = np.zeros(len(ks), np.int64)
@@ -242,10 +268,10 @@ def _topk_kernel(
     return out
 
 
-def _split_topk_impl(nbuckets, key, sort_keys, k, *tbls):
+def _split_topk_impl(nbuckets, key, sort_keys, k, schema, *tbls):
     real = [t for t in tbls if t.num_rows > 0]
     if not real:
-        e = _topk_kernel(tbls[0], key, sort_keys, k, None)
+        e = _topk_kernel(schema.empty_table(), key, sort_keys, k, None)
         return e if nbuckets == 1 else tuple(e for _ in range(nbuckets))
     part = _topk_kernel(pa.concat_tables(real), key, sort_keys, k, None)
     if nbuckets == 1:
@@ -253,11 +279,7 @@ def _split_topk_impl(nbuckets, key, sort_keys, k, *tbls):
     h = _row_hash(part, [key])
     b = (h % np.uint64(nbuckets)).astype(np.int64)
     order = np.argsort(b, kind="stable")
-    part = part.take(pa.array(order))
-    bounds = np.searchsorted(b[order], np.arange(nbuckets + 1))
-    return tuple(
-        part.slice(bounds[i], bounds[i + 1] - bounds[i]) for i in range(nbuckets)
-    )
+    return _partition_slices(part.take(pa.array(order)), b[order], nbuckets)
 
 
 def _bucket_topk_impl(key, sort_keys, k, rank_name, keep_cols, *parts):
@@ -283,7 +305,8 @@ def grouped_topk(
     exchange on the key, vectorized final top-k (+ optional 1-based
     ``rank_name``) per bucket. Replaces ``groupby(key).map_groups``
     reduces that pay one Python call per key. Sort columns must be
-    numeric (negate-for-descending)."""
+    numeric and non-null (descending uses the overflow-free bitwise-NOT
+    reversal for ints, negation for floats); null KEYS group together."""
     mat = ds.materialize()
     refs = mat.to_arrow_refs()
     nrows = mat.count()
@@ -312,9 +335,11 @@ def grouped_topk(
     target = int(os.environ.get("SHACLEX_SPLIT_ROWS", "2000000"))
     ngroups = max(1, min(len(refs), max(nbuckets, math.ceil(nrows / target))))
     groups = [refs[g::ngroups] for g in range(ngroups)]
+    ds_schema = mat.schema()
+    pa_schema = pa.schema(list(zip(ds_schema.names, ds_schema.types)))
     split_refs = [
         split_task.options(num_returns=nbuckets).remote(
-            nbuckets, key, sort_keys, k, *grp
+            nbuckets, key, sort_keys, k, pa_schema, *grp
         )
         for grp in groups
     ]

@@ -180,3 +180,40 @@ def test_fused_from_parquet_equals_unfused(ray_session, tmp_path):
         fused.sort_values(cols, ignore_index=True)[cols],
         unfused.sort_values(cols, ignore_index=True),
     )
+
+
+def test_distinct_rows_null_identity_columns(ray_session):
+    """Duplicate rows carrying nulls in identity columns must dedup (SQL
+    DISTINCT: null == null), not crash — pc.not_equal yields null for
+    null operands and the old kernel degraded to an object-dtype array
+    that killed the |= reduction."""
+    import ray.data as rd
+
+    from shaclex_ray.stages.dedup import distinct_rows_fast
+
+    tbl = pa.table(
+        {
+            "a": pa.array(["x", "x", "z", None, None], pa.string()),
+            "b": pa.array([None, None, "y", "w", "w"], pa.string()),
+        }
+    )
+    out = distinct_rows_fast(rd.from_arrow(tbl))
+    rows = sorted(
+        ((r["a"], r["b"]) for r in out.take_all()),
+        key=lambda t: tuple("" if v is None else v for v in t),
+    )
+    assert rows == [(None, "w"), ("x", None), ("z", "y")]
+
+
+def test_distinct_rows_empty_keeps_real_types(ray_session):
+    """An empty distinct must carry the INPUT schema (the old fallback
+    fabricated all-string columns, breaking downstream concat/union)."""
+    import ray.data as rd
+
+    from shaclex_ray.stages.dedup import distinct_rows_fast
+
+    schema = pa.schema([("a", pa.int64()), ("b", pa.string())])
+    out = distinct_rows_fast(rd.from_arrow(schema.empty_table()))
+    got = out.schema()
+    assert list(got.names) == ["a", "b"]
+    assert got.types[0] == pa.int64()

@@ -173,3 +173,88 @@ def test_grouped_topk_matches_scalar_reference(ray_session):
         assert set(got) == set(exp)
         for q in exp:
             assert sorted(got[q]) == [(rk, v) for v, rk in exp[q]], (nb, q)
+
+
+# --------------------------------------------------------------- round-5
+# self-review regressions: exchange-core edge cases found by the final
+# code audit (null identities, unsigned/extreme-int descending sorts,
+# null group keys, degenerate zero-column split groups)
+
+
+def test_grouped_topk_descending_uint64_and_int64_min(ray_session):
+    """Negate-for-descending silently broke unsigned sorts (0 sorted as
+    the max) and INT64_MIN (negation wraps onto itself); the bitwise-NOT
+    reversal is exact for every integer value."""
+    from shaclex_ray.stages.groupagg import grouped_topk
+
+    tbl = pa.table(
+        {
+            "k": ["a", "a", "a"],
+            "v": pa.array([0, 5, 1], pa.uint64()),
+        }
+    )
+    out = grouped_topk(rd.from_arrow(tbl), "k", [("v", "descending")], 2)
+    assert sorted(r["v"] for r in out.take_all()) == [1, 5]
+
+    lo = -(2**63)
+    tbl2 = pa.table({"k": ["a", "a"], "v": pa.array([lo, 3], pa.int64())})
+    out2 = grouped_topk(rd.from_arrow(tbl2), "k", [("v", "descending")], 1)
+    assert [r["v"] for r in out2.take_all()] == [3]
+
+
+def test_grouped_topk_null_keys_group_together(ray_session):
+    """Null keys form ONE group (SQL GROUP BY), not one group per row."""
+    from shaclex_ray.stages.groupagg import grouped_topk
+
+    tbl = pa.table(
+        {
+            "k": pa.array(["a", None, None, None], pa.string()),
+            "v": pa.array([1.0, 3.0, 2.0, 9.0], pa.float64()),
+        }
+    )
+    out = grouped_topk(
+        rd.from_arrow(tbl), "k", [("v", "descending")], 1, rank_name="rank"
+    )
+    rows = out.take_all()
+    assert len(rows) == 2  # one winner for 'a', one for the null group
+    null_rows = [r for r in rows if r["k"] is None]
+    assert len(null_rows) == 1 and null_rows[0]["v"] == 9.0
+
+
+def test_split_impls_survive_zero_column_empty_blocks():
+    """A strided split group of ONLY degenerate zero-column blocks must
+    emit a correctly-typed empty partial (the driver passes the dataset
+    schema as the authority)."""
+    from shaclex_ray.stages.dedup import _distinct_split_impl
+    from shaclex_ray.stages.groupagg import (
+        _split_distinct_impl,
+        _split_impl,
+        _split_topk_impl,
+    )
+
+    schema = pa.schema([("k", pa.string()), ("v", pa.int64())])
+    deg = pa.table({})  # what an upstream map_groups can emit for 0 rows
+
+    parts = _split_impl(2, ["k"], [("v", "sum")], schema, deg, deg)
+    assert all(p.num_rows == 0 for p in parts)
+    assert parts[0].column_names == ["k", "v_sum"]
+
+    parts = _split_distinct_impl(2, ["k"], "v", schema, deg)
+    assert all(p.schema == schema for p in parts)
+
+    parts = _split_topk_impl(2, "k", [("v", "descending")], 3, schema, deg)
+    assert all(p.schema == schema for p in parts)
+
+    parts = _distinct_split_impl(2, ["k", "v"], schema, deg)
+    assert all(p.schema == schema for p in parts)
+
+
+def test_count_distinct_mixed_aggs_raises_even_on_empty(ray_session):
+    """The sole-aggregation contract must not depend on the input being
+    non-empty."""
+    empty = pa.schema([("k", pa.string()), ("x", pa.int64()), ("y", pa.int64())])
+    ds = rd.from_arrow(empty.empty_table())
+    with pytest.raises(ValueError):
+        grouped_aggregate_fast(
+            ds, ["k"], [("x", "count_distinct"), ("y", "sum")], ["nx", "sy"]
+        )
