@@ -43,6 +43,16 @@ def _cents(col) -> np.ndarray:
     return np.floor(x * 100.0 + 0.5).astype(np.int64)
 
 
+def _i64(col, fill: int = -1) -> np.ndarray:
+    """Null-deterministic int64 view of an Arrow (chunked) array: nulls
+    become ``fill`` (a key no real row carries, so a filled key joins
+    nothing — SQL null-key semantics) instead of riding the
+    platform-defined NaN→int cast that ``to_numpy().astype`` would do."""
+    return (
+        pc.fill_null(col, fill).to_numpy(zero_copy_only=False).astype(np.int64)
+    )
+
+
 def _sorted_probe(ks: np.ndarray, key: np.ndarray):
     """Vectorized membership probe against a sorted key array, robust to
     a DEGENERATE empty small side (e.g. a segment matching no customers):
@@ -176,13 +186,14 @@ def top_orders(
     cust = pq.read_table(
         f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_mktsegment"]
     )
-    keys = (
-        cust.filter(pc.equal(cust.column("c_mktsegment"), segment))
-        .column("c_custkey")
-        .to_numpy(zero_copy_only=False)
-        .astype(np.int64)
+    keys = _i64(
+        cust.filter(pc.equal(cust.column("c_mktsegment"), segment)).column(
+            "c_custkey"
+        )
     )
-    keys_ref = ray.put(np.sort(keys))
+    # a null c_custkey joins nothing: drop its -1 sentinel from the build
+    # side so a filled probe key can never accidentally match it
+    keys_ref = ray.put(np.sort(keys[keys != -1]))
 
     def rev_partial(batch: pa.Table) -> pa.Table:
         ship = batch.column("l_shipdate").to_numpy(zero_copy_only=False)
@@ -213,7 +224,7 @@ def top_orders(
     def ord_filter(batch: pa.Table) -> pa.Table:
         ks = ray.get(keys_ref)
         od = batch.column("o_orderdate").to_numpy(zero_copy_only=False)
-        ck = batch.column("o_custkey").to_numpy(zero_copy_only=False)
+        ck = _i64(batch.column("o_custkey"))
         _, in_seg = _sorted_probe(ks, ck)
         hit = in_seg & (od < d)
         batch = batch.filter(pa.array(hit))
@@ -370,17 +381,18 @@ def regional_volume(
 
     lo, hi = np.datetime64(date_lo), np.datetime64(date_hi)
     reg = pq.read_table(f"{sf_dir}/region.parquet")
-    rkey = (
-        reg.filter(pc.equal(reg.column("r_name"), region))
-        .column("r_regionkey")
-        .to_numpy(zero_copy_only=False)
+    rkey = _i64(
+        reg.filter(pc.equal(reg.column("r_name"), region)).column("r_regionkey")
     )
+    rkey = rkey[rkey != -1]  # a null r_regionkey region matches no nation
     nat = pq.read_table(f"{sf_dir}/nation.parquet")
-    in_reg = np.isin(
-        nat.column("n_regionkey").to_numpy(zero_copy_only=False), rkey
-    )
-    nkeys = nat.column("n_nationkey").to_numpy(zero_copy_only=False).astype(np.int64)
+    in_reg = np.isin(_i64(nat.column("n_regionkey")), rkey)
+    nkeys = _i64(nat.column("n_nationkey"))
     nname = np.asarray(nat.column("n_name").to_pylist(), dtype=object)
+    # a null n_nationkey nation is unjoinable — drop it before building
+    # the direct-indexed lookups (its -1 sentinel must not become a slot)
+    valid_n = nkeys != -1
+    nkeys, in_reg, nname = nkeys[valid_n], in_reg[valid_n], nname[valid_n]
     # dense nationkeys -> direct-indexed lookup tables (empty nation table
     # → 1-slot all-false lookups: every probe misses, the answer is empty)
     nmax = int(nkeys.max()) + 1 if len(nkeys) else 1
@@ -391,14 +403,18 @@ def regional_volume(
     sup = pq.read_table(
         f"{sf_dir}/supplier.parquet", columns=["s_suppkey", "s_nationkey"]
     )
-    skeys = sup.column("s_suppkey").to_numpy(zero_copy_only=False).astype(np.int64)
-    snat = sup.column("s_nationkey").to_numpy(zero_copy_only=False).astype(np.int64)
+    skeys = _i64(sup.column("s_suppkey"))
+    snat = _i64(sup.column("s_nationkey"))
+    valid_s = skeys != -1  # null s_suppkey suppliers join nothing
+    skeys, snat = skeys[valid_s], snat[valid_s]
     sorder = np.argsort(skeys)
     cust = pq.read_table(
         f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_nationkey"]
     )
-    ckeys = cust.column("c_custkey").to_numpy(zero_copy_only=False).astype(np.int64)
-    cnat = cust.column("c_nationkey").to_numpy(zero_copy_only=False).astype(np.int64)
+    ckeys = _i64(cust.column("c_custkey"))
+    cnat = _i64(cust.column("c_nationkey"))
+    valid_c = ckeys != -1  # null c_custkey customers join nothing
+    ckeys, cnat = ckeys[valid_c], cnat[valid_c]
     corder = np.argsort(ckeys)
     dims_ref = ray.put(
         (nat_ok, name_of, skeys[sorder], snat[sorder], ckeys[corder], cnat[corder])
@@ -410,7 +426,7 @@ def regional_volume(
         nat_ok, _, _, _, cks, cns = ray.get(dims_ref)
         od = batch.column("o_orderdate").to_numpy(zero_copy_only=False)
         batch = batch.filter(pa.array((od >= lo) & (od < hi)))
-        ck = batch.column("o_custkey").to_numpy(zero_copy_only=False).astype(np.int64)
+        ck = _i64(batch.column("o_custkey"))
         idx, hitc = _sorted_probe(cks, ck)
         nation = cns[idx] if len(cks) else np.zeros(len(ck), np.int64)
         # a dangling c_nationkey (no matching nation row) must miss, not
@@ -429,7 +445,7 @@ def regional_volume(
         """lineitem → per-(orderkey, supplier nation) revenue partials for
         in-region suppliers."""
         nat_ok, _, sks, sns, _, _ = ray.get(dims_ref)
-        sk = batch.column("l_suppkey").to_numpy(zero_copy_only=False).astype(np.int64)
+        sk = _i64(batch.column("l_suppkey"))
         idx, hits = _sorted_probe(sks, sk)
         nation = sns[idx] if len(sks) else np.zeros(len(sk), np.int64)
         # dangling s_nationkey guard — see ord_nation
