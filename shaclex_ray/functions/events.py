@@ -287,12 +287,16 @@ def _asof_bucket_impl(left_type: str, right_type: str, *tbls: pa.Table) -> pa.Ta
     lmask, rmask = etype == left_type, etype == right_type
     if not lmask.any() or not rmask.any():
         return out_schema.empty_table()
-    # compact composite key (uidx, ts_offset) packed into one int64 so a
-    # single searchsorted resolves (user, ts) order across all users
+    # compact composite key (uidx, ts_rank) packed into one int64 so a
+    # single searchsorted resolves (user, ts) order across all users.
+    # ts is RANK-compressed first: packing the raw µs offset would
+    # overflow int64 once users × time-range exceeds 2^63 (a 1-year
+    # bucket overflows at ~292k distinct users); ranks bound the product
+    # by n², and rank equality ⇔ ts equality so as-of ties are exact
     uniq_users, uidx = np.unique(users, return_inverse=True)
-    ts0 = ts.min()
-    span = np.int64(ts.max() - ts0 + 2)
-    key = uidx.astype(np.int64) * span + (ts - ts0)
+    ts_rank = np.unique(ts, return_inverse=True)[1]
+    span = np.int64(ts_rank.max()) + 2
+    key = uidx.astype(np.int64) * span + ts_rank
     lu, lk, lt, lid = uidx[lmask], key[lmask], ts[lmask], eid[lmask]
     ru, rk, rt, rid = uidx[rmask], key[rmask], ts[rmask], eid[rmask]
     rorder = np.lexsort((rid, rk))

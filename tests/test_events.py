@@ -77,6 +77,40 @@ def test_asof_inner_and_ties(ray_session, tiny_events):
     assert df[df.click_id == 1].gap_sec.iloc[0] == pytest.approx(1800.0)
 
 
+def test_asof_key_packing_wide_timespan():
+    """The bucket kernel's composite (user, ts) key must not overflow
+    int64 on wide time ranges: packing the RAW µs offset would wrap once
+    users × range exceeds 2^63 (1000 users over ~300 years does it),
+    silently corrupting the as-of order. The rank-compressed key bounds
+    the product by n² regardless of the time range."""
+    from shaclex_ray.functions.events import _asof_bucket_impl
+
+    # every user: one view at the range start, one click at the range end;
+    # with raw packing, user 2's click key (2*S + R ≈ 1.2e19) wraps
+    # negative while its view key (8e18) stays positive, so the click
+    # resolves to user 3's wrapped view and the ok-mask DROPS it
+    n_users = 4
+    R = 4_000_000_000_000_000_000  # ~127k-year range, still valid µs
+    base = np.int64(1_000_000_000_000_000)
+    ts = np.concatenate(
+        [np.full(n_users, base), np.full(n_users, base + R - 1)]
+    ).astype(np.int64)
+    users = np.tile(np.arange(n_users, dtype=np.int64), 2)
+    assert int(users.max()) * int(ts.max() - ts.min() + 2) > 2**63  # regime check
+    tbl = pa.table(
+        {
+            "event_id": pa.array(np.arange(2 * n_users), pa.int64()),
+            "ts": pa.array(ts, pa.int64()).cast(pa.timestamp("us")),
+            "user_id": pa.array(users, pa.int64()),
+            "event_type": pa.array(["view"] * n_users + ["click"] * n_users),
+        }
+    )
+    out = _asof_bucket_impl("click", "view", tbl).to_pandas()
+    assert len(out) == n_users  # every click found its own user's view
+    assert (out.view_id.to_numpy() == out.click_id.to_numpy() - n_users).all()
+    assert (out.gap_sec == (R - 1) / 1e6).all()
+
+
 def test_window_agg_counts(ray_session, tiny_events):
     from shaclex_ray.functions.events import events_window_agg
 
