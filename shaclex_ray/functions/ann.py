@@ -639,7 +639,15 @@ class KnnLabelVote:
     def __init__(self, seeds, k: int):
         seeds = ray.get(seeds) if isinstance(seeds, ray.ObjectRef) else seeds
         self.seed_ids, sm, self.seed_labels = seeds
-        self.sm, self.szero = _normalize_rows(np.asarray(sm, np.float64))
+        # raw matrix + norms, NOT pre-normalized rows: cosine is computed
+        # dot-then-divide (dot / (|a|·|b|)), the same association order as
+        # the scalar spec and DuckDB's list_cosine_similarity. For
+        # exact-dot inputs (integer-grid embeddings) that form ties
+        # BITWISE where the spec ties; normalize-then-dot rounds each
+        # component first and drifts by an ulp, flipping top-k cuts
+        self.sm = np.asarray(sm, np.float64)
+        self.snorm = np.linalg.norm(self.sm, axis=1)
+        self.szero = self.snorm == 0.0
         self.labels_u = np.unique(self.seed_labels)
         self.k = k
 
@@ -655,8 +663,12 @@ class KnnLabelVote:
                     "n_votes": pa.array([], pa.int64()),
                 }
             )
-        emb, ezero = _normalize_rows(emb)
-        sims = emb @ self.sm.T  # (nb, n_seed)
+        enorm = np.linalg.norm(emb, axis=1)
+        ezero = enorm == 0.0
+        denom = np.where(ezero, 1.0, enorm)[:, None] * np.where(
+            self.szero, 1.0, self.snorm
+        )[None, :]
+        sims = (emb @ self.sm.T) / denom  # (nb, n_seed)
         if ezero.any():
             sims[ezero, :] = -1.0
         if self.szero.any():
