@@ -947,10 +947,17 @@ def mixture_report(sf_dir: str):
     )
 
     def _collect(d, schema: pa.Schema) -> pa.Table:
-        # an all-empty corpus can surface zero-column blocks — keep only
-        # blocks carrying the expected fields, else the typed empty table
+        # an all-empty corpus can surface zero-column OR null-typed empty
+        # blocks (the exchange's schema-less-empty synthesis) — keep only
+        # non-empty blocks carrying the expected fields, else the typed
+        # empty table (a 0-row block contributes nothing to the join and
+        # its null-typed key would break Acero)
         blocks = [ray.get(r) for r in d.materialize().to_arrow_refs()]
-        blocks = [b for b in blocks if set(schema.names) <= set(b.column_names)]
+        blocks = [
+            b
+            for b in blocks
+            if b.num_rows and set(schema.names) <= set(b.column_names)
+        ]
         if not blocks:
             return schema.empty_table()
         return pa.concat_tables(

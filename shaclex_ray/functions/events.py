@@ -98,10 +98,20 @@ def events_window_agg(sf_dir: str):
             [("cents", "sum"), ("one", "sum")]
         )
 
+    from shaclex_ray.stages.groupagg import grouped_aggregate_fast
+
     partials = _read_events(sf_dir, ["ts", "event_type", "value"]).map_batches(
         partial, batch_format="pyarrow"
     )
-    agg = partials.groupby(["hour_idx", "event_type"]).sum(["cents_sum", "one_sum"])
+    # Arrow-based one-move exchange, not Dataset.groupby: a NULL
+    # event_type is a legitimate group (SQL GROUP BY keeps it) and Ray's
+    # sort-based groupby cannot order None keys
+    agg = grouped_aggregate_fast(
+        partials,
+        ["hour_idx", "event_type"],
+        [("cents_sum", "sum"), ("one_sum", "sum")],
+        ["sum(cents_sum)", "sum(one_sum)"],
+    )
 
     def finalize(batch: pa.Table) -> pa.Table:
         cents = batch.column("sum(cents_sum)").to_numpy(zero_copy_only=False)
@@ -322,8 +332,15 @@ def _asof_bucket_impl(left_type: str, right_type: str, *tbls: pa.Table) -> pa.Ta
 def events_asof_view(sf_dir: str):
     """As-of join: every 'click' to the latest same-user 'view' at or
     before it (inner semantics — clicks with no prior view drop)."""
-    rows = _read_events(sf_dir, ["event_id", "ts", "user_id", "event_type"]).filter(
-        expr="event_type == 'click' or event_type == 'view'"
+    def keyed(batch: pa.Table) -> pa.Table:
+        # a NULL event_id event has no identity to emit or tie-break on —
+        # dropped here and by the twin's event_id IS NOT NULL predicate
+        return batch.filter(pc.is_valid(batch.column("event_id").combine_chunks()))
+
+    rows = (
+        _read_events(sf_dir, ["event_id", "ts", "user_id", "event_type"])
+        .filter(expr="event_type == 'click' or event_type == 'view'")
+        .map_batches(keyed, batch_format="pyarrow")
     )
     return _user_exchange(rows, _asof_bucket_impl, "click", "view")
 

@@ -39,7 +39,10 @@ from shaclex_ray.stages.groupagg import grouped_aggregate_fast
 
 
 def _cents(col) -> np.ndarray:
-    x = col.to_numpy(zero_copy_only=False)
+    # a NULL money measure reads 0 (the engine-wide null-numeric policy;
+    # the twins coalesce identically, so SQL's sum-skips-null and our
+    # add-zero agree row for row)
+    x = pc.fill_null(col, 0.0).to_numpy(zero_copy_only=False)
     return np.floor(x * 100.0 + 0.5).astype(np.int64)
 
 
@@ -65,7 +68,7 @@ def _sorted_probe(ks: np.ndarray, key: np.ndarray):
     return idx, ks[idx] == key
 
 
-_CENTS_SQL = "CAST(floor({col} * 100 + 0.5) AS BIGINT)"
+_CENTS_SQL = "CAST(floor(coalesce({col}, 0.0) * 100 + 0.5) AS BIGINT)"
 
 
 # ------------------------------------------------------------- Q1-shaped
@@ -91,7 +94,10 @@ def pricing_summary(sf_dir: str, cutoff: str = "1999-12-31"):
                 ]
             ).empty_table()
         qty = np.floor(
-            batch.column("l_quantity").to_numpy(zero_copy_only=False) + 0.5
+            pc.fill_null(batch.column("l_quantity"), 0.0).to_numpy(
+                zero_copy_only=False
+            )
+            + 0.5
         ).astype(np.int64)
         cents = _cents(batch.column("l_extendedprice"))
         disc = _cents(batch.column("l_discount"))
@@ -155,7 +161,7 @@ def pricing_summary_sql(cutoff: str = "1999-12-31") -> str:
     c = _CENTS_SQL
     return f"""
     SELECT l_returnflag, l_linestatus,
-           CAST(sum(CAST(floor(l_quantity + 0.5) AS BIGINT)) AS BIGINT) AS sum_qty,
+           CAST(sum(CAST(floor(coalesce(l_quantity, 0.0) + 0.5) AS BIGINT)) AS BIGINT) AS sum_qty,
            CAST(sum({c.format(col='l_extendedprice')}) AS BIGINT) AS sum_base_cents,
            CAST(sum({c.format(col='l_extendedprice')}
                     * (100 - {c.format(col='l_discount')})) AS BIGINT) AS sum_disc_e4,
@@ -503,11 +509,7 @@ def regional_volume(
 
         def attach(batch: pa.Table) -> pa.Table:
             ks, cns = ray.get(onat_ref)
-            key = (
-                batch.column("l_orderkey")
-                .to_numpy(zero_copy_only=False)
-                .astype(np.int64)
-            )
+            key = _i64(batch.column("l_orderkey"))
             idx, hit = _sorted_probe(ks, key)
             batch = batch.filter(pa.array(hit))
             return batch.append_column(
@@ -547,6 +549,17 @@ def regional_volume(
     agg = grouped_aggregate_fast(
         partials, ["s_nation"], [("revenue_e4", "sum")], ["revenue_e4"]
     )
+    # |nations| rows at most — materializing is free, and it closes the
+    # all-filtered hole: Ray DROPS empty blocks, so a fully-empty agg
+    # would never run name_rows and the result would lose its columns
+    agg_m = agg.materialize()
+    if agg_m.count() == 0:
+        return rd.from_arrow(
+            pa.schema(
+                [("n_name", pa.string()), ("revenue_e4", pa.int64())]
+            ).empty_table()
+        )
+    agg = agg_m
 
     def name_rows(batch: pa.Table) -> pa.Table:
         # |nations| rows at most — the only place names materialize

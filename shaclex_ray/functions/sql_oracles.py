@@ -433,7 +433,9 @@ def events_asof_sql() -> str:
     latest same-user 'view' with ts <= the click's ts, ties broken by
     max view event_id."""
     return """
-WITH e0 AS (SELECT * FROM events WHERE ts IS NOT NULL AND user_id IS NOT NULL),
+WITH e0 AS (SELECT * FROM events
+            WHERE ts IS NOT NULL AND user_id IS NOT NULL
+              AND event_id IS NOT NULL),
      v AS (SELECT event_id, user_id, ts FROM e0 WHERE event_type = 'view'),
      c AS (SELECT event_id, user_id, ts FROM e0 WHERE event_type = 'click')
 SELECT c.event_id AS click_id, c.user_id, c.ts AS click_ts,

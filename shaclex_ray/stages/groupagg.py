@@ -164,10 +164,10 @@ def grouped_aggregate_fast(
             else:
                 out = _bucket_impl(keys, aggs, names, _partial_agg(src, keys, aggs))
             return rd.from_arrow(out)
-        if schema is None:
-            return mat  # no schema anywhere — empty in, empty out
-        # schema exists but lacks the needed columns (degenerate empty
-        # blocks) — emit the expected column NAMES, null-typed
+        # schema missing entirely (Ray reports None for a fully-empty
+        # map_batches chain) or lacking the needed columns (degenerate
+        # empty blocks) — emit the expected column NAMES, null-typed, so
+        # downstream map_batches still runs and the column contract holds
         return rd.from_arrow(
             pa.table({c: pa.array([], pa.null()) for c in list(keys) + list(names)})
         )

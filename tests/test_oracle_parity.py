@@ -36,7 +36,14 @@ def _to_pandas(res):
     import ray.data
 
     if isinstance(res, ray.data.Dataset):
-        return res.to_pandas()
+        df = res.to_pandas()
+        if df.empty and not len(df.columns):
+            # Ray's to_pandas drops the columns of a 0-row dataset even
+            # when the dataset carries a schema — rebuild them from it
+            schema = res.schema()
+            if schema is not None:
+                return pd.DataFrame({c: [] for c in schema.names})
+        return df
     if isinstance(res, pa.Table):
         return res.to_pandas()
     return res
