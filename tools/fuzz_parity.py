@@ -165,6 +165,12 @@ def run_seed(seed: int, base: str) -> list[str]:
             con.execute(
                 f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf}/{t}.parquet')"
             )
+        # no-oracle queries (iterative/rows-only surface): crash check only
+        for name in sorted(set(queries) - set(oracles)):
+            try:
+                _to_pandas(queries[name](sf))
+            except Exception as ex:
+                failures.append(f"{name}: CRASH {type(ex).__name__}: {str(ex)[:200]}")
         for name in sorted(oracles):
             try:
                 got = _normalize(_to_pandas(queries[name](sf)))
