@@ -384,6 +384,10 @@ def canonicalize_triples_join(triples_ds, links_ds, num_partitions: int | None =
     )
 
     def apply_subj(batch: pa.Table) -> pa.Table:
+        if "canonical_iri" not in batch.column_names:
+            # a degenerate empty join partition (Ray types them null /
+            # drops columns) carries no matches — pass it through
+            return batch
         canon = batch.column("canonical_iri").combine_chunks()
         subj = batch.column("subj").combine_chunks()
         new_subj = pc.if_else(pc.is_valid(canon), canon, subj)
@@ -403,14 +407,19 @@ def canonicalize_triples_join(triples_ds, links_ds, num_partitions: int | None =
     )
 
     def apply_obj(batch: pa.Table) -> pa.Table:
-        canon = batch.column("canonical_iri").combine_chunks()
-        obj_lex = batch.column("obj_lex").combine_chunks()
-        is_iri = pc.equal(batch.column("obj_kind").combine_chunks(), "iri")
-        new_obj = pc.if_else(pc.and_(pc.is_valid(canon), is_iri), canon, obj_lex)
-        batch = batch.set_column(
-            batch.schema.get_field_index("obj_lex"), "obj_lex", new_obj
-        )
-        batch = batch.drop_columns(["canonical_iri"])
+        if {"canonical_iri", "obj_lex", "obj_kind"} <= set(batch.column_names):
+            canon = batch.column("canonical_iri").combine_chunks()
+            obj_lex = batch.column("obj_lex").combine_chunks()
+            is_iri = pc.equal(batch.column("obj_kind").combine_chunks(), "iri")
+            new_obj = pc.if_else(
+                pc.and_(pc.is_valid(canon), is_iri), canon, obj_lex
+            )
+            batch = batch.set_column(
+                batch.schema.get_field_index("obj_lex"), "obj_lex", new_obj
+            )
+            batch = batch.drop_columns(["canonical_iri"])
+        # a degenerate empty join partition may lack the joined column
+        # entirely — fall through to the schema-restore below either way
         # joins reorder columns and type empty blocks as null — restore the
         # canonical triple schema so downstream concat/union is exact
         cols = [
