@@ -52,6 +52,21 @@ def poison(base: str, out: str, rng: np.random.Generator) -> None:
         name = os.path.basename(f)
         n = t.num_rows
         if name == "documents.parquet" and n > 4:
+            # extreme-but-unique doc ids (negative, 13-digit) at random rows
+            ids = t.column("doc_id").to_pylist()
+            taken = set(ids)
+            for i in rng.choice(n, size=int(rng.integers(0, 5)), replace=False):
+                cand = int(rng.integers(-(10**12), 10**13))
+                while cand in taken:
+                    cand += 1
+                taken.discard(ids[int(i)])
+                taken.add(cand)
+                ids[int(i)] = cand
+            t = t.set_column(
+                t.schema.get_field_index("doc_id"),
+                "doc_id",
+                pa.array(ids, pa.int64()),
+            )
             txt = t.column("text").to_pylist()
             # random weird texts
             for i in rng.choice(n, size=min(n, rng.integers(2, 12)), replace=False):
@@ -131,6 +146,27 @@ def poison(base: str, out: str, rng: np.random.Generator) -> None:
                     pa.array(v, t.schema.field(col).type),
                 )
         if name == "events.parquet" and n > 6:
+            # extreme timestamps at random rows: centuries away from the
+            # base range (exercises the as-of rank compression and the
+            # window/hour arithmetic far outside the generator's band)
+            k = int(rng.integers(0, 5))
+            if k:
+                ts = t.column("ts").cast(pa.int64()).to_pylist()
+                year_us = 365 * 24 * 3600 * 1_000_000
+                for i in rng.choice(n, size=k, replace=False):
+                    if ts[int(i)] is None:
+                        continue
+                    # stay inside pandas' Timestamp range (1677–2262) so
+                    # the COMPARISON infrastructure can hold the values;
+                    # the engine itself is int64-µs clean (the kernel
+                    # overflow test pins the truly wild ranges)
+                    shift = int(rng.integers(-300, 230)) * year_us
+                    ts[int(i)] += shift
+                t = t.set_column(
+                    t.schema.get_field_index("ts"),
+                    "ts",
+                    pa.array(ts, pa.int64()).cast(t.schema.field("ts").type),
+                )
             for col in t.column_names:
                 rate = float(rng.uniform(0, 0.1))
                 hit = np.nonzero(rng.random(n) < rate)[0]
