@@ -103,6 +103,65 @@ def test_langid_runs(ray_session):
     assert all(r["lang_pred"] in ("en", "fr", "es", "zh", "de") for r in rows)
 
 
+def test_langid_end_to_end_scalar_parity(ray_session):
+    """Full langid() pipeline (fit sample -> profiles -> vectorized
+    predict) vs an INDEPENDENT per-char scalar reimplementation over the
+    whole sf0.001 corpus — the no-oracle query's analog of the BPE
+    property pins. Deterministic on both sides (fixed corpus, seed-free
+    fit), so exact prediction equality is a stable assertion."""
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    from shaclex_ray.functions.text import langid
+
+    tbl = pq.read_table(
+        f"{SF}/documents.parquet", columns=["doc_id", "text", "lang"]
+    )
+    # scalar fit — mirrors langid()'s driver-side sample loop exactly
+    profiles: dict[str, dict[str, float]] = {}
+    per_lang: dict[str, int] = {}
+    for t, lang in zip(
+        tbl.column("text").to_pylist()[:2000],
+        tbl.column("lang").to_pylist()[:2000],
+    ):
+        t, lang = t or "", lang or ""
+        if per_lang.get(lang, 0) >= 50:
+            continue
+        per_lang[lang] = per_lang.get(lang, 0) + 1
+        p = profiles.setdefault(lang, {})
+        for i in range(len(t) - 1):
+            p[t[i : i + 2]] = p.get(t[i : i + 2], 0.0) + 1.0
+    langs = sorted(profiles)
+    grams = sorted({g for p in profiles.values() for g in p})
+    gi = {g: i for i, g in enumerate(grams)}
+    mat = np.zeros((len(langs), len(grams)))
+    for li, lang in enumerate(langs):
+        for g, w in profiles[lang].items():
+            mat[li, gi[g]] = w
+    mat = mat / np.maximum(np.linalg.norm(mat, axis=1, keepdims=True), 1e-9)
+
+    def predict(text: str) -> str:
+        v = np.zeros(len(grams))
+        for i in range(len(text) - 1):
+            j = gi.get(text[i : i + 2])
+            if j is not None:
+                v[j] += 1.0
+        v = v / max(np.linalg.norm(v), 1e-9)
+        return langs[int(np.argmax(mat @ v))]
+
+    got = {
+        r["doc_id"]: r["lang_pred"] for r in langid(SF).take_all()
+    }
+    texts = tbl.column("text").to_pylist()
+    ids = tbl.column("doc_id").to_pylist()
+    mismatches = [
+        (d, got[d], predict(t or ""))
+        for d, t in zip(ids, texts)
+        if got[d] != predict(t or "")
+    ]
+    assert not mismatches, mismatches[:5]
+
+
 def test_langid_fit_read_is_bounded(tmp_path):
     """The fit sample must stream only the first 2000 rows: a directory
     corpus whose LATER part file is unreadable garbage must not be
